@@ -1,0 +1,244 @@
+"""The change-event envelope: gravity's ``core.Msg`` as a DataFrame contract.
+
+Reference semantics (cited for parity, not copied):
+  - pkg/core/msg.go:52-81 — Msg{Type, Database, Table, DmlMsg{Operation,
+    Data, Old, Pks}, Timestamp, InputStreamKey, InputSequence}
+  - pkg/core/msg.go:22-42 — type ∈ {dml, ddl, ctl}; op ∈ {insert, update,
+    delete}
+  - pkg/core/msg.go:46-51 — OutputDepHashes = hashes over PK/UK values,
+    the per-row ordering/conflict domain.
+
+Spark mapping: one envelope row per row-change. Payloads ride as
+``MapType(String, String)`` until routed to a per-table typed schema
+(from_json against the catalog). The per-stream sequence is a plain
+LongType; the dep hash is ``xxhash64`` over the PK values — used only
+for partitioning, never for equality across engines.
+
+At 100 TB the envelope is what flows through every shuffle, so it stays
+narrow: addressing + op + seq + payload maps; no per-message channels or
+callbacks (Spark's checkpoint/commit model replaces the ack plumbing,
+cf. pkg/sliding_window/static_sliding_window.go:17-120).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+
+TYPE_DML = "dml"
+TYPE_DDL = "ddl"
+TYPE_CTL = "ctl"
+
+#: Envelope schema — the contract every operator in the engine speaks.
+MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType(), False),       # dml / ddl / ctl
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("op", T.StringType(), True),          # insert/update/delete
+        T.StructField("ts", T.TimestampType(), True),       # event time at source
+        T.StructField("data", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("old", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("pks", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("ddl_statement", T.StringType(), True),
+        T.StructField("stream_key", T.StringType(), True),  # InputStreamKey
+        T.StructField("seq", T.LongType(), True),           # InputSequence
+    ]
+)
+
+
+def dep_hash(pks_col: Column) -> Column:
+    """Ordering/conflict-domain hash over the PK map.
+
+    Mirrors OutputDepHashes (pkg/core/msg.go:46-51): same PK values →
+    same hash → same partition → per-key source order is preserved
+    through any repartition. Sorting the map keys makes the hash
+    independent of map construction order.
+    """
+    kv = F.map_entries(pks_col)
+    sorted_kv = F.array_sort(kv)
+    joined = F.array_join(
+        F.transform(sorted_kv, lambda e: F.concat_ws("", e["key"], e["value"])),
+        "",
+    )
+    return F.xxhash64(joined)
+
+
+def with_dep_hash(df: DataFrame, col_name: str = "dep_hash") -> DataFrame:
+    return df.withColumn(col_name, dep_hash(F.col("pks")))
+
+
+def events_to_changes(events: DataFrame, database: str = "app", table: str = "events") -> DataFrame:
+    """Adapt the harness ``events`` table into an envelope change stream.
+
+    The driver testdata has no real binlog, so the `events` table plays
+    the role of a captured CDC stream: signup→insert, click/view/
+    purchase→update, error→delete, keyed by user_id. Deterministic, so
+    a DuckDB oracle can reproduce the same mapping.
+    """
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit(OP_INSERT))
+        .when(F.col("event_type") == "error", F.lit(OP_DELETE))
+        .otherwise(F.lit(OP_UPDATE))
+    )
+    data = F.create_map(
+        F.lit("user_id"), F.col("user_id").cast("string"),
+        F.lit("event_type"), F.col("event_type"),
+        F.lit("value"), F.col("value").cast("string"),
+        F.lit("props"), F.col("props"),
+    )
+    return events.select(
+        F.lit(TYPE_DML).alias("type"),
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        F.lit(None).cast("string").alias("host"),
+        op.alias("op"),
+        F.col("ts").alias("ts"),
+        data.alias("data"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("old"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.lit("events-0").alias("stream_key"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+# --- public CDC wire-format decoders (Debezium / Canal JSON) -------------
+
+_DEBEZIUM_VALUE = T.StructType(
+    [
+        T.StructField("before", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("after", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("db", T.StringType(), True),
+                    T.StructField("table", T.StringType(), True),
+                    T.StructField("ts_ms", T.LongType(), True),
+                    T.StructField("server_id", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("op", T.StringType(), True),  # c/u/d/r
+        T.StructField("ts_ms", T.LongType(), True),
+    ]
+)
+
+
+def from_debezium_json(raw: DataFrame, value_col: str = "value", pk_cols: list[str] | None = None) -> DataFrame:
+    """Decode a Debezium-JSON Kafka value column into the envelope.
+
+    Replaces gravity's binlog tailer (pkg/inputs/mysqlstream/
+    binlog_tailer.go:153-610): Spark has no native binlog source, so the
+    idiomatic path is Debezium/Canal topics — gravity itself ships the
+    same pattern for TiDB (pkg/inputs/tidb_kafka/input.go:30-190).
+    """
+    pk_cols = pk_cols or ["id"]
+    v = F.from_json(F.col(value_col).cast("string"), _DEBEZIUM_VALUE)
+    op = (
+        F.when(v["op"].isin("c", "r"), F.lit(OP_INSERT))
+        .when(v["op"] == "u", F.lit(OP_UPDATE))
+        .when(v["op"] == "d", F.lit(OP_DELETE))
+        .otherwise(F.lit(None))
+    )
+    data = F.when(op == OP_DELETE, v["before"]).otherwise(v["after"])
+    pks = F.map_filter(data, lambda k, _: k.isin(*pk_cols))
+    return raw.select(
+        F.lit(TYPE_DML).alias("type"),
+        v["source"]["db"].alias("database"),
+        v["source"]["table"].alias("table"),
+        F.lit(None).cast("string").alias("host"),
+        op.alias("op"),
+        F.timestamp_millis(v["source"]["ts_ms"]).alias("ts"),
+        data.alias("data"),
+        v["before"].alias("old"),
+        pks.alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.concat_ws("/", v["source"]["db"], v["source"]["table"]).alias("stream_key"),
+        F.monotonically_increasing_id().alias("seq"),
+    )
+
+
+_CANAL_VALUE = T.StructType(
+    [
+        T.StructField("database", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),  # INSERT/UPDATE/DELETE
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("pkNames", T.ArrayType(T.StringType()), True),
+        T.StructField("data", T.ArrayType(T.MapType(T.StringType(), T.StringType())), True),
+        T.StructField("old", T.ArrayType(T.MapType(T.StringType(), T.StringType())), True),
+        T.StructField("isDdl", T.BooleanType(), True),
+        T.StructField("sql", T.StringType(), True),
+    ]
+)
+
+
+def from_canal_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode Canal-JSON (one message may carry N rows → explode to N
+    envelope rows, matching the reference's event explosion,
+    pkg/inputs/mysqlstream/msg.go:284-331)."""
+    v = F.from_json(F.col(value_col).cast("string"), _CANAL_VALUE)
+    base = raw.select(
+        v.alias("v"), F.monotonically_increasing_id().alias("seq0")
+    )
+    exploded = base.select(
+        "v", "seq0", F.posexplode_outer(F.coalesce(F.col("v.data"), F.array())).alias("pos", "row")
+    )
+    vv = F.col("v")
+    op = (
+        F.when(vv["type"] == "INSERT", F.lit(OP_INSERT))
+        .when(vv["type"] == "UPDATE", F.lit(OP_UPDATE))
+        .when(vv["type"] == "DELETE", F.lit(OP_DELETE))
+        .otherwise(F.lit(None))
+    )
+    old = F.element_at(F.coalesce(vv["old"], F.array()), F.col("pos") + 1)
+    pk_names = F.coalesce(vv["pkNames"], F.array())
+    pks = F.map_filter(F.coalesce(F.col("row"), F.create_map()), lambda k, _: F.array_contains(pk_names, k))
+    return exploded.select(
+        F.when(vv["isDdl"], F.lit(TYPE_DDL)).otherwise(F.lit(TYPE_DML)).alias("type"),
+        vv["database"].alias("database"),
+        vv["table"].alias("table"),
+        F.lit(None).cast("string").alias("host"),
+        F.when(vv["isDdl"], F.lit(None).cast("string")).otherwise(op).alias("op"),
+        F.timestamp_millis(vv["ts"]).alias("ts"),
+        F.col("row").alias("data"),
+        old.alias("old"),
+        pks.alias("pks"),
+        F.when(vv["isDdl"], vv["sql"]).otherwise(F.lit(None).cast("string")).alias("ddl_statement"),
+        F.concat_ws("/", vv["database"], vv["table"]).alias("stream_key"),
+        (F.col("seq0") * F.lit(1 << 16) + F.col("pos")).alias("seq"),
+    )
+
+
+def typed_view(changes: DataFrame, schema: T.StructType, pk_cols: list[str]) -> DataFrame:
+    """Project the string-map payload to a typed per-table view.
+
+    Once a stream is routed to a single (db, table), casting the map to
+    typed columns keeps everything downstream JVM-side/codegen'd.
+    """
+    cols = [F.col("data").getItem(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return changes.select("op", "ts", "seq", *cols)
+
+
+def memory_changes(spark: SparkSession, rows: list[dict]) -> DataFrame:
+    """Build an envelope DataFrame from plain dicts (test helper)."""
+    def norm(r: dict) -> dict:
+        out = {f.name: None for f in MSG_SCHEMA.fields}
+        out.update(r)
+        if out.get("type") is None:
+            out["type"] = TYPE_DML
+        for k in ("data", "old", "pks"):
+            if out.get(k) is not None:
+                out[k] = {str(a): (None if b is None else str(b)) for a, b in out[k].items()}
+        return out
+
+    return spark.createDataFrame([norm(r) for r in rows], MSG_SCHEMA)

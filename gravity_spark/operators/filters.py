@@ -1,0 +1,116 @@
+"""The filter chain: gravity's emitter filters as DataFrame transforms.
+
+Reference parity:
+  - pkg/core/filter.go:3-7 — Filter(msg) -> (continueNext, err)
+  - pkg/emitter/emitter.go:39-86 — filters run in order per msg
+  - pkg/filters/reject_filter.go:25-31, accept_filter.go:73-78
+  - pkg/filters/delete_dml_column_filter.go:148-171
+  - pkg/filters/rename_dml_column_filter.go:266-299
+  - pkg/filters/base_filter.go:53-73 — every filter is scoped by a
+    matcher group; non-matching msgs pass through UNTOUCHED.
+
+Design: each filter is ``DataFrame -> DataFrame`` over the envelope.
+The matcher-scoping rule means column mutations must be conditional
+(F.when(matched, mutated).otherwise(original)) rather than global —
+that keeps one uniform plan with no per-message branching, which is
+what survives at 100 TB: a single codegen'd projection instead of a
+row-at-a-time plugin chain.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gravity_spark.core.matchers import compile_matchers
+
+
+def reject_filter(df: DataFrame, matchers: Mapping[str, Any]) -> DataFrame:
+    """Drop rows that match (pkg/filters/reject_filter.go:25-31)."""
+    return df.filter(~compile_matchers(matchers))
+
+
+def accept_filter(df: DataFrame, matchers: Mapping[str, Any]) -> DataFrame:
+    """Keep only rows that match (pkg/filters/accept_filter.go:73-78)."""
+    return df.filter(compile_matchers(matchers))
+
+
+def _map_without_keys(col: Column, keys: Sequence[str]) -> Column:
+    return F.map_filter(col, lambda k, _: ~k.isin(*keys))
+
+
+def delete_dml_columns(
+    df: DataFrame, columns: Sequence[str], matchers: Mapping[str, Any] | None = None
+) -> DataFrame:
+    """Remove named payload columns from data/old/pks
+    (pkg/filters/delete_dml_column_filter.go:148-171)."""
+    cond = compile_matchers(matchers or {})
+    out = df
+    for field in ("data", "old", "pks"):
+        mutated = F.when(F.col(field).isNull(), F.col(field)).otherwise(
+            _map_without_keys(F.col(field), columns)
+        )
+        out = out.withColumn(field, F.when(cond, mutated).otherwise(F.col(field)))
+    return out
+
+
+def rename_dml_columns(
+    df: DataFrame,
+    mapping: Mapping[str, str],
+    matchers: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """Rename payload columns from->to in data/old/pks
+    (pkg/filters/rename_dml_column_filter.go:266-299)."""
+    cond = compile_matchers(matchers or {})
+
+    def rename_key(k: Column) -> Column:
+        expr = k
+        for src, dst in mapping.items():
+            expr = F.when(k == src, F.lit(dst)).otherwise(expr)
+        return expr
+
+    out = df
+    for field in ("data", "old", "pks"):
+        entries = F.map_entries(F.col(field))
+        mutated = F.map_from_entries(
+            F.transform(entries, lambda e: F.struct(rename_key(e["key"]).alias("key"), e["value"].alias("value")))
+        )
+        mutated = F.when(F.col(field).isNull(), F.col(field)).otherwise(mutated)
+        out = out.withColumn(field, F.when(cond, mutated).otherwise(F.col(field)))
+    return out
+
+
+FilterFn = Callable[[DataFrame], DataFrame]
+
+
+def build_filter(spec: Mapping[str, Any]) -> FilterFn:
+    """One config block -> one transform (registry lookup parity,
+    pkg/registry/registry.go:12-80 + pkg/filters/filters.go)."""
+    kind = spec["type"]
+    cfg = spec.get("config", {})
+    matchers = {k: v for k, v in cfg.items() if k.startswith("match-")}
+    if kind == "reject":
+        return lambda df: reject_filter(df, matchers)
+    if kind == "accept":
+        return lambda df: accept_filter(df, matchers)
+    if kind == "delete-dml-column":
+        return lambda df: delete_dml_columns(df, cfg["columns"], matchers)
+    if kind == "rename-dml-column":
+        return lambda df: rename_dml_columns(
+            df, dict(zip(cfg["from"], cfg["to"])), matchers
+        )
+    if kind == "python":
+        # arbitrary user code — the Spark-native replacement for the
+        # grpc-sidecar filter (pkg/filters/grpc_sidecar_filter.go:43-120)
+        fn = cfg["fn"]
+        return lambda df: fn(df)
+    raise ValueError(f"unknown filter type {kind!r}")
+
+
+def apply_filter_chain(df: DataFrame, specs: Sequence[Mapping[str, Any]]) -> DataFrame:
+    """Compose the configured filters in order (pkg/emitter/emitter.go:39-86)."""
+    for spec in specs:
+        df = build_filter(spec)(df)
+    return df

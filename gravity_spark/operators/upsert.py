@@ -1,0 +1,145 @@
+"""Merge engines: apply a collapsed change batch to a target relation.
+
+Reference parity (pkg/sql_execution_engine/*):
+  - mysql_replace_engine.go:115-144 — REPLACE INTO + DELETE (default):
+    upsert wins, delete removes.
+  - mysql_insert_ignore_engine.go:16-90 — first-writer-wins insert.
+  - mysql_insert_on_dupkey_update_engine.go:32-120 — upsert via ON
+    DUPLICATE KEY UPDATE.
+  - conflict_engine.go:25-300 — optimistic CC: apply update only if the
+    target row still equals the change's Old image; losers go to an
+    audit relation (conflict.log).
+  - pkg/outputs/mysql/mysql.go:452-482 — DELETE-boundary batch splitting
+    is unnecessary here: a single relational merge applies mixed ops
+    atomically.
+
+Without Delta in the harness image, MERGE is expressed relationally:
+    result = (target ⟕anti changes.keys) ∪ upserts
+One shuffle on the PK for the anti-join + union — at scale this is the
+same cost profile as Delta MERGE's inner join + rewrite, and the
+anti-join broadcasts automatically when the change batch is small
+(the common CDC case: small batch vs huge target).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gravity_spark.operators.collapse import collapse_last_write_wins
+
+ENGINE_REPLACE = "mysql-replace-engine"
+ENGINE_INSERT_IGNORE = "mysql-insert-ignore"
+ENGINE_ON_DUP_UPDATE = "mysql-insert-on-duplicate-key-update"
+ENGINE_CONFLICT = "conflict-detect-engine"
+
+
+def merge_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    pk_cols: Sequence[str],
+    engine: str = ENGINE_REPLACE,
+    op_col: str = "op",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Apply typed changes (value columns + op + seq) to ``target``.
+
+    ``changes`` carries the target's value columns plus ``op`` in
+    {insert, update, delete} and a monotonic ``order_col``; it is
+    collapsed to last-write-wins per PK first, so applying is
+    idempotent — re-applying the same batch yields the same target
+    (exactly-once via idempotence, replacing the reference's sliding-
+    window ack, pkg/position_cache/cache.go:13).
+    """
+    pk = list(pk_cols)
+    value_cols = [c for c in target.columns]
+    last = collapse_last_write_wins(changes, key_cols=pk, order_col=order_col)
+    last = last.select(*value_cols, op_col).cache()
+
+    keys = last.select(*pk)
+    untouched = target.join(keys, on=pk, how="left_anti")
+
+    if engine in (ENGINE_REPLACE, ENGINE_ON_DUP_UPDATE):
+        upserts = last.filter(F.col(op_col) != "delete").select(*value_cols)
+        return untouched.unionByName(upserts)
+    if engine == ENGINE_INSERT_IGNORE:
+        # first-writer-wins: existing rows always survive; for fresh keys
+        # the FIRST non-delete change in the batch lands (every DML row
+        # becomes INSERT IGNORE in the reference, utils.go:109-127)
+        first = collapse_last_write_wins(
+            changes.withColumn("__neg", -F.col(order_col)),
+            key_cols=pk,
+            order_col="__neg",
+        )
+        inserts = (
+            first.filter(F.col(op_col) != "delete")
+            .join(target.select(*pk), on=pk, how="left_anti")
+            .select(*value_cols)
+        )
+        return target.unionByName(inserts)
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def merge_with_conflict_detect(
+    target: DataFrame,
+    changes: DataFrame,
+    pk_cols: Sequence[str],
+    old_prefix: str = "old_",
+    op_col: str = "op",
+    order_col: str = "seq",
+) -> tuple[DataFrame, DataFrame]:
+    """Conflict-detect engine: CAS on the old image.
+
+    ``changes`` carries value columns, ``old_<col>`` pre-image columns,
+    op and seq. Updates whose pre-image no longer matches the target row
+    are NOT applied; they are returned as the conflict audit relation
+    (reference logs them to conflict.log, conflict_engine.go:25-300).
+
+    Returns (new_target, conflicts).
+    """
+    pk = list(pk_cols)
+    value_cols = list(target.columns)
+    non_pk = [c for c in value_cols if c not in pk]
+
+    last = collapse_last_write_wins(changes, key_cols=pk, order_col=order_col).cache()
+
+    t = target.alias("t")
+    c = last.alias("c")
+    joined = c.join(t, on=pk, how="left")
+
+    old_matches = F.lit(True)
+    for col in non_pk:
+        old_matches = old_matches & (
+            F.col(f"t.{col}").eqNullSafe(F.col(f"c.{old_prefix}{col}"))
+        )
+    exists = F.col(f"t.{non_pk[0]}").isNotNull() if non_pk else F.lit(True)
+
+    is_update = F.col(f"c.{op_col}") == "update"
+    conflict = is_update & exists & ~old_matches
+
+    conflicts = joined.filter(conflict).select(
+        *[F.col(f"c.{col}").alias(col) for col in value_cols], F.col(f"c.{op_col}").alias(op_col)
+    )
+    applied = joined.filter(~conflict)
+
+    keys_applied = applied.select(*[F.col(f"c.{k}").alias(k) for k in pk])
+    untouched = target.join(keys_applied, on=pk, how="left_anti")
+    upserts = applied.filter(F.col(f"c.{op_col}") != "delete").select(
+        *[F.col(f"c.{col}").alias(col) for col in value_cols]
+    )
+    return untouched.unionByName(upserts), conflicts
+
+
+def add_missing_columns(changes: DataFrame, target: DataFrame, defaults: dict | None = None) -> DataFrame:
+    """Fill columns present in target but absent from the change batch
+    with defaults (pkg/outputs/mysql/add_missing_column.go:10-30)."""
+    defaults = defaults or {}
+    out = changes
+    for field in target.schema.fields:
+        if field.name not in changes.columns:
+            out = out.withColumn(
+                field.name, F.lit(defaults.get(field.name)).cast(field.dataType)
+            )
+    return out

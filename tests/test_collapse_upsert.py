@@ -1,0 +1,88 @@
+from pyspark.sql import functions as F
+
+from gravity_spark.operators.collapse import collapse_last_write_wins
+from gravity_spark.operators.upsert import (
+    ENGINE_INSERT_IGNORE,
+    ENGINE_REPLACE,
+    add_missing_columns,
+    merge_changes,
+    merge_with_conflict_detect,
+)
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, bal double"
+    )
+
+
+def _changes(spark):
+    # id=2 updated twice (last wins), id=3 deleted, id=4 inserted then updated
+    return spark.createDataFrame(
+        [
+            (2, "b1", 21.0, "update", 1),
+            (2, "b2", 22.0, "update", 4),
+            (3, "c", 30.0, "delete", 2),
+            (4, "d", 40.0, "insert", 3),
+            (4, "d2", 41.0, "update", 5),
+        ],
+        "id long, name string, bal double, op string, seq long",
+    )
+
+
+def test_collapse_lww(spark):
+    out = collapse_last_write_wins(_changes(spark), key_cols=["id"]).collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 3
+    assert by_id[2]["name"] == "b2" and by_id[2]["seq"] == 4
+    assert by_id[4]["name"] == "d2"
+
+
+def test_merge_replace(spark):
+    result = merge_changes(_target(spark), _changes(spark), ["id"], ENGINE_REPLACE)
+    rows = {r["id"]: r for r in result.collect()}
+    assert set(rows) == {1, 2, 4}  # 3 deleted
+    assert rows[1]["name"] == "a"  # untouched
+    assert rows[2]["name"] == "b2" and rows[2]["bal"] == 22.0
+    assert rows[4]["name"] == "d2"
+
+
+def test_merge_idempotent(spark):
+    once = merge_changes(_target(spark), _changes(spark), ["id"], ENGINE_REPLACE)
+    twice = merge_changes(once, _changes(spark), ["id"], ENGINE_REPLACE)
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_merge_insert_ignore(spark):
+    result = merge_changes(_target(spark), _changes(spark), ["id"], ENGINE_INSERT_IGNORE)
+    rows = {r["id"]: r for r in result.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2]["name"] == "b"  # first writer (existing) wins
+    assert rows[4]["name"] == "d"  # fresh key: FIRST change lands
+
+
+def test_conflict_detect(spark):
+    target = _target(spark)
+    changes = spark.createDataFrame(
+        [
+            # clean update: old image matches target
+            (1, "a1", 11.0, "a", 10.0, "update", 1),
+            # conflicting update: old image stale
+            (2, "b1", 21.0, "b-STALE", 20.0, "update", 2),
+        ],
+        "id long, name string, bal double, old_name string, old_bal double, op string, seq long",
+    )
+    merged, conflicts = merge_with_conflict_detect(target, changes, ["id"])
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["name"] == "a1"
+    assert rows[2]["name"] == "b"  # conflict NOT applied
+    assert [r["id"] for r in conflicts.collect()] == [2]
+
+
+def test_add_missing_columns(spark):
+    target = _target(spark)
+    changes = spark.createDataFrame([(5,)], "id long")
+    out = add_missing_columns(changes, target, {"name": "default_name"})
+    r = out.collect()[0]
+    assert r["name"] == "default_name" and r["bal"] is None
