@@ -1,0 +1,242 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-conscious:
+
+- exact:    fingerprint → groupBy → keep min-id. One shuffle on a short
+            hash key; at 100 TB the shuffle carries (fingerprint, id)
+            pairs only, never the documents.
+- MinHash+LSH: shingle → per-seed min-hash signature (computed in a
+            single codegen'd projection) → band → bucket self-join.
+            Candidate generation is a bucket-key equi-join, so the
+            quadratic blow-up is confined to same-bucket groups.
+- SimHash:  64-bit bit-vote fingerprint; near-dups = small hamming
+            distance within a band bucket.
+- n-gram Jaccard: exact verification on candidate pairs only.
+
+All hashing is xxhash64/md5 (JVM built-ins); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gravity_spark.functions.text import fingerprint, tokenize
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint."""
+    with_fp = df.withColumn("__fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct k-char shingles of the normalized text."""
+    norm = F.array_join(tokenize(text), " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 5,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """num_hashes-wide MinHash signature per document.
+
+    Each hash family member is xxhash64 salted with the seed index; the
+    signature is an array<long> computed in one projection — ~O(seeds ×
+    shingles) JVM ops per doc, no shuffle.
+    """
+    sh = char_shingles(F.col(text_col), shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, seed))),
+    )
+    return df.withColumn(out_col, sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH on the signature.
+
+    Splits the signature into ``bands`` bands, hashes each band, and
+    self-joins on (band_index, band_hash). Returns distinct (id_a, id_b)
+    with id_a < id_b. The join key is a long pair, so the shuffle volume
+    is O(docs × bands) regardless of document size.
+    """
+    sig_len_band = F.floor(F.size(F.col(sig_col)) / bands).cast("int")
+    banded = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col(sig_col), b * sig_len_band + 1, sig_len_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+    return agree / F.size(sig_a).cast("double")
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash: per-token xxhash64, bit-vote, sign → bits-wide fingerprint.
+
+    Returned as array<int> of 0/1 (LSB first) — hamming distance is then
+    a zip_with/filter, and band-bucketing slices the array.
+    """
+    toks = tokenize(text)
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.transform(votes, lambda v: F.when(v > 0, F.lit(1)).otherwise(F.lit(0)))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda v: v))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    bands: int = 8,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-bucket candidates, verify by
+    hamming distance ≤ max_hamming."""
+    with_sh = df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("sh"))
+    band_width = bits // bands
+    banded = with_sh.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(F.slice(F.col("sh"), b * band_width + 1, band_width), lambda x: x.cast("string")),
+                        "",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cand.filter(hamming_distance(F.col("sh_a"), F.col("sh_b")) <= max_hamming).select(
+        "id_a", "id_b"
+    )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    toks = tokenize(text)
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs.
+
+    Pairs are scoped to ``group_col`` buckets when given (e.g. an LSH
+    band or `source`); otherwise all-pairs — acceptable only for small
+    relations or post-LSH candidates. Returns (id_a, id_b, jaccard).
+    """
+    grams = df.select(
+        F.col(id_col),
+        *([F.col(group_col)] if group_col else []),
+        word_ngrams(F.col(text_col), n).alias("g"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if group_col:
+        cond = cond & (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+    inter = F.size(F.array_intersect(F.col("a.g"), F.col("b.g")))
+    union = F.size(F.array_union(F.col("a.g"), F.col("b.g")))
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines — all JVM-side expressions.
+
+These are net-new capabilities beyond the reference (which moves rows,
+never inspects text). Everything here is built from pyspark.sql.functions
+so it stays inside whole-stage codegen — no Python in the hot path, which
+is what makes a 100 TB documents sweep feasible.
+
+Semantics are deliberately SQL-reproducible (the DuckDB oracle runs the
+same logic), so: regex-based tokenization, arithmetic scores, md5-based
+fingerprints — no library-specific behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: matches one token: letters/digits runs (BPE-ish: splits punctuation off)
+TOKEN_RE = "[a-zA-Z0-9]+"
+
+#: tiny per-language stopword marker sets for the n-gram/marker heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "die", "und"],
+    "fr": ["le", "la", "et"],
+    "zh": ["de", "shi", "le"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokenize(text: Column) -> Column:
+    """Lower-cased alnum tokens; empty strings filtered out."""
+    return F.filter(
+        F.split(F.lower(text), "[^a-zA-Z0-9]+"), lambda t: t != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct-delimited token count (regexp_count keeps the
+    same semantics in the DuckDB oracle)."""
+    return F.size(tokenize(text))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic in [0, 1]:
+      0.4 * length_score  (chars/2000 capped at 1)
+    + 0.3 * (1 - punct_ratio)
+    + 0.3 * stopword_presence_ratio
+
+    Computed as ONE exact integer rational and a single double division,
+    so any engine implementing the same formula produces a bit-identical
+    double (the DuckDB oracle depends on this).
+    """
+    n = F.length(text).cast("long")
+    n_punct = n - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", "")).cast("long")
+    toks = tokenize(text)
+    t = F.size(toks).cast("long")
+    n_stop = F.size(F.filter(toks, lambda tok: tok.isin(*STOPWORDS))).cast("long")
+    n_d = F.greatest(n, F.lit(1))
+    t_d = F.greatest(t, F.lit(1))
+    num = (
+        F.lit(4) * F.least(n, F.lit(2000)) * n_d * t_d
+        + F.lit(6000) * t_d * (n_d - n_punct)
+        + F.lit(6000) * n_d * n_stop
+    )
+    den = F.lit(20000) * n_d * t_d
+    return num.cast("double") / den.cast("double")
+
+
+def detect_language(text: Column) -> Column:
+    """Marker-token language ID: the language whose marker set hits the
+    most tokens wins; ties and zero-hits → 'und'. Cheap n-gram-style
+    heuristic that the SQL oracle reproduces exactly."""
+    toks = tokenize(text)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # fixed iteration order => deterministic tie-break (first max wins)
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        is_better = hits > best_hits
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(is_better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lower-cased,
+    tokens joined by single spaces). Collapses whitespace/punctuation
+    variants of the same content to one key — the exact-dedup and
+    near-dup pipelines both key on it."""
+    return F.md5(F.array_join(tokenize(text), " "))

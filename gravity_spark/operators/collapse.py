@@ -22,8 +22,18 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def pk_canonical(pks_col: Column) -> Column:
+    """Canonical sortable string for a PK map (maps are not orderable/
+    partitionable in Spark): entries sorted by key, joined with unit
+    separators."""
+    kv = F.array_sort(F.map_entries(pks_col))
+    return F.array_join(
+        F.transform(kv, lambda e: F.concat_ws("\x1f", e["key"], e["value"])), "\x1e"
+    )
 
 
 def collapse_last_write_wins(
@@ -43,10 +53,17 @@ def collapse_last_write_wins(
     collapse independently per key — exactly the semantics the
     reference's latch preserves.
     """
-    keys = list(key_cols) if key_cols else ["database", "table", "pks"]
+    if key_cols:
+        keys: list = list(key_cols)
+        df = changes
+    else:
+        # envelope default: address by (db, table, canonical pk string)
+        df = changes.withColumn("__pk", pk_canonical(F.col("pks")))
+        keys = ["database", "table", "__pk"]
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
-    return (
-        changes.withColumn("__rn", F.row_number().over(w))
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return out.drop("__pk") if not key_cols else out

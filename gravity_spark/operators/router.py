@@ -39,8 +39,10 @@ def route(df: DataFrame, routes: Sequence[Mapping[str, Any]]) -> DataFrame:
         target_table = F.when(cond, this_table).otherwise(target_table)
         matched = cond | matched
 
-    return (
-        df.filter(matched)
-        .withColumn("database", target_db)
-        .withColumn("table", target_table)
+    # one simultaneous projection: both rewrites must see the ORIGINAL
+    # (database, table) — sequential withColumn would re-evaluate the
+    # table matcher against the already-rewritten database
+    replaced = {"database": target_db, "table": target_table}
+    return df.filter(matched).select(
+        *[replaced[c].alias(c) if c in replaced else F.col(c) for c in df.columns]
     )

@@ -65,20 +65,27 @@ def merge_changes(
         upserts = last.filter(F.col(op_col) != "delete").select(*value_cols)
         return untouched.unionByName(upserts)
     if engine == ENGINE_INSERT_IGNORE:
-        # first-writer-wins: existing rows always survive; for fresh keys
-        # the FIRST non-delete change in the batch lands (every DML row
-        # becomes INSERT IGNORE in the reference, utils.go:109-127)
+        # sequential INSERT IGNORE + DELETE semantics (utils.go:109-127):
+        # a key's final value is the FIRST non-delete change after its
+        # LAST delete; keys in the target with no delete keep the target
+        # row (first-writer-wins — IGNORE can never overwrite).
+        del_seq = (
+            changes.filter(F.col(op_col) == "delete")
+            .groupBy(*pk)
+            .agg(F.max(order_col).alias("__del_seq"))
+        )
+        post = (
+            changes.filter(F.col(op_col) != "delete")
+            .join(del_seq, on=pk, how="left")
+            .filter(F.col(order_col) > F.coalesce(F.col("__del_seq"), F.lit(-(1 << 62))))
+        )
         first = collapse_last_write_wins(
-            changes.withColumn("__neg", -F.col(order_col)),
-            key_cols=pk,
-            order_col="__neg",
-        )
-        inserts = (
-            first.filter(F.col(op_col) != "delete")
-            .join(target.select(*pk), on=pk, how="left_anti")
-            .select(*value_cols)
-        )
-        return target.unionByName(inserts)
+            post.withColumn("__neg", -F.col(order_col)), key_cols=pk, order_col="__neg"
+        ).select(*value_cols)
+        deleted_keys = del_seq.select(*pk)
+        survivors = target.join(deleted_keys, on=pk, how="left_anti")
+        inserts = first.join(survivors.select(*pk), on=pk, how="left_anti")
+        return survivors.unionByName(inserts)
     raise ValueError(f"unknown engine {engine!r}")
 
 

@@ -1,0 +1,1036 @@
+"""Query registry: every operator surfaced as (spark_fn, oracle_sql).
+
+Each entry is one operator/capability from SURVEY.md §2 (the gravity
+rebuild) or the training-data-pipeline extension set. The Spark side is
+the engine implementation; the oracle is an equivalent ANSI-SQL string
+DuckDB runs on the same parquet — deliberately written against the
+*semantics*, not the implementation, so the comparison is meaningful.
+
+Cross-engine determinism rules used throughout:
+- aggregates over doubles are rounded (2dp money, 4-6dp ratios)
+- rankings order by rounded values with an id tie-break
+- derived time buckets are output as epoch seconds (BIGINT), never
+  re-constructed timestamps (timezone-free)
+- hashes that must agree across engines use md5 (hex string); xxhash64
+  is Spark-internal (partitioning only)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gravity_spark.core.envelope import events_to_changes
+from gravity_spark.functions import text as tx
+from gravity_spark.functions import similarity as sim
+from gravity_spark.operators.collapse import collapse_last_write_wins
+
+
+@dataclass
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → rows-only check (non-SQL-expressible)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, oracle=oracle)
+        return fn
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver's own session won't carry these configs — set them here
+    # so nano-timestamp parquet (events.ts) loads and epoch math matches
+    # the (TZ-naive) DuckDB oracle under any session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in the testdata; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
+    # truncate to micros exactly like DuckDB's reader does
+    for f in df.schema.fields:
+        if f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# =====================================================================
+# §A  TPC-H-style analytics over replicated tables (SURVEY §7 M6)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                       AS sum_qty,
+           round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                       AS avg_qty,
+           round(avg(l_extendedprice), 4)                                  AS avg_price,
+           round(avg(l_discount), 4)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    WITH rev AS (
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1998-01-01'
+        AND l_shipdate  > DATE '1998-01-01'
+      GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, revenue
+    FROM rev
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    # customer is the small dim → broadcast; lineitem never shuffles twice
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    dims = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(dims, li.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "top_k_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    )
+    WHERE rank <= 3
+    """,
+)
+def top_k_per_group(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)      AS n_customers,
+           count(*)                       AS n_orders,
+           round(sum(o_totalprice), 2)    AS total,
+           round(avg(o_totalprice), 4)    AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "rollup_returns",
+    """
+    SELECT coalesce(l_returnflag, '<all>')  AS returnflag,
+           coalesce(l_linestatus, '<all>')  AS linestatus,
+           count(*)                         AS n,
+           round(sum(l_quantity), 2)        AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_returns(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "qty",
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         with_events AS (SELECT DISTINCT user_id   AS k FROM events)
+    SELECT 'both'        AS cohort, count(*) AS n FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM with_events)
+    UNION ALL
+    SELECT 'orders_only' AS cohort, count(*) AS n FROM (SELECT k FROM with_orders EXCEPT    SELECT k FROM with_events)
+    UNION ALL
+    SELECT 'events_only' AS cohort, count(*) AS n FROM (SELECT k FROM with_events EXCEPT    SELECT k FROM with_orders)
+    """,
+)
+def set_ops_customers(spark, sf_dir):
+    w_orders = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    w_events = T(spark, sf_dir, "events").select(F.col("user_id").alias("k")).distinct()
+    both = w_orders.intersect(w_events).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("cohort"), "n"
+    )
+    o_only = w_orders.exceptAll(w_events).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("orders_only").alias("cohort"), "n"
+    )
+    e_only = w_events.exceptAll(w_orders).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("events_only").alias("cohort"), "n"
+    )
+    return both.unionByName(o_only).unionByName(e_only)
+
+
+@register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionization(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "asof_join_signup",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         signups   AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT p.event_id AS purchase_id,
+           (SELECT s.event_id FROM signups s
+             WHERE s.user_id = p.user_id AND s.ts <= p.ts
+             ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS signup_id
+    FROM purchases p
+    """,
+)
+def asof_join_signup(spark, sf_dir):
+    from gravity_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_id="signup_id",
+    )
+    return joined.select("purchase_id", "signup_id")
+
+
+# =====================================================================
+# §B  CDC / replication engine semantics (SURVEY §2.2-2.4)
+#     events table ⇒ envelope change stream (deterministic mapping:
+#     signup→insert, error→delete, else update; key = user_id)
+# =====================================================================
+
+_OP_SQL = """
+  CASE event_type WHEN 'signup' THEN 'insert'
+                  WHEN 'error'  THEN 'delete'
+                  ELSE 'update' END
+"""
+
+
+@register(
+    "cdc_collapse_lww",
+    f"""
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value
+      FROM events
+    )
+    SELECT user_id, op AS last_op, round(value, 2) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM changes
+    ) WHERE rn = 1
+    """,
+)
+def cdc_collapse_lww(spark, sf_dir):
+    changes = events_to_changes(T(spark, sf_dir, "events"))
+    last = collapse_last_write_wins(changes)
+    return last.select(
+        F.col("pks")["user_id"].cast("long").alias("user_id"),
+        F.col("op").alias("last_op"),
+        F.round(F.col("data")["value"].cast("double"), 2).alias("last_value"),
+    )
+
+
+@register(
+    "cdc_merge_replace",
+    f"""
+    -- semantic truth of snapshot(≤T) + replay(>T) through the replace
+    -- engine: final state per key = last change overall, absent if delete
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value FROM events
+    )
+    SELECT user_id, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM changes
+    ) WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_merge_replace(spark, sf_dir):
+    from gravity_spark.operators.upsert import merge_changes
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    typed = ev.select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+        "ts",
+    )
+    # snapshot state at cutoff via the same engine, then replay the tail
+    pre = typed.filter(F.col("ts") <= cutoff).drop("ts")
+    post = typed.filter(F.col("ts") > cutoff).drop("ts")
+    empty = spark.createDataFrame([], "user_id long, value double")
+    snapshot = merge_changes(empty, pre, ["user_id"])
+    final = merge_changes(snapshot, post, ["user_id"])
+    return final
+
+
+@register(
+    "cdc_insert_ignore",
+    f"""
+    -- sequential INSERT IGNORE + DELETE truth: final value per key is
+    -- the first non-delete change after the last delete
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value FROM events
+    ),
+    d AS (SELECT user_id, max(seq) AS del_seq FROM changes WHERE op = 'delete' GROUP BY user_id)
+    SELECT user_id, round(value, 2) AS value
+    FROM (
+      SELECT c.user_id, c.value,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.seq ASC) AS rn
+      FROM changes c LEFT JOIN d USING (user_id)
+      WHERE c.op <> 'delete' AND c.seq > coalesce(d.del_seq, -1)
+    ) WHERE rn = 1
+    """,
+)
+def cdc_insert_ignore(spark, sf_dir):
+    from gravity_spark.operators.upsert import ENGINE_INSERT_IGNORE, merge_changes
+
+    ev = T(spark, sf_dir, "events")
+    typed = ev.select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        F.col("event_id").alias("seq"),
+    )
+    empty = spark.createDataFrame([], "user_id long, value double")
+    return merge_changes(empty, typed, ["user_id"], ENGINE_INSERT_IGNORE)
+
+
+@register(
+    "cdc_filter_chain",
+    f"""
+    WITH changes AS (
+      SELECT 'app' AS database, 'events' AS "table", event_type,
+             {_OP_SQL} AS op, event_id AS seq
+      FROM events
+    )
+    SELECT op, count(*) AS n
+    FROM changes
+    WHERE op IN ('insert', 'update') AND event_type <> 'view'
+    GROUP BY op
+    """,
+)
+def cdc_filter_chain(spark, sf_dir):
+    from gravity_spark.operators.filters import apply_filter_chain
+
+    changes = events_to_changes(T(spark, sf_dir, "events"))
+    filtered = apply_filter_chain(
+        changes,
+        [
+            {"type": "accept", "config": {"match-schema": "app", "match-dml-op": ["insert", "update"]}},
+            {
+                "type": "python",
+                "config": {"fn": lambda d: d.filter(F.col("data")["event_type"] != "view")},
+            },
+        ],
+    )
+    return filtered.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "cdc_route_rename",
+    """
+    SELECT 'warehouse' AS database, 'app_events' AS "table",
+           count(*) AS n, count(DISTINCT user_id) AS n_keys
+    FROM events
+    """,
+)
+def cdc_route_rename(spark, sf_dir):
+    from gravity_spark.operators.filters import rename_dml_columns, delete_dml_columns
+    from gravity_spark.operators.router import route
+
+    changes = events_to_changes(T(spark, sf_dir, "events"))
+    routed = route(
+        changes,
+        [
+            {
+                "match-schema": "app",
+                "match-table": "events",
+                "target-schema": "warehouse",
+                "target-table": "app_events",
+            }
+        ],
+    )
+    routed = rename_dml_columns(routed, {"value": "amount"})
+    routed = delete_dml_columns(routed, ["props"])
+    return routed.groupBy("database", "table").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("pks")["user_id"]).alias("n_keys"),
+    )
+
+
+@register(
+    "cdc_dep_hash_partitions",
+    """
+    SELECT ((user_id * 2654435761) % 1024) % 32 AS partition_id,
+           count(*) AS n, count(DISTINCT user_id) AS n_keys
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cdc_dep_hash_partitions(spark, sf_dir):
+    # deterministic Knuth-hash stand-in for xxhash64 dep-hash so the
+    # oracle reproduces it; same-key → same-partition invariant holds
+    ev = T(spark, sf_dir, "events")
+    pid = ((F.col("user_id") * F.lit(2654435761)) % 1024) % 32
+    return ev.groupBy(pid.alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_keys")
+    )
+
+
+@register(
+    "cdc_wire_format",
+    f"""
+    SELECT event_id AS seq,
+           '{{"version":"0.1","database":"app","table":"events","type":"' ||
+           {_OP_SQL} ||
+           '","pk":' || CAST(user_id AS VARCHAR) ||
+           ',"value":' || CAST(round(value, 2) AS VARCHAR) || '}}' AS payload
+    FROM events WHERE event_id < 500
+    """,
+)
+def cdc_wire_format(spark, sf_dir):
+    # v0.1-style wire envelope (pkg/core/encoding/rdb_json.go:17-170),
+    # built by explicit concat so both engines emit identical bytes
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    payload = F.concat(
+        F.lit('{"version":"0.1","database":"app","table":"events","type":"'),
+        op,
+        F.lit('","pk":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"value":'),
+        F.round(F.col("value"), 2).cast("string"),
+        F.lit("}"),
+    )
+    return ev.select(F.col("event_id").alias("seq"), payload.alias("payload"))
+
+
+@register(
+    "cdc_dcp_checker",
+    """
+    SELECT event_id FROM events
+    EXCEPT
+    SELECT event_id FROM events WHERE event_id % 1000 <> 7
+    """,
+)
+def cdc_dcp_checker(spark, sf_dir):
+    # dcp-style source/target consistency diff (dcp/checker/checker.go:11-53):
+    # target simulates lost writes; diff finds exactly the missing keys
+    source = T(spark, sf_dir, "events").select("event_id")
+    target = source.filter(F.col("event_id") % 1000 != 7)
+    return source.exceptAll(target)
+
+
+@register(
+    "cdc_window_watermark",
+    """
+    SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start_epoch,
+           count(*) AS n, min(event_id) AS min_seq, max(event_id) AS max_seq
+    FROM events
+    GROUP BY 1
+    """,
+)
+def cdc_window_watermark(spark, sf_dir):
+    # sliding-window position tracking → tumbling event-time windows;
+    # watermark health = per-window max seq (static_sliding_window.go:66-91)
+    ev = T(spark, sf_dir, "events")
+    win = (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("long")
+    return ev.groupBy(win.alias("window_start_epoch")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_seq"),
+        F.max("event_id").alias("max_seq"),
+    )
+
+
+@register(
+    "cdc_txn_tag_filter",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) <> 0
+    GROUP BY event_type
+    """,
+)
+def cdc_txn_tag_filter(spark, sf_dir):
+    # bidirectional-sync provenance filter (pkg/core/msg.go:231-247):
+    # rows tagged k=0 are "internal traffic" and dropped before emit
+    ev = T(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return ev.filter(k != 0).groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "batch_scan_chunks",
+    """
+    SELECT CAST(floor(event_id / 1000) AS BIGINT) AS chunk_id,
+           count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events GROUP BY 1
+    """,
+)
+def batch_scan_chunks(spark, sf_dir):
+    from gravity_spark.sources.batch import chunked_scan
+
+    ev = T(spark, sf_dir, "events")
+    return chunked_scan(ev, "event_id", chunk_size=1000).groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+# =====================================================================
+# §C  Training-data pipeline: text analysis / dedup / similarity
+# =====================================================================
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9[:space:]]', '', 'g')) AS BIGINT) AS p,
+             CAST(len({_TOKS}) AS BIGINT) AS t,
+             CAST(len(list_filter({_TOKS}, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS BIGINT) AS s
+      FROM documents
+    )
+    SELECT doc_id, t AS n_tokens,
+           CAST(4 * least(n, 2000) * greatest(n, 1) * greatest(t, 1)
+              + 6000 * greatest(t, 1) * (greatest(n, 1) - p)
+              + 6000 * greatest(n, 1) * s AS DOUBLE)
+           / CAST(20000 * greatest(n, 1) * greatest(t, 1) AS DOUBLE) AS quality
+    FROM base
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _langid_sql() -> str:
+    hits = {
+        lang: f"len(list_filter({_TOKS}, t -> list_contains({markers!r}, t)))"
+        for lang, markers in tx.LANG_MARKERS.items()
+    }
+    langs = list(tx.LANG_MARKERS)
+    all_hits = ", ".join(hits.values())
+    cases = "\n".join(
+        f"WHEN {hits[lang]} = greatest({all_hits}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest({all_hits}) = 0 THEN 'und'
+                {cases}
+                ELSE 'und' END AS detected_lang
+    FROM documents
+    """
+
+
+@register("text_langid", _langid_sql())
+def text_langid(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        tx.detect_language(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS f FROM documents
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    from gravity_spark.functions.dedup import exact_dedup
+
+    docs = T(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("doc_id")
+
+
+_NUM_MINHASH = 16
+
+
+def _minhash_sql() -> str:
+    # md5-based MinHash: min over hex strings per salted hash family —
+    # identical lexicographic min in both engines
+    mins = ", ".join(
+        f"list_aggregate(list_transform(list_distinct({_TOKS}), s -> md5('{i}:' || s)), 'min')"
+        for i in range(_NUM_MINHASH)
+    )
+    return f"""
+    SELECT doc_id, [{mins}] AS minhash
+    FROM documents
+    """
+
+
+def _salted_md5_min(toks, seed: int):
+    # NB: a 1-arg lambda is required — F.transform passes (elem, idx) to
+    # 2-arg lambdas, which would silently shadow the seed
+    return F.array_min(F.transform(toks, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+
+
+@register("dedup_minhash_signature", _minhash_sql())
+def dedup_minhash_signature(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    toks = F.array_distinct(tx.tokenize(F.col("text")))
+    sig = F.array(*[_salted_md5_min(toks, i) for i in range(_NUM_MINHASH)])
+    return docs.select("doc_id", sig.alias("minhash"))
+
+
+def _minhash_pairs_sql() -> str:
+    bands = 4
+    width = _NUM_MINHASH // bands
+    mins = [
+        f"list_aggregate(list_transform(list_distinct({_TOKS}), s -> md5('{i}:' || s)), 'min')"
+        for i in range(_NUM_MINHASH)
+    ]
+    band_hashes = []
+    for b in range(bands):
+        concat = " || ".join(mins[b * width : (b + 1) * width])
+        band_hashes.append(f"md5({concat}) AS bh{b}")
+    return f"""
+    WITH sig AS (SELECT doc_id, {', '.join(band_hashes)} FROM documents)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+     AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
+    """
+
+
+@register("dedup_minhash_pairs", _minhash_pairs_sql())
+def dedup_minhash_pairs(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    bands, width = 4, _NUM_MINHASH // 4
+    toks = F.array_distinct(tx.tokenize(F.col("text")))
+    mins = [_salted_md5_min(toks, i) for i in range(_NUM_MINHASH)]
+    band_cols = [
+        F.md5(F.concat(*mins[b * width : (b + 1) * width])).alias(f"bh{b}")
+        for b in range(bands)
+    ]
+    sig = docs.select("doc_id", *band_cols)
+    a, b = sig.alias("a"), sig.alias("b")
+    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    band_match = F.lit(False)
+    for i in range(bands):
+        band_match = band_match | (F.col(f"a.bh{i}") == F.col(f"b.bh{i}"))
+    return (
+        a.join(b, cond & band_match)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    # md5-hex-digit bit votes, reproducible in both engines
+    terms = []
+    for p in range(bits):
+        digit = p // 4 + 1
+        shift = 3 - (p % 4)
+        d = f"(strpos('0123456789abcdef', substr(md5(t), {digit}, 1)) - 1)"
+        bit = f"(CAST(floor({d} / {2 ** shift}) AS BIGINT) % 2)"
+        terms.append(f"(CASE WHEN sum(2 * {bit} - 1) > 0 THEN {1 << p} ELSE 0 END)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+    )
+    SELECT doc_id, {' + '.join(terms)} AS simhash16
+    FROM toks GROUP BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    bits = 16
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias("t"))
+    h = F.md5(F.col("t"))
+    parts = []
+    for p in range(bits):
+        digit = p // 4 + 1
+        shift = 3 - (p % 4)
+        d = F.instr(F.lit("0123456789abcdef"), F.substring(h, digit, 1)) - 1
+        bit = F.floor(d / (2 ** shift)).cast("long") % 2
+        parts.append((p, bit))
+    aggs = [
+        F.when(F.sum(2 * bit - 1) > 0, F.lit(1 << p)).otherwise(F.lit(0)).alias(f"b{p}")
+        for p, bit in parts
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    total = votes.columns[1:]
+    expr = F.col(total[0])
+    for c in total[1:]:
+        expr = expr + F.col(c)
+    return votes.select("doc_id", expr.alias("simhash16"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct({_TOKS}) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CASE WHEN len(list_distinct(a.toks || b.toks)) > 0
+                THEN len(list_intersect(a.toks, b.toks)) / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+                ELSE 0 END AS jaccard
+    FROM g a JOIN g b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CASE WHEN len(list_distinct(a.toks || b.toks)) > 0
+          THEN len(list_intersect(a.toks, b.toks)) / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
+          ELSE 0 END >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    # unigram Jaccard within `source` blocks (blocked all-pairs; the
+    # LSH-banded variant above is the scale path for unblocked corpora)
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(jac >= 0.5)
+    )
+
+
+_COS_SQL = """
+round(
+  list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+                          s -> s[1] * s[2]))
+  / (sqrt(list_sum(list_transform(CAST(a.embedding AS DOUBLE[]), x -> x * x)))
+   * sqrt(list_sum(list_transform(CAST(b.embedding AS DOUBLE[]), x -> x * x)))), 6)
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         scored AS (
+           SELECT a.query_id, b.vec_id, {_COS_SQL.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')} AS sim
+           FROM q a CROSS JOIN c b
+         )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_bruteforce_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = sim.brute_force_topk(corpus, queries, k=5)
+    # rank on the rounded sim (matches oracle ordering exactly)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        out.select("query_id", "vec_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "sim_lsh_topk",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding, bucket FROM b WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding, bucket FROM b WHERE vec_id >= 5),
+    scored AS (
+      SELECT a.query_id, b.vec_id, {_COS_SQL} AS sim
+      FROM q a JOIN c b USING (bucket)
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_lsh_topk(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    out = sim.lsh_bucket_topk(corpus, queries, k=5, dims=(0, 1, 2, 3))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        out.select("query_id", "vec_id", "sim")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    from gravity_spark.functions.multimodal import documents_as_media
+
+    media = documents_as_media(T(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.sha2(F.col("payload"), 256).alias("payload_sha"),
+    )
+
+
+# rows-only (mapInPandas feature extraction — not SQL-expressible)
+@register("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    from gravity_spark.functions.multimodal import documents_as_media, extract_features
+
+    media = documents_as_media(T(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "kind", "n_bytes", "payload_sha")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

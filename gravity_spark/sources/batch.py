@@ -1,0 +1,120 @@
+"""Batch snapshot source: gravity's mysql-batch/mongo-batch rebuilt on
+Spark's partitioned readers.
+
+Reference parity:
+  - pkg/inputs/mysqlbatch/input.go:457-493 — DetectScanColumns: PK →
+    single-col UK → full dump when small
+  - pkg/inputs/mysqlbatch/mysql_table_scanner.go:115-164 — min/max bounds
+  - mysql_table_scanner.go:166-331 — keyset pagination; Spark's JDBC
+    partitionColumn/lowerBound/upperBound/numPartitions does the same
+    chunked parallel scan natively
+  - pkg/inputs/mysqlbatch/position_value.go:27-108 — per-chunk scan
+    position (min/max/current/done)
+
+For the local harness the "database" is parquet; ``chunked_scan`` tags
+rows with the chunk they'd belong to so scan-position tracking and
+per-chunk stats behave identically. At cluster scale the same column
+drives ``repartitionByRange`` for co-located downstream work.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def detect_scan_column(
+    pk_cols: Sequence[str],
+    unique_cols: Sequence[Sequence[str]],
+    row_count: int,
+    max_full_dump_count: int = 10_000,
+) -> str | None:
+    """Pick the pagination column: single PK → first single-column UK →
+    None (full dump) when the table is small enough. Raises when the
+    table is large and keyless (same failure mode as the reference)."""
+    if len(pk_cols) == 1:
+        return pk_cols[0]
+    for uk in unique_cols:
+        if len(uk) == 1:
+            return uk[0]
+    if row_count <= max_full_dump_count:
+        return None
+    raise ValueError(
+        "no single-column scan key and table exceeds max-full-dump-count"
+    )
+
+
+def scan_bounds(df: DataFrame, column: str) -> tuple:
+    """min/max bounds for the scan column (one cheap agg — parquet
+    answers from footer stats; JDBC pushes SELECT min,max)."""
+    row = df.agg(F.min(column).alias("lo"), F.max(column).alias("hi")).collect()[0]
+    return row["lo"], row["hi"]
+
+
+def chunked_scan(df: DataFrame, column: str, chunk_size: int = 10_000) -> DataFrame:
+    """Tag each row with its scan chunk (keyset-pagination equivalent).
+
+    chunk_id = floor(key / chunk_size): deterministic, ordered, and
+    usable both for scan-position bookkeeping and range repartitioning.
+    """
+    return df.withColumn(
+        "chunk_id", F.floor(F.col(column) / F.lit(chunk_size)).cast("long")
+    )
+
+
+def jdbc_partitioned_reader(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    scan_column: str | None,
+    lower: int | None = None,
+    upper: int | None = None,
+    num_partitions: int = 10,
+    condition: str | None = None,
+    properties: dict | None = None,
+):
+    """Assemble the JDBC partitioned read (the production path of the
+    batch snapshot). Condition pushdown mirrors TableConfig.Condition
+    (pkg/inputs/mysqlbatch/input.go:25-35) via a filtered dbtable
+    subquery. Returns the configured DataFrameReader (unloaded, so
+    tests can inspect options without a live database)."""
+    src = f"(SELECT * FROM {table} WHERE {condition}) AS t" if condition else table
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", src)
+        .option("fetchsize", "10000")
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    if scan_column is not None and lower is not None and upper is not None:
+        reader = (
+            reader.option("partitionColumn", scan_column)
+            .option("lowerBound", str(lower))
+            .option("upperBound", str(upper))
+            .option("numPartitions", str(num_partitions))
+        )
+    return reader
+
+
+def snapshot_table(
+    df: DataFrame,
+    scan_column: str | None,
+    chunk_size: int = 10_000,
+) -> tuple[DataFrame, DataFrame]:
+    """Run a snapshot scan over an already-loadable relation and produce
+    (rows, scan_positions) — the per-chunk position ledger the reference
+    persists (position_value.go:27-108)."""
+    if scan_column is None:
+        rows = df.withColumn("chunk_id", F.lit(0).cast("long"))
+    else:
+        rows = chunked_scan(df, scan_column, chunk_size)
+    positions = rows.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *( [F.min(scan_column).alias("min_key"), F.max(scan_column).alias("max_key")]
+           if scan_column else [] ),
+        F.lit(True).alias("done"),
+    )
+    return rows, positions

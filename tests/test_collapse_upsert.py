@@ -57,9 +57,22 @@ def test_merge_idempotent(spark):
 def test_merge_insert_ignore(spark):
     result = merge_changes(_target(spark), _changes(spark), ["id"], ENGINE_INSERT_IGNORE)
     rows = {r["id"]: r for r in result.collect()}
-    assert set(rows) == {1, 2, 3, 4}
-    assert rows[2]["name"] == "b"  # first writer (existing) wins
+    assert set(rows) == {1, 2, 4}  # 3 deleted (sequential DELETE applies)
+    assert rows[2]["name"] == "b"  # first writer (existing) wins over updates
     assert rows[4]["name"] == "d"  # fresh key: FIRST change lands
+
+
+def test_merge_insert_ignore_delete_then_reinsert(spark):
+    target = _target(spark)
+    changes = spark.createDataFrame(
+        [(1, "x1", 1.0, "update", 1),   # ignored: key exists
+         (1, None, None, "delete", 2),  # removes target row
+         (1, "x2", 2.0, "insert", 3),   # re-inserts
+         (1, "x3", 3.0, "update", 4)],  # ignored: key exists again
+        "id long, name string, bal double, op string, seq long",
+    )
+    rows = {r["id"]: r for r in merge_changes(target, changes, ["id"], ENGINE_INSERT_IGNORE).collect()}
+    assert rows[1]["name"] == "x2"
 
 
 def test_conflict_detect(spark):

@@ -1,0 +1,125 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB at
+the given sf dir, compares row count, column names, and values
+(columns sorted by name, rows sorted by all values — exact match, plus
+a float-diff report so near-misses are visible before the driver sees
+them).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from __spark_entry__ import queries, oracle_sql
+from gravity_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(repr(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return a == b or (math.isnan(a) and isinstance(b, float) and math.isnan(b))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(values_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        spark_s = time.time() - t0
+
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{spark_s:.1f}s]")
+            continue
+        try:
+            res = con.execute(sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+
+        sc, sr = canon(s_rows, s_cols)
+        dc, dr = canon(d_rows, d_cols)
+        if sc != dc:
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sc} duckdb={dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sr)} duckdb={len(dr)}")
+            continue
+        bad = 0
+        first = None
+        for i, (x, y) in enumerate(zip(sr, dr)):
+            if not all(values_equal(a, b) for a, b in zip(x, y)):
+                bad += 1
+                if first is None:
+                    first = (i, x, y)
+        if bad:
+            failures.append(name)
+            print(f"FAIL  {name}: {bad}/{len(sr)} mismatched rows; first: {first}")
+        else:
+            print(f"OK    {name}: {len(sr)} rows [{spark_s:.1f}s]")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
