@@ -37,13 +37,13 @@ def tokenize(text: Column) -> Column:
     )
 
 
-def token_count(text: Column) -> Column:
+def token_count(text: Column, tokens: Column | None = None) -> Column:
     """Whitespace/punct-delimited token count (regexp_count keeps the
     same semantics in the DuckDB oracle)."""
-    return F.size(tokenize(text))
+    return F.size(tokens if tokens is not None else tokenize(text))
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, tokens: Column | None = None) -> Column:
     """Deterministic quality heuristic in [0, 1]:
       0.4 * length_score  (chars/2000 capped at 1)
     + 0.3 * (1 - punct_ratio)
@@ -55,7 +55,7 @@ def quality_score(text: Column) -> Column:
     """
     n = F.length(text).cast("long")
     n_punct = n - F.length(F.regexp_replace(text, r"[^a-zA-Z0-9\s]", "")).cast("long")
-    toks = tokenize(text)
+    toks = tokens if tokens is not None else tokenize(text)
     t = F.size(toks).cast("long")
     n_stop = F.size(F.filter(toks, lambda tok: tok.isin(*STOPWORDS))).cast("long")
     n_d = F.greatest(n, F.lit(1))
@@ -69,11 +69,11 @@ def quality_score(text: Column) -> Column:
     return num.cast("double") / den.cast("double")
 
 
-def detect_language(text: Column) -> Column:
+def detect_language(text: Column, tokens: Column | None = None) -> Column:
     """Marker-token language ID: the language whose marker set hits the
     most tokens wins; ties and zero-hits → 'und'. Cheap n-gram-style
     heuristic that the SQL oracle reproduces exactly."""
-    toks = tokenize(text)
+    toks = tokens if tokens is not None else tokenize(text)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     # fixed iteration order => deterministic tie-break (first max wins)

@@ -440,7 +440,9 @@ def cdc_merge_replace(spark, sf_dir):
     pre = typed.filter(F.col("ts") <= cutoff).drop("ts")
     post = typed.filter(F.col("ts") > cutoff).drop("ts")
     empty = spark.createDataFrame([], "user_id long, value double")
-    snapshot = merge_changes(empty, pre, ["user_id"])
+    # persist the intermediate state: the second merge reads it twice
+    # (anti-join + union) — in production this is the checkpointed table
+    snapshot = merge_changes(empty, pre, ["user_id"]).persist()
     final = merge_changes(snapshot, post, ["user_id"])
     return final
 
@@ -695,10 +697,12 @@ _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
 )
 def text_stats(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    return docs.select(
+    # materialize the token array once; both stats read the same column
+    with_toks = docs.select("doc_id", "text", tx.tokenize(F.col("text")).alias("__toks"))
+    return with_toks.select(
         "doc_id",
-        tx.token_count(F.col("text")).alias("n_tokens"),
-        tx.quality_score(F.col("text")).alias("quality"),
+        tx.token_count(F.col("text"), F.col("__toks")).alias("n_tokens"),
+        tx.quality_score(F.col("text"), F.col("__toks")).alias("quality"),
     )
 
 
@@ -724,10 +728,11 @@ def _langid_sql() -> str:
 @register("text_langid", _langid_sql())
 def text_langid(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    return docs.select(
+    with_toks = docs.select("doc_id", "lang", "text", tx.tokenize(F.col("text")).alias("__toks"))
+    return with_toks.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        tx.detect_language(F.col("text")).alias("detected_lang"),
+        tx.detect_language(F.col("text"), F.col("__toks")).alias("detected_lang"),
     )
 
 
@@ -791,8 +796,11 @@ def dedup_minhash_signature(spark, sf_dir):
     return docs.select("doc_id", sig.alias("minhash"))
 
 
+_MINHASH_BANDS = 2  # wide bands (8 hashes) → collision P ≈ jaccard^8
+
+
 def _minhash_pairs_sql() -> str:
-    bands = 4
+    bands = _MINHASH_BANDS
     width = _NUM_MINHASH // bands
     mins = [
         f"list_aggregate(list_transform(list_distinct({_TOKS}), s -> md5('{i}:' || s)), 'min')"
@@ -813,14 +821,16 @@ def _minhash_pairs_sql() -> str:
 @register("dedup_minhash_pairs", _minhash_pairs_sql())
 def dedup_minhash_pairs(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    bands, width = 4, _NUM_MINHASH // 4
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
     toks = F.array_distinct(tx.tokenize(F.col("text")))
     mins = [_salted_md5_min(toks, i) for i in range(_NUM_MINHASH)]
     band_cols = [
         F.md5(F.concat(*mins[b * width : (b + 1) * width])).alias(f"bh{b}")
         for b in range(bands)
     ]
-    sig = docs.select("doc_id", *band_cols)
+    # persist: a self-join would otherwise recompute the (expensive)
+    # md5 signature subtree once per side
+    sig = docs.select("doc_id", *band_cols).persist()
     a, b = sig.alias("a"), sig.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     band_match = F.lit(False)
@@ -880,33 +890,32 @@ def dedup_simhash(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     WITH g AS (
-      SELECT doc_id, source,
-             list_distinct({_TOKS}) AS toks
-      FROM documents
+      SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) + len(b.toks) AS total
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CASE WHEN len(list_distinct(a.toks || b.toks)) > 0
-                THEN len(list_intersect(a.toks, b.toks)) / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
-                ELSE 0 END AS jaccard
-    FROM g a JOIN g b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CASE WHEN len(list_distinct(a.toks || b.toks)) > 0
-          THEN len(list_intersect(a.toks, b.toks)) / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE)
-          ELSE 0 END >= 0.5
+    SELECT id_a, id_b,
+           CASE WHEN total - inter > 0
+                THEN inter / CAST(total - inter AS DOUBLE) ELSE 0 END AS jaccard
+    FROM pairs
+    WHERE 2 * inter >= total - inter  -- jaccard >= 0.5 in integer space
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     # unigram Jaccard within `source` blocks (blocked all-pairs; the
-    # LSH-banded variant above is the scale path for unblocked corpora)
+    # LSH-banded variant above is the scale path for unblocked corpora).
+    # One array_intersect per pair; |union| derived arithmetically and
+    # the threshold applied in integer space before the division.
     docs = T(spark, sf_dir, "documents")
     g = docs.select(
         "doc_id", "source", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
-    )
+    ).repartition(32, "source")
     a, b = g.alias("a"), g.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    jac = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
@@ -915,9 +924,15 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            jac.alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).alias("inter"),
+            (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).alias("total"),
         )
-        .filter(jac >= 0.5)
+    )
+    union = F.col("total") - F.col("inter")
+    jac = F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        pairs.filter(2 * F.col("inter") >= union)
+        .select("id_a", "id_b", jac.alias("jaccard"))
     )
 
 
