@@ -200,7 +200,7 @@ def from_canal_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
         .when(vv["type"] == "DELETE", F.lit(OP_DELETE))
         .otherwise(F.lit(None))
     )
-    old = F.element_at(F.coalesce(vv["old"], F.array()), F.col("pos") + 1)
+    old = F.try_element_at(F.coalesce(vv["old"], F.array()), F.col("pos") + 1)
     pk_names = F.coalesce(vv["pkNames"], F.array())
     pks = F.map_filter(F.coalesce(F.col("row"), F.create_map()), lambda k, _: F.array_contains(pk_names, k))
     return exploded.select(

@@ -1,0 +1,166 @@
+"""Pipeline assembly: declarative config → wired Spark job.
+
+Reference parity:
+  - pkg/config/config_v3.go:12-20 — PipelineConfigV3: input + filters +
+    scheduler + output (+ routes); TOML
+  - pkg/app/server.go:38-105 — assembly order output → scheduler →
+    filters → emitter → input; registry lookups
+    (pkg/registry/registry.go:12-80)
+  - start order pkg/app/server.go:148-183, teardown 185-209
+
+There is no optimizer in the reference — config runs literally. Here
+the "plugin graph" is a composed DataFrame plan, so Catalyst DOES
+optimize the whole pipeline (filter→source pushdown etc.) for free.
+
+Config (TOML or dict):
+
+    [input]
+    type = "parquet-batch" | "file-cdc" | "kafka-cdc"
+    mode = "batch" | "stream" | "replication"
+    [input.config]  # per-type options
+
+    [[filters]]
+    type = "accept" | "reject" | "delete-dml-column" | "rename-dml-column"
+    [filters.config]
+    "match-table" = "users*"
+
+    [output]
+    type = "parquet-merge" | "console" | "memory"
+    [output.config]
+    path = "/tmp/target"; pk = ["id"]; schema = "id long, v string"
+    [[output.routes]]
+    "match-schema" = "app"; "target-schema" = "warehouse"
+"""
+
+from __future__ import annotations
+
+import tomllib
+from dataclasses import dataclass
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gravity_spark.core.envelope import MSG_SCHEMA
+from gravity_spark.operators.upsert import ENGINE_REPLACE
+from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+from gravity_spark.streaming.pipeline import (
+    file_cdc_source,
+    kafka_cdc_source,
+    run_stream,
+    transform_changes,
+)
+
+
+@dataclass
+class Pipeline:
+    """An assembled pipeline: call run_batch() or start_stream()."""
+
+    spark: SparkSession
+    config: Mapping[str, Any]
+    source: Callable[[], DataFrame]
+    transform: Callable[[DataFrame], DataFrame]
+    is_streaming: bool
+    target: ParquetMergeTarget | None
+    typed: Callable[[DataFrame], DataFrame] | None
+    checkpoint: str | None
+
+    def dataframe(self) -> DataFrame:
+        return self.transform(self.source())
+
+    def run_batch(self) -> None:
+        assert self.target is not None
+        self.target.apply_batch(self.typed(self.dataframe()))
+
+    def start_stream(self):
+        assert self.is_streaming and self.target is not None
+        return run_stream(
+            self.dataframe(), self.target, self.typed, self.checkpoint
+        )
+
+
+def _build_source(spark: SparkSession, spec: Mapping[str, Any]):
+    kind = spec["type"]
+    cfg = spec.get("config", {})
+    if kind == "parquet-batch":
+        return (lambda: spark.read.parquet(cfg["path"])), False
+    if kind == "file-cdc":
+        return (
+            lambda: file_cdc_source(
+                spark, cfg["path"], cfg.get("format", "json"),
+                cfg.get("max-files-per-trigger"),
+            ),
+            True,
+        )
+    if kind == "kafka-cdc":
+        return (
+            lambda: kafka_cdc_source(
+                spark, cfg["brokers"], cfg["topics"],
+                cfg.get("starting-offsets", "latest"),
+                cfg.get("decoder", "debezium"),
+            ),
+            True,
+        )
+    if kind == "memory-batch":  # tests: envelope rows provided inline
+        from gravity_spark.core.envelope import memory_changes
+
+        return (lambda: memory_changes(spark, cfg["rows"])), False
+    raise ValueError(f"unknown input type {kind!r}")
+
+
+def _default_typed(pk: list[str], schema_ddl: str) -> Callable[[DataFrame], DataFrame]:
+    """Envelope → typed change rows for the merge sink, using the
+    declared target schema (schema-store equivalent)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(schema_ddl)
+
+    def fn(changes: DataFrame) -> DataFrame:
+        cols = [
+            F.col("data").getItem(f.name).cast(f.dataType).alias(f.name)
+            for f in struct.fields
+        ]
+        return changes.select(*cols, "op", "seq")
+
+    return fn
+
+
+def build_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Pipeline:
+    source, streaming = _build_source(spark, config["input"])
+    filters = list(config.get("filters", ()))
+    routes = list(config.get("output", {}).get("routes", ()))
+
+    def transform(df: DataFrame) -> DataFrame:
+        return transform_changes(df, filters, routes)
+
+    out_spec = config.get("output", {})
+    target = None
+    typed = None
+    checkpoint = None
+    if out_spec.get("type") == "parquet-merge":
+        ocfg = out_spec["config"]
+        target = ParquetMergeTarget(
+            spark,
+            ocfg["path"],
+            ocfg["pk"],
+            ocfg["schema"],
+            ocfg.get("engine", ENGINE_REPLACE),
+        )
+        typed = _default_typed(ocfg["pk"], ocfg["schema"])
+        checkpoint = ocfg.get("checkpoint", ocfg["path"] + "/_checkpoint")
+    return Pipeline(
+        spark=spark,
+        config=config,
+        source=source,
+        transform=transform,
+        is_streaming=streaming,
+        target=target,
+        typed=typed,
+        checkpoint=checkpoint,
+    )
+
+
+def load_pipeline(spark: SparkSession, toml_path: str) -> Pipeline:
+    with open(toml_path, "rb") as f:
+        config = tomllib.load(f)
+    return build_pipeline(spark, config)

