@@ -131,7 +131,7 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (decode stubbed — emits frame offsets only)."""
-    n_frames = (F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
+    n_frames = F.floor(F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
     return media.select(
         "media_id",
         F.explode(

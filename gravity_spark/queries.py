@@ -1034,7 +1034,453 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
-# rows-only (mapInPandas feature extraction — not SQL-expressible)
+# =====================================================================
+# §D  Second wave: conflict engine, repair jobs, breadth operators
+# =====================================================================
+
+_CUTOFF = "TIMESTAMP '2024-01-15 00:00:00'"
+
+
+@register(
+    "cdc_conflict_detect",
+    f"""
+    -- optimistic-CC engine: apply each user's FIRST post-cutoff change
+    -- only if its old-image matches the (corrupted) target; conflicts
+    -- are reported, not applied (conflict_engine.go:25-300)
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS old_value,
+             ts
+      FROM events
+    ),
+    pre_state AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch WHERE ts <= {_CUTOFF}
+      ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    target AS (  -- corruption: stale values for user_id % 7 = 3
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 3 THEN value + 100 ELSE value END AS value
+      FROM pre_state
+    ),
+    first_post AS (
+      SELECT * FROM (
+        SELECT user_id, seq, op, value, old_value,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+        FROM ch WHERE ts > {_CUTOFF}
+      ) WHERE rn = 1
+    )
+    SELECT t.user_id, round(t.value, 2) AS value, 'conflict' AS status
+    FROM first_post c JOIN target t USING (user_id)
+    WHERE c.op = 'update' AND t.value <> coalesce(c.old_value, -1e18)
+    """,
+)
+def cdc_conflict_detect(spark, sf_dir):
+    from gravity_spark.operators.upsert import merge_with_conflict_detect
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.expr(_CUTOFF)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "value",
+        F.lag("value").over(w).alias("old_value"),
+        "ts",
+    )
+    pre = ch.filter(F.col("ts") <= cutoff)
+    w_desc = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    pre_state = (
+        pre.withColumn("rn", F.row_number().over(w_desc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("user_id", "value")
+    )
+    target = pre_state.select(
+        "user_id",
+        F.when(F.col("user_id") % 7 == 3, F.col("value") + 100)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("seq")
+    first_post = (
+        ch.filter(F.col("ts") > cutoff)
+        .withColumn("rn", F.row_number().over(w_asc))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value", F.col("old_value").alias("old_value"), "op", "seq")
+    )
+    _, conflicts = merge_with_conflict_detect(target, first_post, ["user_id"])
+    # conflicts carry the CHANGE's columns; report the target's value
+    return (
+        conflicts.select("user_id")
+        .join(target, "user_id")
+        .select("user_id", F.round("value", 2).alias("value"), F.lit("conflict").alias("status"))
+    )
+
+
+@register(
+    "cdc_padder_backfill",
+    f"""
+    -- padder repair diff: target missed the last 10% of the stream;
+    -- rows whose final state depends on the missing segment get repaired
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value FROM events
+    ),
+    cut AS (SELECT CAST(max(seq) * 0.9 AS BIGINT) AS lo FROM ch),
+    corrupted AS (
+      SELECT user_id, value, op FROM (
+        SELECT c.*, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch c, cut WHERE c.seq < cut.lo
+      ) WHERE rn = 1
+    ),
+    repaired AS (
+      SELECT user_id, value, op FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    )
+    SELECT coalesce(c.user_id, r.user_id) AS user_id,
+           round(CASE WHEN c.op <> 'delete' THEN c.value END, 2) AS bad_value,
+           round(CASE WHEN r.op <> 'delete' THEN r.value END, 2) AS repaired_value
+    FROM (SELECT * FROM corrupted WHERE op <> 'delete') c
+    FULL OUTER JOIN (SELECT * FROM repaired WHERE op <> 'delete') r
+      ON c.user_id = r.user_id
+    WHERE c.value IS DISTINCT FROM r.value OR c.user_id IS NULL OR r.user_id IS NULL
+    """,
+)
+def cdc_padder_backfill(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "value",
+    )
+
+    def lww_state(df):
+        w = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+            .select("user_id", "value")
+        )
+
+    lo = ch.agg((F.max("seq") * 0.9).cast("long").alias("lo")).collect()[0]["lo"]
+    corrupted = lww_state(ch.filter(F.col("seq") < lo))
+    repaired = lww_state(ch)
+    c = corrupted.alias("c")
+    r = repaired.alias("r")
+    return (
+        c.join(r, F.col("c.user_id") == F.col("r.user_id"), "full_outer")
+        .filter(
+            ~F.col("c.value").eqNullSafe(F.col("r.value"))
+            | F.col("c.user_id").isNull()
+            | F.col("r.user_id").isNull()
+        )
+        .select(
+            F.coalesce(F.col("c.user_id"), F.col("r.user_id")).alias("user_id"),
+            F.round(F.col("c.value"), 2).alias("bad_value"),
+            F.round(F.col("r.value"), 2).alias("repaired_value"),
+        )
+    )
+
+
+@register(
+    "mongo_bucket_chunks",
+    """
+    -- $bucketAuto-equivalent _id chunking (mongobatch position_value.go:214-282)
+    SELECT chunk, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM (SELECT doc_id, ntile(8) OVER (ORDER BY doc_id) AS chunk FROM documents)
+    GROUP BY chunk
+    """,
+)
+def mongo_bucket_chunks(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return (
+        docs.select("doc_id", F.ntile(8).over(w).alias("chunk"))
+        .groupBy("chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           count(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           count(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           count(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["signup", "click", "view", "purchase", "error"])
+        .count()
+    )
+    return piv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+            for c in ["signup", "click", "view", "purchase", "error"]
+        ],
+    )
+
+
+@register(
+    "percentile_orders",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5)  AS p50,
+           quantile_cont(o_totalprice, 0.9)  AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_orders(spark, sf_dir):
+    # exact interpolated percentiles — Spark and DuckDB share the
+    # lo + (hi-lo)*frac formula, results are bit-identical
+    orders = T(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+    )
+
+
+@register(
+    "group_concat_nations",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def group_concat_nations(spark, sf_dir):
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region")
+    return (
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@register(
+    "semi_anti_joins",
+    """
+    SELECT 'customers_no_orders' AS cohort, count(*) AS n
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'suppliers_shipping' AS cohort, count(*) AS n
+    FROM supplier WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    """,
+)
+def semi_anti_joins(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    sup = T(spark, sf_dir, "supplier")
+    li = T(spark, sf_dir, "lineitem")
+    no_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customers_no_orders").alias("cohort"), "n")
+    )
+    shipping = (
+        sup.join(li, sup.s_suppkey == li.l_suppkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("suppliers_shipping").alias("cohort"), "n")
+    )
+    return no_orders.unionByName(shipping)
+
+
+@register(
+    "cube_events",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+)
+def cube_events(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").withColumn("user_bucket", F.col("user_id") % 10)
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "n",
+        )
+    )
+
+
+@register(
+    "dedup_embedding_near",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.2
+    """,
+)
+def dedup_embedding_near(spark, sf_dir):
+    from gravity_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = T(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.2, dims=(0, 1, 2, 3, 4, 5))
+
+
+@register(
+    "cdc_ddl_matcher",
+    """
+    -- match-ddl-regex over a synthesized DDL stream
+    SELECT count(*) AS n_matched, count(DISTINCT stmt) AS n_distinct
+    FROM (
+      SELECT 'ALTER TABLE parts ADD COLUMN ' || replace(lower(p_type), ' ', '_') || ' INT' AS stmt
+      FROM part
+    ) WHERE regexp_matches(stmt, '^ALTER TABLE.*brass.*')
+    """,
+)
+def cdc_ddl_matcher(spark, sf_dir):
+    from gravity_spark.core.matchers import match_regex
+
+    part = T(spark, sf_dir, "part")
+    ddl = part.select(
+        F.concat(
+            F.lit("ALTER TABLE parts ADD COLUMN "),
+            F.replace(F.lower(F.col("p_type")), F.lit(" "), F.lit("_")),
+            F.lit(" INT"),
+        ).alias("stmt")
+    )
+    matched = ddl.filter(match_regex(F.col("stmt"), "^ALTER TABLE.*brass.*"))
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.countDistinct("stmt").alias("n_distinct"),
+    )
+
+
+@register(
+    "multimodal_frames",
+    """
+    -- frame-sampling plumbing: one row per sampled frame
+    WITH media AS (
+      SELECT doc_id AS media_id, CAST(n_chars * 10 AS BIGINT) AS duration_ms
+      FROM documents
+    )
+    SELECT media_id, unnest(generate_series(0, greatest(CAST(floor(duration_ms / 1000.0) AS BIGINT) - 1, 0))) AS frame_idx
+    FROM media
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    from gravity_spark.functions.multimodal import frame_sample
+
+    docs = T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    return frame_sample(media, every_ms=1000).select("media_id", "frame_idx")
+
+
+@register(
+    "cdc_add_missing_column",
+    """
+    -- add-missing-column: change batch lacks `email`; target default fills
+    SELECT c_custkey, c_name, 'default_email' AS email
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def cdc_add_missing_column(spark, sf_dir):
+    from gravity_spark.operators.upsert import add_missing_columns
+
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    changes = cust.select("c_custkey", "c_name")
+    target_shape = spark.createDataFrame(
+        [], "c_custkey long, c_name string, email string"
+    )
+    return add_missing_columns(changes, target_shape, {"email": "default_email"})
+
+
+# --- real Structured Streaming runs (rows-only: not SQL-expressible) --
+
+
+@register(
+    "streaming_window_counts",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_epoch,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark, sf_dir):
+    """An ACTUAL streaming query: file-stream the events parquet through
+    a tumbling-window count into a memory sink, then return the result.
+    The oracle checks the windowed aggregation against batch SQL —
+    stream/batch parity is exactly Structured Streaming's contract."""
+    import uuid
+
+    from gravity_spark.streaming.windows import streaming_window_counts as swc
+
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # RAW parquet schema (ts as long nanos) — the stream converts after read
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = swc(stream, window="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    result = spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
+        "event_type",
+        "n",
+    )
+    return result
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     from gravity_spark.functions.multimodal import documents_as_media, extract_features

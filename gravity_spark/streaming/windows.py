@@ -1,0 +1,91 @@
+"""Streaming windowed aggregations + stateful operators.
+
+Maps the reference's sliding-window/watermark machinery
+(pkg/sliding_window/static_sliding_window.go:17-120) onto Structured
+Streaming's native event-time windows. Stream/batch parity is the
+correctness contract: the same windowed aggregation over the same rows
+must equal the batch GROUP BY — which is how the harness oracles it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_window_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark for late
+    data (the reference assumes in-order streams and has no late-data
+    story — withWatermark is the Spark upgrade, SURVEY §2.5)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def streaming_dedup(events: DataFrame, key_cols: list[str], watermark: str = "1 day",
+                    ts_col: str = "ts") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon — the streaming
+    form of exact dedup (dropDuplicates keeps state bounded by the
+    watermark, so it survives unbounded streams)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState: one
+    state cell per user carrying (session_count, last_ts). Emits one row
+    per user per trigger with the running session count.
+
+    This is the applyInPandasWithState replacement for the reference's
+    gRPC-sidecar "arbitrary stateful plugin" slot (SURVEY §2.5 UDF row).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_sessions", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("last_ts", T.DoubleType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        n_sessions, n_events, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["ts"]:
+                epoch = t.timestamp()
+                if last_ts is None or (epoch - last_ts) > gap_seconds:
+                    n_sessions += 1
+                last_ts = epoch
+            n_events += len(pdf)
+        state.update((n_sessions, n_events, last_ts))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
