@@ -25,6 +25,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("gravity_spark_bench")
 
+    # session warmup: JVM/codegen/parquet-footer costs paid once, not
+    # attributed to the first measured query
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     for name, qd in REGISTRY.items():
         t0 = time.time()
@@ -34,6 +38,8 @@ def main() -> None:
         except Exception as e:  # a failing query shows as -1, not a crash
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            spark.catalog.clearCache()  # queries persist intermediates
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -767,71 +767,93 @@ def dedup_exact(spark, sf_dir):
 
 
 _NUM_MINHASH = 16
+_MINHASH_BANDS = 2  # wide bands (8 hashes) -> collision P ~ jaccard^8
+
+# MinHash family: ONE md5 per distinct token, then 16 derived orderings
+# via hex-string rotation — rot_i(h) = h[2i:] || h[:2i]. The min over a
+# rotation is a valid (if correlated) min-hash; hashing once instead of
+# per-seed makes the signature ~16x cheaper at 100 TB scale. The
+# salted-xxhash64 family in functions/dedup.py is the production-quality
+# variant; this one is the cross-engine-reproducible mode (md5 hex is
+# identical in every engine).
 
 
-def _minhash_sql() -> str:
-    # md5-based MinHash: min over hex strings per salted hash family —
-    # identical lexicographic min in both engines
-    mins = ", ".join(
-        f"list_aggregate(list_transform(list_distinct({_TOKS}), s -> md5('{i}:' || s)), 'min')"
-        for i in range(_NUM_MINHASH)
-    )
-    return f"""
-    SELECT doc_id, [{mins}] AS minhash
-    FROM documents
-    """
+def _rot_sql(i: int) -> str:
+    return "h" if i == 0 else f"(substr(h, {2 * i + 1}) || substr(h, 1, {2 * i}))"
 
 
-def _salted_md5_min(toks, seed: int):
-    # NB: a 1-arg lambda is required — F.transform passes (elem, idx) to
-    # 2-arg lambdas, which would silently shadow the seed
-    return F.array_min(F.transform(toks, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+def _rot_col(i: int):
+    h = F.col("h")
+    if i == 0:
+        return h
+    return F.concat(F.expr(f"substring(h, {2 * i + 1})"), F.substring(h, 1, 2 * i))
 
 
-@register("dedup_minhash_signature", _minhash_sql())
-def dedup_minhash_signature(spark, sf_dir):
+_SIG_CTE = f"""
+    tok AS (
+      SELECT doc_id, md5(t) AS h
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents)
+    ),
+    sig AS (SELECT doc_id, {', '.join(f'min({_rot_sql(i)}) AS m{i}' for i in range(_NUM_MINHASH))}
+            FROM tok GROUP BY doc_id)
+"""
+
+
+def _sig_df(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
-    toks = F.array_distinct(tx.tokenize(F.col("text")))
-    sig = F.array(*[_salted_md5_min(toks, i) for i in range(_NUM_MINHASH)])
-    return docs.select("doc_id", sig.alias("minhash"))
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias("t")
+    ).select("doc_id", F.md5("t").alias("h"))
+    return tok.groupBy("doc_id").agg(
+        *[F.min(_rot_col(i)).alias(f"m{i}") for i in range(_NUM_MINHASH)]
+    )
 
 
-_MINHASH_BANDS = 2  # wide bands (8 hashes) → collision P ≈ jaccard^8
+@register(
+    "dedup_minhash_signature",
+    f"""
+    WITH {_SIG_CTE}
+    SELECT doc_id, [{', '.join(f'm{i}' for i in range(_NUM_MINHASH))}] AS minhash
+    FROM sig
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    sig = _sig_df(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.array(*[F.col(f"m{i}") for i in range(_NUM_MINHASH)]).alias("minhash"),
+    )
 
 
 def _minhash_pairs_sql() -> str:
-    bands = _MINHASH_BANDS
-    width = _NUM_MINHASH // bands
-    mins = [
-        f"list_aggregate(list_transform(list_distinct({_TOKS}), s -> md5('{i}:' || s)), 'min')"
-        for i in range(_NUM_MINHASH)
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
     ]
-    band_hashes = []
-    for b in range(bands):
-        concat = " || ".join(mins[b * width : (b + 1) * width])
-        band_hashes.append(f"md5({concat}) AS bh{b}")
     return f"""
-    WITH sig AS (SELECT doc_id, {', '.join(band_hashes)} FROM documents)
+    WITH {_SIG_CTE},
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    FROM banded a JOIN banded b ON a.doc_id < b.doc_id
      AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
     """
 
 
 @register("dedup_minhash_pairs", _minhash_pairs_sql())
 def dedup_minhash_pairs(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
     bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
-    toks = F.array_distinct(tx.tokenize(F.col("text")))
-    mins = [_salted_md5_min(toks, i) for i in range(_NUM_MINHASH)]
+    sig = _sig_df(spark, sf_dir)
     band_cols = [
-        F.md5(F.concat(*mins[b * width : (b + 1) * width])).alias(f"bh{b}")
+        F.md5(
+            F.concat(*[F.col(f"m{i}") for i in range(b * width, (b + 1) * width)])
+        ).alias(f"bh{b}")
         for b in range(bands)
     ]
-    # persist: a self-join would otherwise recompute the (expensive)
-    # md5 signature subtree once per side
-    sig = docs.select("doc_id", *band_cols).persist()
-    a, b = sig.alias("a"), sig.alias("b")
+    # persist: a self-join would otherwise recompute the signature
+    # aggregation once per side
+    banded = sig.select("doc_id", *band_cols).persist()
+    a, b = banded.alias("a"), banded.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")
     band_match = F.lit(False)
     for i in range(bands):
