@@ -1,0 +1,69 @@
+import time
+
+from pyspark.sql import functions as F
+
+from gravity_spark.core.positions import (
+    PositionStore,
+    batch_scan_position,
+    stream_position,
+)
+from gravity_spark.metrics import observe_input, observe_output
+from gravity_spark.operators.dcp import check, mismatching_segments, row_diff
+
+
+def _pair(spark):
+    source = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    )
+    # target: missing id=5, extra id=200, corrupted id=42
+    target = (
+        source.filter(F.col("id") != 5)
+        .union(spark.createDataFrame([(200, "v200")], "id long, v string"))
+        .withColumn("v", F.when(F.col("id") == 42, F.lit("CORRUPT")).otherwise(F.col("v")))
+    )
+    return source, target
+
+
+def test_dcp_row_diff(spark):
+    source, target = _pair(spark)
+    diff = {r["id"]: r["status"] for r in row_diff(source, target, ["id"], ["v"]).collect()}
+    assert diff == {5: "missing_in_target", 200: "missing_in_source", 42: "value_mismatch"}
+
+
+def test_dcp_segment_short_circuit(spark):
+    source, target = _pair(spark)
+    seg = F.floor(F.col("id") / 10)
+    bad = mismatching_segments(source, target, ["id"], seg, ["v"])
+    bad_segments = {r["segment"] for r in bad.collect()}
+    assert bad_segments == {0, 4, 20}  # ids 5, 42, 200
+    summary, diff = check(source, target, ["id"], seg, ["v"])
+    assert {r["id"] for r in diff.collect()} == {5, 42, 200}
+
+
+def test_position_store_flush(tmp_path):
+    p = str(tmp_path / "pos.json")
+    store = PositionStore(p, flush_interval_s=999)
+    store.put("pipe1", batch_scan_position("t1", "id", [0, 1], 4, current_key=123))
+    assert store.get("pipe1")["done"] is False
+    store.put("pipe1", stream_position("s0", {"file": "binlog.1", "pos": 4}), flush=True)
+
+    store2 = PositionStore(p)
+    assert store2.get("pipe1")["stage"] == "stream"
+    assert store2.get("pipe1")["offset"]["pos"] == 4
+
+
+def test_observe_metrics(spark):
+    from gravity_spark.core.envelope import memory_changes
+
+    df = memory_changes(spark, [
+        {"database": "d", "table": "t", "op": "insert", "data": {"id": 1},
+         "pks": {"id": 1}, "seq": 1},
+        {"database": "d", "table": "t", "op": "delete", "data": {"id": 2},
+         "pks": {"id": 2}, "seq": 2},
+    ])
+    observed, obs = observe_input(df)
+    out, obs_out = observe_output(observed)
+    out.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == 2 and m["n_insert"] == 1 and m["n_delete"] == 1
+    assert obs_out.get["n_rows"] == 2
