@@ -1503,6 +1503,191 @@ def streaming_window_counts(spark, sf_dir):
     return result
 
 
+@register(
+    "streaming_cdc_pipeline",
+    f"""
+    -- oracle for the END-TO-END streaming pipeline: stream events →
+    -- envelope → filter chain → LWW merge sink; final target state must
+    -- equal the batch LWW truth
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value FROM events
+    )
+    SELECT user_id, round(value, 2) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM changes
+    ) WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def streaming_cdc_pipeline(spark, sf_dir):
+    """Runs the ACTUAL Structured Streaming replication pipeline: the
+    events parquet is streamed, adapted to the envelope, filtered, and
+    merged into a ParquetMergeTarget via foreachBatch; the returned
+    DataFrame is the final target state read back from disk."""
+    import tempfile
+
+    from gravity_spark.core.envelope import events_to_changes
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+    from gravity_spark.streaming.pipeline import run_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    changes = events_to_changes(stream)
+
+    tmp = tempfile.mkdtemp(prefix="cdc_pipe_")
+    target = ParquetMergeTarget(spark, f"{tmp}/target", ["user_id"], "user_id long, value double")
+
+    def typed(df):
+        return df.select(
+            F.col("pks")["user_id"].cast("long").alias("user_id"),
+            F.round(F.col("data")["value"].cast("double"), 2).alias("value"),
+            "op",
+            "seq",
+        )
+
+    q = run_stream(changes, target, typed, f"{tmp}/ckpt", trigger_once=True)
+    q.awaitTermination(300)
+    return target.read()
+
+
+@register(
+    "scalar_function_battery",
+    """
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 8))                    AS pri,
+           length(o_orderstatus) + abs(-3) + (o_orderkey % 7)      AS arith,
+           concat(o_orderstatus, '-', CAST(o_orderkey AS VARCHAR)) AS tag,
+           CAST(date_trunc('month', o_orderdate) AS DATE)          AS month_start,
+           CAST(year(o_orderdate) AS BIGINT) * 100 + month(o_orderdate) AS yyyymm,
+           greatest(o_totalprice, 1000.0)                          AS floor_price,
+           round(sqrt(o_totalprice), 6)                            AS sqrt_price,
+           replace(lower(o_orderpriority), ' ', '_')               AS slug
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_function_battery(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("pri"),
+        (F.length("o_orderstatus") + F.abs(F.lit(-3)) + (F.col("o_orderkey") % 7)).alias("arith"),
+        F.concat(F.col("o_orderstatus"), F.lit("-"), F.col("o_orderkey").cast("string")).alias("tag"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        (F.year("o_orderdate").cast("long") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+        F.greatest(F.col("o_totalprice"), F.lit(1000.0)).alias("floor_price"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.replace(F.lower(F.col("o_orderpriority")), F.lit(" "), F.lit("_")).alias("slug"),
+    )
+
+
+@register(
+    "window_function_battery",
+    """
+    SELECT o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           lag(o_orderkey)  OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           ntile(4)       OVER w AS quartile,
+           CAST(count(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n_in_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_function_battery(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n_in_status"),
+    )
+
+
+@register(
+    "json_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 2000
+    """,
+)
+def json_extraction(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    -- IVF-style coarse quantization: cell = floor((x+1)*2) on dims 1-2;
+    -- queries probe only their own cell
+    WITH cells AS (
+      SELECT vec_id, embedding,
+             CAST(floor((embedding[1] + 1) * 2) AS BIGINT) * 100
+           + CAST(floor((embedding[2] + 1) * 2) AS BIGINT) AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding, cell FROM cells WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding, cell FROM cells WHERE vec_id >= 5),
+    scored AS (
+      SELECT a.query_id, b.vec_id, {_COS_SQL} AS sim
+      FROM q a JOIN c b USING (cell)
+    )
+    SELECT query_id, vec_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    from gravity_spark.functions.similarity import cosine_similarity
+
+    emb = T(spark, sf_dir, "embeddings")
+    cell = (
+        F.floor((F.element_at("embedding", 1) + 1) * 2).cast("long") * 100
+        + F.floor((F.element_at("embedding", 2) + 1) * 2).cast("long")
+    )
+    cells = emb.select("vec_id", "embedding", cell.alias("cell"))
+    q = cells.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q"), "cell"
+    )
+    c = cells.filter(F.col("vec_id") >= 5)
+    scored = c.join(F.broadcast(q), "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"), F.col("__q").cast("array<double>")
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     from gravity_spark.functions.multimodal import documents_as_media, extract_features

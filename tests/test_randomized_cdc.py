@@ -1,0 +1,77 @@
+"""Randomized CDC workload oracle (SURVEY §5.3): seeded random
+insert/update/delete batches applied through the merge engines must
+equal a sequential Python state machine — the rebuild's CHECKSUM TABLE
+equivalent (pkg/mysql_test/generator.go:20-255 semantics)."""
+
+import random
+
+from gravity_spark.operators.upsert import (
+    ENGINE_INSERT_IGNORE,
+    ENGINE_REPLACE,
+    merge_changes,
+)
+
+
+def _workload(seed: int, n_ops: int = 300, n_keys: int = 40):
+    rng = random.Random(seed)
+    ops = []
+    for seq in range(n_ops):
+        key = rng.randrange(n_keys)
+        op = rng.choices(["insert", "update", "delete"], weights=[0.3, 0.5, 0.2])[0]
+        ops.append((key, f"v{seq}", float(seq), op, seq))
+    return ops
+
+
+def _sequential_replace(state: dict, ops):
+    for key, name, bal, op, seq in ops:
+        if op == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = (name, bal)
+    return state
+
+
+def _sequential_insert_ignore(state: dict, ops):
+    for key, name, bal, op, seq in ops:
+        if op == "delete":
+            state.pop(key, None)
+        elif key not in state:
+            state[key] = (name, bal)
+    return state
+
+
+def _run_engine(spark, ops, engine, batch_size=75):
+    target = spark.createDataFrame([], "id long, name string, bal double")
+    for i in range(0, len(ops), batch_size):
+        batch = spark.createDataFrame(
+            ops[i : i + batch_size], "id long, name string, bal double, op string, seq long"
+        )
+        target = merge_changes(target, batch, ["id"], engine)
+        # checkpoint the lineage every batch like the real sink does
+        target = spark.createDataFrame(target.collect(), target.schema)
+    return {r["id"]: (r["name"], r["bal"]) for r in target.collect()}
+
+
+def test_randomized_replace_engine(spark):
+    for seed in (7, 42):
+        ops = _workload(seed)
+        expected = _sequential_replace({}, ops)
+        got = _run_engine(spark, ops, ENGINE_REPLACE)
+        assert got == expected, f"seed={seed}"
+
+
+def test_randomized_insert_ignore_engine(spark):
+    for seed in (7, 42):
+        ops = _workload(seed)
+        expected = _sequential_insert_ignore({}, ops)
+        got = _run_engine(spark, ops, ENGINE_INSERT_IGNORE)
+        assert got == expected, f"seed={seed}"
+
+
+def test_batch_boundary_invariance(spark):
+    # the same op stream applied in different batch sizes converges to
+    # the same state (micro-batch boundaries are semantically invisible)
+    ops = _workload(123, n_ops=200)
+    a = _run_engine(spark, ops, ENGINE_REPLACE, batch_size=200)
+    b = _run_engine(spark, ops, ENGINE_REPLACE, batch_size=17)
+    assert a == b
