@@ -125,14 +125,18 @@ def simhash(text: Column, bits: int = 64) -> Column:
     a zip_with/filter, and band-bucketing slices the array.
     """
     toks = tokenize(text)
+    # bit positions must be Python ints (shiftright takes a literal);
+    # the per-token bit vector is one F.array of `bits` expressions
     votes = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
+            F.array(
+                *[
+                    (F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for b in range(bits)
+                ]
             ),
             lambda a, v: a + v,
         ),

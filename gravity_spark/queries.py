@@ -809,11 +809,15 @@ def _sig_df(spark, sf_dir):
     )
 
 
+_SIG_JOINED = " || ',' || ".join(f"m{i}" for i in range(_NUM_MINHASH))
+
+
 @register(
     "dedup_minhash_signature",
     f"""
     WITH {_SIG_CTE}
-    SELECT doc_id, [{', '.join(f'm{i}' for i in range(_NUM_MINHASH))}] AS minhash
+    -- joined string instead of array: engine-neutral value representation
+    SELECT doc_id, {_SIG_JOINED} AS minhash
     FROM sig
     """,
 )
@@ -821,7 +825,7 @@ def dedup_minhash_signature(spark, sf_dir):
     sig = _sig_df(spark, sf_dir)
     return sig.select(
         "doc_id",
-        F.array(*[F.col(f"m{i}") for i in range(_NUM_MINHASH)]).alias("minhash"),
+        F.concat_ws(",", *[F.col(f"m{i}") for i in range(_NUM_MINHASH)]).alias("minhash"),
     )
 
 

@@ -1,0 +1,131 @@
+from pyspark.sql import functions as F
+
+from gravity_spark.functions.dedup import (
+    exact_dedup,
+    hamming_distance,
+    minhash_jaccard_estimate,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from gravity_spark.functions.similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    lsh_bucket_topk,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    return spark.createDataFrame(
+        [
+            (1, base, "a"),
+            (2, base + "!!", "a"),                      # near-dup of 1
+            (3, base.replace("quick", "slow"), "a"),    # near-dup of 1
+            (4, "completely different content about spark query engines and shuffles", "b"),
+            (5, "EXACT text", "b"),
+            (6, "exact TEXT", "b"),                     # exact dup of 5 after normalization
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_exact_dedup_normalized(spark):
+    out = sorted(r["doc_id"] for r in exact_dedup(_docs(spark)).collect())
+    assert out == [1, 3, 4, 5]  # 2 dups of 1 (same tokens), 6 dup of 5
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=32)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(sigs, bands=16).collect()
+    }
+    assert (1, 2) in pairs           # identical token sets always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_minhash_jaccard_estimate(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=64)
+    a = sigs.filter(F.col("doc_id") == 1).select(F.col("minhash").alias("ma"))
+    b = sigs.filter(F.col("doc_id") == 2).select(F.col("minhash").alias("mb"))
+    est = (
+        a.crossJoin(b)
+        .select(minhash_jaccard_estimate(F.col("ma"), F.col("mb")).alias("j"))
+        .collect()[0]["j"]
+    )
+    assert est == 1.0  # same token set → identical signatures
+
+
+def test_simhash_hamming(spark):
+    docs = _docs(spark)
+    sh = docs.select("doc_id", simhash(F.col("text")).alias("sh"))
+    a = sh.filter(F.col("doc_id") == 1).select(F.col("sh").alias("sa"))
+    d = sh.filter(F.col("doc_id") == 4).select(F.col("sh").alias("sd"))
+    b = sh.filter(F.col("doc_id") == 2).select(F.col("sh").alias("sb"))
+    near = a.crossJoin(b).select(hamming_distance(F.col("sa"), F.col("sb")).alias("h")).collect()[0]["h"]
+    far = a.crossJoin(d).select(hamming_distance(F.col("sa"), F.col("sd")).alias("h")).collect()[0]["h"]
+    assert near == 0          # identical token multiset
+    assert far > near
+
+
+def test_simhash_pairs(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(_docs(spark), max_hamming=5).collect()}
+    assert (1, 2) in pairs
+    assert (5, 6) in pairs
+
+
+def test_ngram_jaccard_pairs_blocked(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), n=2, threshold=0.5, group_col="source").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)  # different content filtered
+
+
+def _vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+        (5, [0.8, 0.2, 0.1, 0.0]),   # close to 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vecs.filter(F.col("vec_id") != 1)
+    out = brute_force_topk(corpus, q, k=2)
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    assert got == [2, 5]
+
+
+def test_lsh_bucket_topk_agrees_on_same_bucket(spark):
+    vecs = _vectors(spark)
+    q = vecs.filter(F.col("vec_id") == 1).select(F.col("vec_id").alias("query_id"), "embedding")
+    corpus = vecs.filter(F.col("vec_id") != 1)
+    out = lsh_bucket_topk(corpus, q, k=2, dims=(0,))
+    got = [r["vec_id"] for r in out.orderBy("rank").collect()]
+    # bucket on sign(dim0)>0 keeps 2 and 5, excludes 3 (0.0 → not >0) and 4
+    assert got == [2, 5]
+
+
+def test_cosine_similarity_bounds(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    sim_same = df.select(
+        cosine_similarity(
+            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(1.0), F.lit(2.0))
+        ).alias("s")
+    ).collect()[0]["s"]
+    sim_opp = df.select(
+        cosine_similarity(
+            F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(-1.0), F.lit(0.0))
+        ).alias("s")
+    ).collect()[0]["s"]
+    assert abs(sim_same - 1.0) < 1e-12
+    assert abs(sim_opp + 1.0) < 1e-12
