@@ -1692,6 +1692,55 @@ def sim_ivf_topk(spark, sf_dir):
     )
 
 
+@register(
+    "esmodel_nested_docs",
+    """
+    -- nested parent/child document assembly: per customer, the ordered
+    -- child set (one-many) + scalar rollups; children string-joined for
+    -- an engine-neutral representation of the nested array
+    SELECT c_custkey,
+           c_name,
+           count(o_orderkey)                            AS n_orders,
+           round(sum(o_totalprice), 2)                  AS total_spend,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey < 300
+    GROUP BY c_custkey, c_name
+    """,
+)
+def esmodel_nested_docs(spark, sf_dir):
+    from gravity_spark.sinks.esmodel import assemble_docs
+
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    orders = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    doc = assemble_docs(
+        cust.select("c_custkey", "c_name"),
+        "c_custkey",
+        one_many=[{"name": "orders", "df": orders, "join-key": "o_custkey",
+                   "order-key": "o_orderkey"}],
+    )
+    orders_arr = F.coalesce(F.col("orders"), F.array())
+    has_orders = F.size(orders_arr) > 0
+    return doc.select(
+        "c_custkey",
+        "c_name",
+        F.size(orders_arr).cast("long").alias("n_orders"),
+        # SQL aggregates over zero child rows yield NULL — mirror that
+        F.when(
+            has_orders,
+            F.round(
+                F.aggregate(orders_arr, F.lit(0.0), lambda a, o: a + o["o_totalprice"]), 2
+            ),
+        ).alias("total_spend"),
+        F.when(
+            has_orders,
+            F.array_join(
+                F.transform(orders_arr, lambda o: o["o_orderkey"].cast("string")), ","
+            ),
+        ).alias("order_keys"),
+    )
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     from gravity_spark.functions.multimodal import documents_as_media, extract_features
