@@ -85,17 +85,40 @@ def decode_stub(payload: bytes, kind: str) -> list[float]:
     return fn(payload, kind)
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, decoders: dict | None = None) -> DataFrame:
     """mapInPandas feature extraction over the media table.
 
     Arrow delivers the binary column in batches; each batch is decoded
     in one Python call per ~10k rows, not per row.
+
+    The default closure is fully self-contained (no module-global
+    references) so it unpickles on executor workers regardless of their
+    sys.path — custom ``decoders`` must be importable on workers.
     """
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import pandas as _pd
+
+        def fake(payload: bytes, kind: str) -> list:
+            if payload is None:
+                return []
+            n = len(payload) or 1
+            s = sum(payload)
+            return [
+                float(n), s / n,
+                float(payload[0]) if n else 0.0,
+                float(payload[-1]) if n else 0.0,
+                float(min(payload)), float(max(payload)),
+                float(s % 997), float((s * 31) % 991),
+            ]
+
         for pdf in it:
-            out = pd.DataFrame(
+            if decoders is None:
+                feats = [fake(b, k) for b, k in zip(pdf["payload"], pdf["kind"])]
+            else:
+                feats = [decoders[k](b, k) for b, k in zip(pdf["payload"], pdf["kind"])]
+            yield _pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
@@ -103,12 +126,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "payload_sha": pdf["payload"].map(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
-                    "feature": [
-                        decode_stub(b, k) for b, k in zip(pdf["payload"], pdf["kind"])
-                    ],
+                    "feature": feats,
                 }
             )
-            yield out
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
 
