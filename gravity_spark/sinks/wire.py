@@ -19,6 +19,28 @@ from gravity_spark.core.envelope import dep_hash
 VERSION_01 = "0.1"
 VERSION_20 = "2.0.alpha"
 
+ORIGIN_KEY = "_origin"
+
+
+def tag_origin(changes: DataFrame, origin: str) -> DataFrame:
+    """Write-side provenance tag for bidirectional sync: the reverse
+    pipeline filters its own traffic out (internal txn tagger,
+    pkg/sql_execution_engine/internal_txn_tagger.go + cycle detection
+    pkg/core/msg.go:231-247). A data-map field replaces the
+    _gravity.gravity_txn_tags marker row."""
+    tagged = F.map_concat(
+        F.coalesce(F.col("data"), F.create_map()),
+        F.create_map(F.lit(ORIGIN_KEY), F.lit(origin)),
+    )
+    return changes.withColumn("data", tagged)
+
+
+def filter_own_traffic(changes: DataFrame, origin: str) -> DataFrame:
+    """Read-side cycle breaker: drop changes this pipeline produced."""
+    return changes.filter(
+        F.coalesce(F.col("data").getItem(ORIGIN_KEY) != origin, F.lit(True))
+    )
+
 
 def _header(version: str) -> list[Column]:
     return [

@@ -121,6 +121,9 @@ def two_stage_replication(
     target: ParquetMergeTarget,
     typed: Callable[[DataFrame], DataFrame],
     checkpoint: str,
+    position_store=None,
+    pipeline_name: str = "pipeline",
+    captured_offset=None,
 ) -> StreamingQuery:
     """mode=replication: full scan applied first, then the change stream
     from offsets captured BEFORE the scan (two_stage_input.go:82-147).
@@ -129,11 +132,26 @@ def two_stage_replication(
     anything at-or-after the captured position. Overlap is harmless:
     the merge is last-write-wins idempotent, which is exactly why the
     reference re-reads from the pre-scan position too.
+
+    With a ``position_store`` the stage transitions are recorded like
+    the reference's position flow: batch(done=False) → batch(done=True)
+    → stream(captured offset).
     """
+    from gravity_spark.core.positions import stream_position
+
+    if position_store is not None:
+        position_store.put(
+            pipeline_name, {"stage": "batch", "done": False}, flush=True
+        )
     ins = snapshot.withColumn("op", F.lit("insert")).withColumn(
         "seq", F.lit(-1).cast("long")
     )
     target.apply_batch(ins, epoch_id=None)
+    if position_store is not None:
+        position_store.put(pipeline_name, {"stage": "batch", "done": True}, flush=True)
+        position_store.put(
+            pipeline_name, stream_position(pipeline_name, captured_offset), flush=True
+        )
     return run_stream(changes, target, typed, checkpoint)
 
 
