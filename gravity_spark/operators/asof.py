@@ -51,3 +51,52 @@ def asof_join(
     )
     out = unioned.withColumn(right_id, F.last("__rid", ignorenulls=True).over(w))
     return out.filter(F.col("__is_left") == 1).select(*left_cols, right_id)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_id: str,
+) -> DataFrame:
+    """applyInPandas variant: per-key pd.merge_asof. Same semantics as
+    asof_join (backward, inclusive, highest right_id on ts ties).
+
+    Exists for the operator-authoring pattern (SURVEY §2.5 UDF slot) and
+    as a cross-check; the union-sort version is the default — it stays
+    JVM-side and has no per-group Python cost.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_fields = [f for f in left.schema.fields] + [
+        T.StructField(right_id, right.schema[right_id].dataType, True)
+    ]
+    out_schema = T.StructType(out_fields)
+    l_cols = left.columns
+
+    def per_key(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(l_pdf) == 0:
+            return pd.DataFrame(columns=[*l_cols, right_id])
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if len(r_pdf) == 0:
+            l_sorted = l_sorted.copy()
+            l_sorted[right_id] = None
+            return l_sorted[[*l_cols, right_id]]
+        # ties: merge_asof takes the LAST row at equal ts, so sorting by
+        # (ts, right_id) makes the highest id win — same as asof_join
+        r_sorted = r_pdf.sort_values([right_ts, right_id], kind="mergesort")
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted[[right_ts, right_id]],
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[[*l_cols, right_id]]
+
+    return left.groupBy(on).cogroup(right.groupBy(on)).applyInPandas(per_key, out_schema)

@@ -1741,6 +1741,46 @@ def esmodel_nested_docs(spark, sf_dir):
     )
 
 
+@register(
+    "catalog_typed_roundtrip",
+    """
+    -- the envelope codec: rows stringified into the CDC data-map and
+    -- projected back through the catalog's MySQL->Spark coercions must
+    -- reproduce the source exactly
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def catalog_typed_roundtrip(spark, sf_dir):
+    from gravity_spark.core.catalog import ColumnDef, TableDef
+
+    cust = T(spark, sf_dir, "customer")
+    # source → envelope: every value stringified into the data map
+    envelope = cust.select(
+        F.lit("dml").alias("type"),
+        F.create_map(
+            F.lit("c_custkey"), F.col("c_custkey").cast("string"),
+            F.lit("c_name"), F.col("c_name"),
+            F.lit("c_acctbal"), F.col("c_acctbal").cast("decimal(12,2)").cast("string"),
+            F.lit("c_mktsegment"), F.col("c_mktsegment"),
+        ).alias("data"),
+        F.lit("insert").alias("op"),
+        F.col("c_custkey").alias("seq"),
+    )
+    table = TableDef(
+        database="app",
+        name="customer",
+        columns=[
+            ColumnDef("c_custkey", "bigint", is_pk=True),
+            ColumnDef("c_name", "varchar(64)"),
+            ColumnDef("c_acctbal", "decimal(12,2)"),
+            ColumnDef("c_mktsegment", "enum('A','B')"),
+        ],
+    )
+    return table.typed_projection(envelope).drop("op", "seq")
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     from gravity_spark.functions.multimodal import documents_as_media, extract_features
