@@ -20,6 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1779,6 +1781,98 @@ def catalog_typed_roundtrip(spark, sf_dir):
         ],
     )
     return table.typed_projection(envelope).drop("op", "seq")
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+           coalesce(l_linestatus, '<all>') AS linestatus,
+           round(sum(l_extendedprice), 2)  AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def grouping_sets_revenue(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+               coalesce(l_linestatus, '<all>') AS linestatus,
+               round(sum(l_extendedprice), 2)  AS revenue
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+@register(
+    "null_handling_battery",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), '<masked>') AS seg,
+           CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal = 0 THEN 'zero' ELSE 'pos' END AS bal_class,
+           c_acctbal IS DISTINCT FROM abs(c_acctbal) AS is_negative,
+           greatest(coalesce(c_acctbal, 0.0), -1.0) AS floored
+    FROM customer
+    """,
+)
+def null_handling_battery(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("<masked>")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") == 0, "zero")
+        .otherwise("pos")
+        .alias("bal_class"),
+        F.expr("c_acctbal IS DISTINCT FROM abs(c_acctbal)").alias("is_negative"),
+        F.greatest(F.coalesce("c_acctbal", F.lit(0.0)), F.lit(-1.0)).alias("floored"),
+    )
+
+
+@register(
+    "pandas_udf_scoring",
+    """
+    -- oracle for the Arrow-vectorized Python UDF path: same arithmetic
+    SELECT event_id, round(value * 1.5 + 10.0, 6) AS score
+    FROM events WHERE event_id < 2000
+    """,
+)
+def pandas_udf_scoring(spark, sf_dir):
+    """Arrow-batched pandas UDF inside the correctness gate — the
+    engine's vectorized Python escape hatch (~10-100x over row UDFs)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        return v * 1.5 + 10.0
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select("event_id", F.round(score("value"), 6).alias("score"))
+
+
+@register(
+    "window_range_frame",
+    """
+    -- trailing-30-day revenue per customer: RANGE frame over day numbers
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    day = (F.floor(F.unix_timestamp("o_orderdate") / 86400)).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(day.cast("long")).rangeBetween(-30, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
 
 
 @register("multimodal_features", None)
