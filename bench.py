@@ -29,17 +29,25 @@ def main() -> None:
     # attributed to the first measured query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # two timed runs per query, report the min: first-run JIT/codegen
+    # noise (observed 1.6s vs 10.7s for identical plans) would otherwise
+    # dominate the signal
     timings: dict[str, float] = {}
     for name, qd in REGISTRY.items():
-        t0 = time.time()
-        try:
-            qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # a failing query shows as -1, not a crash
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-            timings[name] = -1.0
-        finally:
-            spark.catalog.clearCache()  # queries persist intermediates
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                elapsed = round(time.time() - t0, 3)
+                best = elapsed if best is None else min(best, elapsed)
+            except Exception as e:  # a failing query shows as -1, not a crash
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+                best = -1.0
+                break
+            finally:
+                spark.catalog.clearCache()  # queries persist intermediates
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gravity_spark.operators.collapse import collapse_last_write_wins
@@ -69,20 +69,24 @@ def merge_changes(
         # a key's final value is the FIRST non-delete change after its
         # LAST delete; keys in the target with no delete keep the target
         # row (first-writer-wins — IGNORE can never overwrite).
-        del_seq = (
-            changes.filter(F.col(op_col) == "delete")
-            .groupBy(*pk)
-            .agg(F.max(order_col).alias("__del_seq"))
-        )
-        post = (
-            changes.filter(F.col(op_col) != "delete")
-            .join(del_seq, on=pk, how="left")
-            .filter(F.col(order_col) > F.coalesce(F.col("__del_seq"), F.lit(-(1 << 62))))
-        )
+        # One hash shuffle: both the per-key last-delete mark and the
+        # had-delete flag ride the same unordered window partitioning.
+        w_all = Window.partitionBy(*pk)
+        del_mark = F.max(
+            F.when(F.col(op_col) == "delete", F.col(order_col))
+        ).over(w_all)
+        marked = changes.withColumn("__del_seq", del_mark)
         first = collapse_last_write_wins(
-            post.withColumn("__neg", -F.col(order_col)), key_cols=pk, order_col="__neg"
+            marked.filter(
+                (F.col(op_col) != "delete")
+                & (F.col(order_col) > F.coalesce(F.col("__del_seq"), F.lit(-(1 << 62))))
+            ).withColumn("__neg", -F.col(order_col)),
+            key_cols=pk,
+            order_col="__neg",
         ).select(*value_cols)
-        deleted_keys = del_seq.select(*pk)
+        deleted_keys = (
+            changes.filter(F.col(op_col) == "delete").select(*pk).distinct()
+        )
         survivors = target.join(deleted_keys, on=pk, how="left_anti")
         inserts = first.join(survivors.select(*pk), on=pk, how="left_anti")
         return survivors.unionByName(inserts)
