@@ -23,12 +23,20 @@ import os
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gravity_spark.operators.upsert import ENGINE_REPLACE, merge_changes
 
 
 class ParquetMergeTarget:
-    """A versioned parquet table that accepts change batches."""
+    """A versioned parquet table that accepts change batches.
+
+    With ``partition_col`` set, each batch rewrites ONLY the partitions
+    it touches (per-partition version dirs + one manifest) — the scale
+    path: batch cost is O(touched partitions), not O(table). The
+    partition column must be immutable per key (e.g. a created-date),
+    the standard CDC partitioning assumption.
+    """
 
     def __init__(
         self,
@@ -37,41 +45,99 @@ class ParquetMergeTarget:
         pk_cols: Sequence[str],
         schema_ddl: str,
         engine: str = ENGINE_REPLACE,
+        partition_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
         self.schema_ddl = schema_ddl
         self.engine = engine
+        self.partition_col = partition_col
         os.makedirs(path, exist_ok=True)
 
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_current.json")
 
-    def _current_version(self) -> int | None:
+    def _manifest(self) -> dict:
         if not os.path.exists(self._pointer):
-            return None
+            return {"version": None, "partitions": {}}
         with open(self._pointer) as f:
-            return json.load(f)["version"]
+            m = json.load(f)
+        m.setdefault("partitions", {})
+        return m
+
+    def _write_manifest(self, m: dict) -> None:
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._pointer)
+
+    def _current_version(self) -> int | None:
+        return self._manifest()["version"]
+
+    def partition_version(self, value) -> int | None:
+        return self._manifest()["partitions"].get(str(value))
 
     def read(self) -> DataFrame:
-        v = self._current_version()
-        if v is None:
+        m = self._manifest()
+        if self.partition_col is not None:
+            paths = [
+                os.path.join(self.path, f"p={val}", f"v{ver}")
+                for val, ver in m["partitions"].items()
+            ]
+            if not paths:
+                return self.spark.createDataFrame([], self.schema_ddl)
+            return self.spark.read.parquet(*paths)
+        if m["version"] is None:
             return self.spark.createDataFrame([], self.schema_ddl)
-        return self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        return self.spark.read.parquet(os.path.join(self.path, f"v{m['version']}"))
+
+    def read_partition(self, value) -> DataFrame:
+        ver = self.partition_version(value)
+        if ver is None:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        return self.spark.read.parquet(os.path.join(self.path, f"p={value}", f"v{ver}"))
 
     def apply_batch(self, changes: DataFrame, epoch_id: int | None = None) -> None:
         """Idempotent batch apply (safe for foreachBatch redelivery):
-        merging an already-applied batch yields the same state."""
+        merging an already-applied batch yields the same state.
+
+        Partitioned mode merges and rewrites only the partitions present
+        in the batch; the manifest flips once at the end, so readers see
+        either the whole old epoch or the whole new one.
+        """
+        if self.partition_col is not None:
+            self._apply_partitioned(changes, epoch_id)
+            return
         merged = merge_changes(self.read(), changes, self.pk_cols, self.engine)
-        next_v = (self._current_version() or 0) + 1
+        m = self._manifest()
+        next_v = (m["version"] or 0) + 1
         out = os.path.join(self.path, f"v{next_v}")
         merged.write.mode("overwrite").parquet(out)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": next_v, "epoch": epoch_id}, f)
-        os.replace(tmp, self._pointer)
+        self._write_manifest({"version": next_v, "epoch": epoch_id, "partitions": {}})
+
+    def _apply_partitioned(self, changes: DataFrame, epoch_id: int | None) -> None:
+        pcol = self.partition_col
+        cached = changes.persist()
+        try:
+            touched = [r[pcol] for r in cached.select(pcol).distinct().collect()]
+            if not touched:
+                return
+            m = self._manifest()
+            for val in touched:
+                current = self.read_partition(val)
+                slice_df = cached.filter(F.col(pcol) == val)
+                merged = merge_changes(current, slice_df, self.pk_cols, self.engine)
+                next_v = (m["partitions"].get(str(val)) or 0) + 1
+                out = os.path.join(self.path, f"p={val}", f"v{next_v}")
+                merged.write.mode("overwrite").parquet(out)
+                m["partitions"][str(val)] = next_v
+            m["version"] = (m["version"] or 0) + 1
+            m["epoch"] = epoch_id
+            self._write_manifest(m)
+        finally:
+            cached.unpersist()
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch``."""

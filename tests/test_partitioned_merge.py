@@ -1,0 +1,83 @@
+import os
+
+from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "id long, dt string, v string, op string, seq long")
+
+
+def test_partition_scoped_rewrite(spark, tmp_path):
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "tgt"), ["id"],
+        "id long, dt string, v string", partition_col="dt",
+    )
+    t.apply_batch(_batch(spark, [
+        (1, "2024-01-01", "a", "insert", 1),
+        (2, "2024-01-01", "b", "insert", 2),
+        (3, "2024-01-02", "c", "insert", 3),
+    ]), epoch_id=0)
+    assert t.partition_version("2024-01-01") == 1
+    assert t.partition_version("2024-01-02") == 1
+
+    # second batch touches only 2024-01-01
+    t.apply_batch(_batch(spark, [
+        (1, "2024-01-01", "a2", "update", 4),
+        (2, "2024-01-01", "b", "delete", 5),
+    ]), epoch_id=1)
+    # untouched partition keeps its version (no rewrite)
+    assert t.partition_version("2024-01-01") == 2
+    assert t.partition_version("2024-01-02") == 1
+
+    state = {(r["id"]): (r["dt"], r["v"]) for r in t.read().collect()}
+    assert state == {1: ("2024-01-01", "a2"), 3: ("2024-01-02", "c")}
+
+
+def test_partitioned_idempotent_redelivery(spark, tmp_path):
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "tgt2"), ["id"],
+        "id long, dt string, v string", partition_col="dt",
+    )
+    batch = _batch(spark, [(1, "d1", "x", "insert", 1)])
+    t.apply_batch(batch, 0)
+    t.apply_batch(batch, 0)  # redelivered
+    assert [ (r["id"], r["v"]) for r in t.read().collect() ] == [(1, "x")]
+
+
+def test_partitioned_streaming_pipeline(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from gravity_spark.streaming.pipeline import file_cdc_source, run_stream
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    with open(src / "p0.json", "w") as f:
+        for r in [
+            {"type": "dml", "database": "a", "table": "t", "op": "insert",
+             "data": {"id": "1", "dt": "d1", "v": "a"}, "pks": {"id": "1"},
+             "stream_key": "s", "seq": 1},
+            {"type": "dml", "database": "a", "table": "t", "op": "insert",
+             "data": {"id": "2", "dt": "d2", "v": "b"}, "pks": {"id": "2"},
+             "stream_key": "s", "seq": 2},
+        ]:
+            f.write(_json.dumps(r) + "\n")
+
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "tgt3"), ["id"],
+        "id long, dt string, v string", partition_col="dt",
+    )
+
+    def typed(df):
+        return df.select(
+            F.col("data").getItem("id").cast("long").alias("id"),
+            F.col("data").getItem("dt").alias("dt"),
+            F.col("data").getItem("v").alias("v"),
+            "op", "seq",
+        )
+
+    q = run_stream(file_cdc_source(spark, str(src)), t, typed, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+    assert {r["id"]: r["dt"] for r in t.read().collect()} == {1: "d1", 2: "d2"}
