@@ -143,6 +143,29 @@ def merge_with_conflict_detect(
     return untouched.unionByName(upserts), conflicts
 
 
+def merge_with_manual_sql(
+    target: DataFrame,
+    changes: DataFrame,
+    sql: str,
+    pk_cols: Sequence[str],
+    order_col: str = "seq",
+) -> DataFrame:
+    """Manual engine: user-supplied SQL decides the merge
+    (pkg/sql_execution_engine/manual_engine.go:19-120 — per-row SQL
+    template; here one declarative statement per batch, which Catalyst
+    optimizes with the rest of the plan).
+
+    The SQL sees two views: ``target`` (current state) and ``changes``
+    (the batch, already collapsed last-write-wins per PK); it returns
+    the NEW target relation.
+    """
+    spark = target.sparkSession
+    last = collapse_last_write_wins(changes, key_cols=list(pk_cols), order_col=order_col)
+    target.createOrReplaceTempView("target")
+    last.createOrReplaceTempView("changes")
+    return spark.sql(sql)
+
+
 def add_missing_columns(changes: DataFrame, target: DataFrame, defaults: dict | None = None) -> DataFrame:
     """Fill columns present in target but absent from the change batch
     with defaults (pkg/outputs/mysql/add_missing_column.go:10-30)."""

@@ -145,9 +145,21 @@ def build_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Pipeline:
             ocfg["pk"],
             ocfg["schema"],
             ocfg.get("engine", ENGINE_REPLACE),
+            partition_col=ocfg.get("partition-col"),
         )
         typed = _default_typed(ocfg["pk"], ocfg["schema"])
         checkpoint = ocfg.get("checkpoint", ocfg["path"] + "/_checkpoint")
+    elif out_spec.get("type") == "kafka-wire":
+        # serialize to the configured wire format; caller sinks the
+        # (key, value) frame (or writes via sinks.wire.write_kafka)
+        from gravity_spark.sinks.wire import to_wire_v01, to_wire_v20
+
+        version = out_spec.get("config", {}).get("version", "0.1")
+        wire_fn = to_wire_v01 if version == "0.1" else to_wire_v20
+        prev_transform = transform
+
+        def transform(df: DataFrame, _prev=prev_transform, _wire=wire_fn) -> DataFrame:  # noqa: F811
+            return _wire(_prev(df))
     return Pipeline(
         spark=spark,
         config=config,

@@ -99,3 +99,20 @@ def test_add_missing_columns(spark):
     out = add_missing_columns(changes, target, {"name": "default_name"})
     r = out.collect()[0]
     assert r["name"] == "default_name" and r["bal"] is None
+
+
+def test_manual_sql_engine(spark):
+    from gravity_spark.operators.upsert import merge_with_manual_sql
+
+    target = _target(spark)
+    changes = _changes(spark)
+    # user SQL: replace-engine semantics written by hand
+    sql = """
+        SELECT t.id, t.name, t.bal FROM target t
+        LEFT ANTI JOIN changes c ON t.id = c.id
+        UNION ALL
+        SELECT c.id, c.name, c.bal FROM changes c WHERE c.op <> 'delete'
+    """
+    rows = {r["id"]: r for r in merge_with_manual_sql(target, changes, sql, ["id"]).collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[2]["name"] == "b2"

@@ -158,3 +158,24 @@ schema = "id long, v string"
     q.processAllAvailable()
     q.stop()
     assert [(r["id"], r["v"]) for r in p.target.read().collect()] == [(7, "z")]
+
+
+def test_pipeline_kafka_wire_output(spark):
+    import json as _json
+
+    cfg = {
+        "input": {
+            "type": "memory-batch",
+            "config": {
+                "rows": [
+                    {"database": "app", "table": "t", "op": "insert",
+                     "data": {"id": 1}, "pks": {"id": 1}, "seq": 1},
+                ]
+            },
+        },
+        "output": {"type": "kafka-wire", "config": {"version": "0.1"}},
+    }
+    p = build_pipeline(spark, cfg)
+    wire = p.dataframe().collect()
+    assert set(wire[0].asDict()) == {"key", "value"}
+    assert _json.loads(wire[0]["value"])["type"] == "insert"
