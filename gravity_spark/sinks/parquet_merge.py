@@ -107,15 +107,57 @@ class ParquetMergeTarget:
         in the batch; the manifest flips once at the end, so readers see
         either the whole old epoch or the whole new one.
         """
+        changes = self._evolve_schema(changes)
         if self.partition_col is not None:
             self._apply_partitioned(changes, epoch_id)
             return
-        merged = merge_changes(self.read(), changes, self.pk_cols, self.engine)
+        merged = merge_changes(self._read_evolved(), changes, self.pk_cols, self.engine)
         m = self._manifest()
         next_v = (m["version"] or 0) + 1
         out = os.path.join(self.path, f"v{next_v}")
         merged.write.mode("overwrite").parquet(out)
         self._write_manifest({"version": next_v, "epoch": epoch_id, "partitions": {}})
+
+    def _evolve_schema(self, changes: DataFrame) -> DataFrame:
+        """Additive schema evolution (the supported subset of mid-stream
+        DDL, SURVEY §7): columns new in the batch extend the target
+        schema; existing rows read as NULL for them. Non-additive DDL
+        (drops/renames/type changes) requires an explicit migration —
+        same restriction the reference's barrier flow effectively has.
+        """
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromDDL(self.schema_ddl)
+        declared_names = {f.name for f in declared.fields}
+        batch_fields = [
+            f for f in changes.schema.fields if f.name not in ("op", "seq")
+        ]
+        new_fields = [f for f in batch_fields if f.name not in declared_names]
+        if new_fields:
+            self.schema_ddl = ", ".join(
+                [f"{f.name} {f.dataType.simpleString()}" for f in declared.fields]
+                + [f"{f.name} {f.dataType.simpleString()}" for f in new_fields]
+            )
+        # align the batch to the (possibly wider) declared schema: old-
+        # schema changes arriving after evolution get NULL-filled too
+        declared = StructType.fromDDL(self.schema_ddl)
+        out = changes
+        for f in declared.fields:
+            if f.name not in out.columns:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return out.select(*[f.name for f in declared.fields], "op", "seq")
+
+    def _read_evolved(self) -> DataFrame:
+        """Current state widened to the declared schema (columns added
+        by evolution read as NULL on pre-evolution rows)."""
+        from pyspark.sql.types import StructType
+
+        df = self.read()
+        declared = StructType.fromDDL(self.schema_ddl)
+        for f in declared.fields:
+            if f.name not in df.columns:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df.select(*[f.name for f in declared.fields])
 
     def _apply_partitioned(self, changes: DataFrame, epoch_id: int | None) -> None:
         pcol = self.partition_col
@@ -124,9 +166,16 @@ class ParquetMergeTarget:
             touched = [r[pcol] for r in cached.select(pcol).distinct().collect()]
             if not touched:
                 return
+            from pyspark.sql.types import StructType
+
+            declared = StructType.fromDDL(self.schema_ddl)
             m = self._manifest()
             for val in touched:
                 current = self.read_partition(val)
+                for f_ in declared.fields:
+                    if f_.name not in current.columns:
+                        current = current.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+                current = current.select(*[f_.name for f_ in declared.fields])
                 slice_df = cached.filter(F.col(pcol) == val)
                 merged = merge_changes(current, slice_df, self.pk_cols, self.engine)
                 next_v = (m["partitions"].get(str(val)) or 0) + 1

@@ -92,6 +92,8 @@ def run_stream(
     typed: Callable[[DataFrame], DataFrame],
     checkpoint: str,
     trigger_once: bool = False,
+    catalog=None,
+    current_db: str | None = None,
 ) -> StreamingQuery:
     """Wire a change stream into a merge target.
 
@@ -99,8 +101,26 @@ def run_stream(
     (op + seq + value columns) per batch. Checkpointing + idempotent
     merge gives effective exactly-once (the reference needs the
     sliding-window ack + position flush for the same guarantee).
+
+    With a ``catalog``, DDL messages in the batch are applied to it (in
+    seq order, driver-side) BEFORE the batch's DML — the foreachBatch
+    epoch boundary is the DDL barrier (binlog_tailer.go:434-509); the
+    sink handles additive schema evolution.
     """
     def per_batch(df: DataFrame, epoch_id: int) -> None:
+        if catalog is not None:
+            from gravity_spark.operators.ddl import parse_and_apply
+
+            ddl_rows = (
+                df.filter(F.col("type") == "ddl")
+                .select("ddl_statement", "seq")
+                .orderBy("seq")
+                .collect()
+            )
+            for r in ddl_rows:
+                if r["ddl_statement"]:
+                    parse_and_apply(r["ddl_statement"], catalog, current_db=current_db)
+            df = df.filter(F.col("type") != "ddl")
         batch = typed(df)
         target.apply_batch(batch, epoch_id)
 
