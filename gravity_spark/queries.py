@@ -1875,6 +1875,93 @@ def window_range_frame(spark, sf_dir):
     )
 
 
+@register(
+    "regex_battery",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1)                    AS first_word,
+           length(regexp_replace(text, '[aeiou]', '', 'g'))       AS devoweled_len,
+           regexp_matches(text, 'spark')                          AS mentions_spark,
+           CAST(len(regexp_extract_all(text, '(the)')) AS BIGINT) AS the_count
+    FROM documents
+    """,
+)
+def regex_battery(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("devoweled_len"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.size(F.expr("regexp_extract_all(text, '(the)')")).cast("long").alias("the_count"),
+    )
+
+
+@register(
+    "date_arithmetic_battery",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)         AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)   AS month_end,
+           CAST(isodow(o_orderdate) AS INT)                    AS dow,
+           CAST(quarter(o_orderdate) AS INT)                   AS q
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def date_arithmetic_battery(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        (F.weekday("o_orderdate") + 1).alias("dow"),  # ISO: Mon=1..Sun=7
+        F.quarter("o_orderdate").alias("q"),
+    )
+
+
+@register(
+    "filtered_agg_battery",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_quantity > 25)                 AS n_bulk,
+           round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_rev,
+           count(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.02)   AS taxed_suppliers,
+           round(min(l_extendedprice), 2)                          AS min_price,
+           round(max(l_extendedprice), 2)                          AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def filtered_agg_battery(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_bulk"),
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), 2).alias(
+            "discounted_rev"
+        ),
+        F.countDistinct(F.when(F.col("l_tax") > 0.02, F.col("l_suppkey"))).alias(
+            "taxed_suppliers"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+# rows-only: approximate aggregates (engine-specific sketches — no
+# cross-engine oracle possible by construction; driver records counts)
+@register("approx_aggregates", None)
+def approx_aggregates(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register("multimodal_features", None)
 def multimodal_features(spark, sf_dir):
     from gravity_spark.functions.multimodal import documents_as_media, extract_features
