@@ -925,6 +925,10 @@ def dedup_simhash(spark, sf_dir):
              len(list_intersect(a.toks, b.toks)) AS inter,
              len(a.toks) + len(b.toks) AS total
       FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+       -- length-ratio prefilter: J >= 0.5 requires 2*min(|A|,|B|) >= max
+       AND 2 * least(len(a.toks), len(b.toks)) >= greatest(len(a.toks), len(b.toks))
+      -- (the Spark side additionally sub-blocks this self-join for
+      --  parallelism; the pair set is identical)
     )
     SELECT id_a, id_b,
            CASE WHEN total - inter > 0
@@ -941,13 +945,34 @@ def dedup_ngram_jaccard(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     g = docs.select(
         "doc_id", "source", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
-    ).repartition(32, "source")
-    a, b = g.alias("a"), g.alias("b")
+    )
+    # sub-block the blocked self-join: a block key of only ~20 sources
+    # caps parallelism at 20 tasks; replicating side A across 8
+    # sub-blocks of side B (join key (source, doc_id%8)) yields the
+    # SAME pair set with 8x the schedulable units
+    nsub = 8
+    # explicit numbered repartition: AQE would otherwise coalesce this
+    # byte-small but CPU-heavy join down to one task
+    a = (
+        g.withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(nsub - 1))))
+        .repartition(64, "source", "sb")
+        .alias("a")
+    )
+    b = (
+        g.withColumn("sb", (F.col("doc_id") % nsub).cast("int"))
+        .repartition(64, "source", "sb")
+        .alias("b")
+    )
+    la, lb = F.size(F.col("a.toks")), F.size(F.col("b.toks"))
     pairs = (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sb") == F.col("b.sb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length-ratio prefilter (J >= t ⟹ |A|/|B| ∈ [t, 1/t]):
+            # prunes pairs BEFORE the O(|A|+|B|) intersect
+            & (2 * F.least(la, lb) >= F.greatest(la, lb)),
         )
         .select(
             F.col("a.doc_id").alias("id_a"),
