@@ -149,6 +149,31 @@ def build_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Pipeline:
         )
         typed = _default_typed(ocfg["pk"], ocfg["schema"])
         checkpoint = ocfg.get("checkpoint", ocfg["path"] + "/_checkpoint")
+    elif out_spec.get("type") == "multi-table-merge":
+        # one stream fanned out to per-(db,table) merge targets; the
+        # catalog supplies each table's typed projection
+        from gravity_spark.core.catalog import Catalog, ColumnDef, TableDef
+        from gravity_spark.sinks.multi_table import MultiTableMergeSink
+
+        ocfg = out_spec["config"]
+        catalog = Catalog()
+        targets = {}
+        for tspec in ocfg["tables"]:
+            cols = [
+                ColumnDef(c["name"], c["type"], is_pk=c.get("pk", False))
+                for c in tspec["columns"]
+            ]
+            tdef = TableDef(tspec["database"], tspec["table"], cols)
+            catalog.put(tdef)
+            targets[(tspec["database"], tspec["table"])] = ParquetMergeTarget(
+                spark,
+                f"{ocfg['path']}/{tspec['database']}.{tspec['table']}",
+                tdef.pk_columns,
+                ", ".join(f"{c.name} {c.spark_type.simpleString()}" for c in cols),
+            )
+        target = MultiTableMergeSink(targets, catalog)
+        typed = lambda df: df  # the sink routes + types per table  # noqa: E731
+        checkpoint = ocfg.get("checkpoint", ocfg["path"] + "/_checkpoint")
     elif out_spec.get("type") == "kafka-wire":
         # serialize to the configured wire format; caller sinks the
         # (key, value) frame (or writes via sinks.wire.write_kafka)

@@ -179,3 +179,39 @@ def test_pipeline_kafka_wire_output(spark):
     wire = p.dataframe().collect()
     assert set(wire[0].asDict()) == {"key", "value"}
     assert _json.loads(wire[0]["value"])["type"] == "insert"
+
+
+def test_pipeline_multi_table_output(spark, tmp_path):
+    cfg = {
+        "input": {
+            "type": "memory-batch",
+            "config": {
+                "rows": [
+                    {"database": "app", "table": "users", "op": "insert",
+                     "data": {"id": 1, "name": "a"}, "pks": {"id": 1}, "seq": 1},
+                    {"database": "app", "table": "orders", "op": "insert",
+                     "data": {"id": 7, "amt": "3.5"}, "pks": {"id": 7}, "seq": 2},
+                ]
+            },
+        },
+        "output": {
+            "type": "multi-table-merge",
+            "config": {
+                "path": str(tmp_path / "warehouse"),
+                "tables": [
+                    {"database": "app", "table": "users",
+                     "columns": [{"name": "id", "type": "bigint", "pk": True},
+                                 {"name": "name", "type": "varchar(50)"}]},
+                    {"database": "app", "table": "orders",
+                     "columns": [{"name": "id", "type": "bigint", "pk": True},
+                                 {"name": "amt", "type": "double"}]},
+                ],
+            },
+        },
+    }
+    p = build_pipeline(spark, cfg)
+    p.run_batch()
+    users = {r["id"]: r["name"] for r in p.target.read("app", "users").collect()}
+    orders = {r["id"]: r["amt"] for r in p.target.read("app", "orders").collect()}
+    assert users == {1: "a"}
+    assert orders == {7: 3.5}
