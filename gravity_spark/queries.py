@@ -1975,6 +1975,55 @@ def filtered_agg_battery(spark, sf_dir):
     )
 
 
+@register(
+    "correlated_subquery",
+    """
+    -- orders above their customer's average (correlated scalar subquery)
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def correlated_subquery(spark, sf_dir):
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__orders_cs")
+    # Catalyst decorrelates this into an aggregate + join automatically
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM __orders_cs o
+        WHERE o_totalprice > 1.5 * (
+          SELECT avg(o2.o_totalprice) FROM __orders_cs o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "set_ops_all_semantics",
+    """
+    -- bag semantics: EXCEPT ALL / INTERSECT ALL keep duplicates
+    WITH a AS (SELECT l_orderkey AS k FROM lineitem),
+         b AS (SELECT o_orderkey AS k FROM orders)
+    SELECT 'except_all'    AS op, count(*) AS n FROM (SELECT k FROM a EXCEPT ALL    SELECT k FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    """,
+)
+def set_ops_all_semantics(spark, sf_dir):
+    a = T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    b = T(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    ex = a.exceptAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    it = a.intersectAll(b).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    return ex.unionByName(it)
+
+
 # rows-only: approximate aggregates (engine-specific sketches — no
 # cross-engine oracle possible by construction; driver records counts)
 @register("approx_aggregates", None)

@@ -64,8 +64,7 @@ def chunked_scan(df: DataFrame, column: str, chunk_size: int = 10_000) -> DataFr
     )
 
 
-def jdbc_partitioned_reader(
-    spark: SparkSession,
+def jdbc_scan_options(
     url: str,
     table: str,
     scan_column: str | None,
@@ -74,28 +73,34 @@ def jdbc_partitioned_reader(
     num_partitions: int = 10,
     condition: str | None = None,
     properties: dict | None = None,
-):
-    """Assemble the JDBC partitioned read (the production path of the
-    batch snapshot). Condition pushdown mirrors TableConfig.Condition
+) -> dict[str, str]:
+    """Pure option assembly for the JDBC partitioned read — the chunked
+    keyset scan expressed as Spark's native partitioned JDBC options.
+    Condition pushdown mirrors TableConfig.Condition
     (pkg/inputs/mysqlbatch/input.go:25-35) via a filtered dbtable
-    subquery. Returns the configured DataFrameReader (unloaded, so
-    tests can inspect options without a live database)."""
+    subquery."""
     src = f"(SELECT * FROM {table} WHERE {condition}) AS t" if condition else table
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", src)
-        .option("fetchsize", "10000")
-    )
-    for k, v in (properties or {}).items():
-        reader = reader.option(k, v)
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": src,
+        "fetchsize": "10000",
+        **{k: str(v) for k, v in (properties or {}).items()},
+    }
     if scan_column is not None and lower is not None and upper is not None:
-        reader = (
-            reader.option("partitionColumn", scan_column)
-            .option("lowerBound", str(lower))
-            .option("upperBound", str(upper))
-            .option("numPartitions", str(num_partitions))
+        opts.update(
+            partitionColumn=scan_column,
+            lowerBound=str(lower),
+            upperBound=str(upper),
+            numPartitions=str(num_partitions),
         )
+    return opts
+
+
+def jdbc_partitioned_reader(spark: SparkSession, **kwargs):
+    """Configured (unloaded) DataFrameReader from jdbc_scan_options."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_scan_options(**kwargs).items():
+        reader = reader.option(k, v)
     return reader
 
 

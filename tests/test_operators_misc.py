@@ -148,3 +148,39 @@ def test_events_to_changes_mapping(spark):
     assert ch[2]["op"] == "delete"
     assert ch[3]["op"] == "update"
     assert ch[3]["pks"] == {"user_id": "11"}
+
+
+def test_jdbc_scan_options():
+    from gravity_spark.sources.batch import jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:mysql://h/db", "users", "id", lower=0, upper=10000,
+        num_partitions=8, condition="active = 1",
+        properties={"user": "u"},
+    )
+    assert opts["dbtable"] == "(SELECT * FROM users WHERE active = 1) AS t"
+    assert opts["partitionColumn"] == "id"
+    assert (opts["lowerBound"], opts["upperBound"], opts["numPartitions"]) == ("0", "10000", "8")
+    assert opts["user"] == "u"
+    # keyless full dump: no partition options
+    assert "partitionColumn" not in jdbc_scan_options("jdbc:x", "t", None)
+
+
+def test_glob_matches_fnmatch_property():
+    import fnmatch
+    import re
+
+    from hypothesis import given, settings, strategies as st
+
+    from gravity_spark.core.matchers import glob_to_regex
+
+    alphabet = "abc*_."
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet, max_size=8), st.text("abc_.", max_size=8))
+    def check(pattern, value):
+        ours = re.match(glob_to_regex(pattern), value) is not None
+        theirs = fnmatch.fnmatchcase(value, pattern)
+        assert ours == theirs, (pattern, value)
+
+    check()
