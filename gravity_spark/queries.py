@@ -2024,6 +2024,45 @@ def set_ops_all_semantics(spark, sf_dir):
     return ex.unionByName(it)
 
 
+@register(
+    "session_window_native",
+    """
+    -- oracle for Spark's native session_window: manual gap-and-island
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """Spark's NATIVE session_window operator (gap-based sessions in one
+    groupBy — no window-function cascade); oracle reproduces it with the
+    classic gap-and-island SQL."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_timestamp(F.col("session_window.start")).cast("double")
+            ).cast("long").alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+
+
 # rows-only: approximate aggregates (engine-specific sketches — no
 # cross-engine oracle possible by construction; driver records counts)
 @register("approx_aggregates", None)

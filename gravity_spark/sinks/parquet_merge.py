@@ -193,3 +193,35 @@ class ParquetMergeTarget:
         def fn(df: DataFrame, epoch_id: int) -> None:
             self.apply_batch(df, epoch_id)
         return fn
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Remove superseded version directories (the sink's compaction/
+        retention job). Keeps the current version plus ``keep_last - 1``
+        predecessors per table/partition; returns directories removed.
+        Readers of the current manifest are never affected."""
+        import shutil
+
+        removed = 0
+        m = self._manifest()
+
+        def clean(dirpath: str, current: int | None) -> int:
+            n = 0
+            if current is None or not os.path.isdir(dirpath):
+                return 0
+            for entry in os.listdir(dirpath):
+                if entry.startswith("v"):
+                    try:
+                        ver = int(entry[1:])
+                    except ValueError:
+                        continue
+                    if ver <= current - keep_last:
+                        shutil.rmtree(os.path.join(dirpath, entry), ignore_errors=True)
+                        n += 1
+            return n
+
+        if self.partition_col is None:
+            removed += clean(self.path, m["version"])
+        else:
+            for val, ver in m["partitions"].items():
+                removed += clean(os.path.join(self.path, f"p={val}"), ver)
+        return removed

@@ -81,3 +81,26 @@ def test_partitioned_streaming_pipeline(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert {r["id"]: r["dt"] for r in t.read().collect()} == {1: "d1", 2: "d2"}
+
+
+def test_vacuum_keeps_current(spark, tmp_path):
+    t = ParquetMergeTarget(spark, str(tmp_path / "tv"), ["id"], "id long, v string")
+    for i in range(4):
+        t.apply_batch(
+            spark.createDataFrame([(1, f"v{i}", "update", i)],
+                                  "id long, v string, op string, seq long"), i)
+    assert t._current_version() == 4
+    removed = t.vacuum(keep_last=2)
+    assert removed == 2  # v1, v2 removed; v3, v4 kept
+    assert [r["v"] for r in t.read().collect()] == ["v3"]
+
+    # partitioned variant
+    tp = ParquetMergeTarget(spark, str(tmp_path / "tp"), ["id"],
+                            "id long, dt string, v string", partition_col="dt")
+    for i in range(3):
+        tp.apply_batch(
+            spark.createDataFrame([(1, "d1", f"x{i}", "update", i)],
+                                  "id long, dt string, v string, op string, seq long"), i)
+    removed = tp.vacuum(keep_last=1)
+    assert removed == 2
+    assert [r["v"] for r in tp.read().collect()] == ["x2"]
