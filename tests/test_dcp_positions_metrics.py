@@ -67,3 +67,32 @@ def test_observe_metrics(spark):
     m = obs.get
     assert m["n_rows"] == 2 and m["n_insert"] == 1 and m["n_delete"] == 1
     assert obs_out.get["n_rows"] == 2
+
+
+def test_progress_snapshot_and_listener(spark, tmp_path):
+    import json as _json
+    import time
+
+    from gravity_spark.metrics import progress_snapshot
+    from gravity_spark.streaming.pipeline import watermark_lag_listener
+
+    listener = watermark_lag_listener(spark, unhealthy_after_s=60)
+    try:
+        src = tmp_path / "m"
+        src.mkdir()
+        (src / "p0.json").write_text(_json.dumps({"a": 1}) + "\n")
+        stream = spark.readStream.schema("a long").format("json").load(str(src))
+        q = (stream.writeStream.format("memory").queryName("mtest")
+             .outputMode("append").start())
+        q.processAllAvailable()
+        # listener saw progress → healthy
+        deadline = time.time() + 10
+        while time.time() < deadline and not listener.health():
+            time.sleep(0.2)
+        health = listener.health()
+        assert health and all(health.values())
+        snap = progress_snapshot(q)
+        assert snap["num_input_rows"] >= 0 and "duration_ms" in snap
+        q.stop()
+    finally:
+        spark.streams.removeListener(listener)
