@@ -148,6 +148,39 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Image-resize plumbing: mapInPandas over the binary payload.
+
+    The real decoder/rescaler (PIL) is not in this container, so the
+    transform is a deterministic stand-in — payload resampled to
+    width*height bytes by index scaling — while the Spark-side contract
+    (schema preserved, width/height metadata updated, Arrow batching)
+    is the real one. Swap the inner function for PIL when available.
+    """
+    out_schema = media.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        target = width * height
+
+        def fake_resize(payload: bytes) -> bytes:
+            if payload is None or len(payload) == 0:
+                return payload
+            n = len(payload)
+            # nearest-neighbor resample of the byte stream
+            return bytes(payload[(i * n) // target] for i in range(target))
+
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = out["payload"].map(fake_resize)
+            out["width"] = width
+            out["height"] = height
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(batches, out_schema)
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (decode stubbed — emits frame offsets only)."""
