@@ -1,0 +1,85 @@
+"""CDC pipeline throughput probe — the reference's headline metric
+(rows/sec through input → filter chain → ordered merge sink).
+
+Pumps the sf events table through the full streaming path (envelope
+adapter → filter chain → LWW collapse → merge target) and reports
+end-to-end rows/sec. Usage:
+
+    python tools/throughput_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gravity_spark.core.envelope import events_to_changes
+from gravity_spark.queries import T
+from gravity_spark.session import get_spark
+from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+from gravity_spark.streaming.pipeline import run_stream
+from gravity_spark.operators.filters import apply_filter_chain
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("throughput_probe")
+    n_rows = T(spark, sf_dir, "events").count()
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    changes = apply_filter_chain(
+        events_to_changes(stream),
+        [{"type": "accept", "config": {"match-schema": "app"}}],
+    )
+
+    tmp = tempfile.mkdtemp(prefix="throughput_")
+    target = ParquetMergeTarget(
+        spark, f"{tmp}/target", ["user_id"], "user_id long, value double"
+    )
+
+    def typed(df):
+        return df.select(
+            F.col("pks")["user_id"].cast("long").alias("user_id"),
+            F.col("data")["value"].cast("double").alias("value"),
+            "op",
+            "seq",
+        )
+
+    t0 = time.time()
+    q = run_stream(changes, target, typed, f"{tmp}/ckpt", trigger_once=True)
+    q.awaitTermination(600)
+    elapsed = time.time() - t0
+    out_rows = target.read().count()
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_pipeline_rows_per_sec",
+                "value": round(n_rows / elapsed, 1),
+                "unit": "rows/sec",
+                "input_rows": n_rows,
+                "merged_keys": out_rows,
+                "elapsed_sec": round(elapsed, 2),
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
