@@ -151,6 +151,19 @@ def from_debezium_json(raw: DataFrame, value_col: str = "value", pk_cols: list[s
     )
     data = F.when(op == OP_DELETE, v["before"]).otherwise(v["after"])
     pks = F.map_filter(data, lambda k, _: k.isin(*pk_cols))
+    # seq: Kafka offset when reading a real topic (per-partition
+    # monotonic — the binlog-order InputSequence equivalent); source
+    # ts_ms otherwise. monotonically_increasing_id is NOT streaming-safe.
+    seq = (
+        F.col("offset").cast("long")
+        if "offset" in raw.columns
+        else v["source"]["ts_ms"]
+    )
+    stream_key = (
+        F.concat_ws("/", F.col("topic"), F.col("partition").cast("string"))
+        if "partition" in raw.columns
+        else F.concat_ws("/", v["source"]["db"], v["source"]["table"])
+    )
     return raw.select(
         F.lit(TYPE_DML).alias("type"),
         v["source"]["db"].alias("database"),
@@ -162,8 +175,8 @@ def from_debezium_json(raw: DataFrame, value_col: str = "value", pk_cols: list[s
         v["before"].alias("old"),
         pks.alias("pks"),
         F.lit(None).cast("string").alias("ddl_statement"),
-        F.concat_ws("/", v["source"]["db"], v["source"]["table"]).alias("stream_key"),
-        F.monotonically_increasing_id().alias("seq"),
+        stream_key.alias("stream_key"),
+        seq.alias("seq"),
     )
 
 
@@ -187,9 +200,8 @@ def from_canal_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     envelope rows, matching the reference's event explosion,
     pkg/inputs/mysqlstream/msg.go:284-331)."""
     v = F.from_json(F.col(value_col).cast("string"), _CANAL_VALUE)
-    base = raw.select(
-        v.alias("v"), F.monotonically_increasing_id().alias("seq0")
-    )
+    seq0 = F.col("offset").cast("long") if "offset" in raw.columns else v["ts"]
+    base = raw.select(v.alias("v"), seq0.alias("seq0"))
     exploded = base.select(
         "v", "seq0", F.posexplode_outer(F.coalesce(F.col("v.data"), F.array())).alias("pos", "row")
     )
