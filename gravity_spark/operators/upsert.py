@@ -56,7 +56,10 @@ def merge_changes(
     pk = list(pk_cols)
     value_cols = [c for c in target.columns]
     last = collapse_last_write_wins(changes, key_cols=pk, order_col=order_col)
-    last = last.select(*value_cols, op_col).cache()
+    # no internal cache: the collapse is read twice (keys + upserts) but
+    # callers that materialize immediately (the sinks) persist the BATCH
+    # instead — an engine-held cache would leak across streaming epochs
+    last = last.select(*value_cols, op_col)
 
     keys = last.select(*pk)
     untouched = target.join(keys, on=pk, how="left_anti")

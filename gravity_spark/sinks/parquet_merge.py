@@ -111,12 +111,16 @@ class ParquetMergeTarget:
         if self.partition_col is not None:
             self._apply_partitioned(changes, epoch_id)
             return
-        merged = merge_changes(self._read_evolved(), changes, self.pk_cols, self.engine)
-        m = self._manifest()
-        next_v = (m["version"] or 0) + 1
-        out = os.path.join(self.path, f"v{next_v}")
-        merged.write.mode("overwrite").parquet(out)
-        self._write_manifest({"version": next_v, "epoch": epoch_id, "partitions": {}})
+        cached = changes.persist()
+        try:
+            merged = merge_changes(self._read_evolved(), cached, self.pk_cols, self.engine)
+            m = self._manifest()
+            next_v = (m["version"] or 0) + 1
+            out = os.path.join(self.path, f"v{next_v}")
+            merged.write.mode("overwrite").parquet(out)
+            self._write_manifest({"version": next_v, "epoch": epoch_id, "partitions": {}})
+        finally:
+            cached.unpersist()
 
     def _evolve_schema(self, changes: DataFrame) -> DataFrame:
         """Additive schema evolution (the supported subset of mid-stream
