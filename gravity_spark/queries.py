@@ -1256,10 +1256,68 @@ def cdc_padder_backfill(spark, sf_dir):
     """,
 )
 def mongo_bucket_chunks(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id")
+    """$bucketAuto chunking without a global-order window.
+
+    The naive plan (``ntile(8) OVER (ORDER BY doc_id)``) funnels every
+    row through ONE partition — the documented scale exception in
+    PLANS.md. This version computes the same exact ntile assignment
+    distributed:
+
+      1. value-bucket rows by ``width_bucket(doc_id)`` over min/max
+         bounds (one tiny agg, broadcast back — deterministic, no
+         range-sampling);
+      2. rank locally inside each bucket (hash-partitioned window —
+         the only data shuffle, and it carries just doc_id);
+      3. per-bucket counts → cumulative offsets (window over ≤64
+         metadata rows) broadcast-joined back;
+      4. global rank = offset + local rank; chunk via the exact ntile
+         formula (first n%k tiles get ceil(n/k) rows).
+
+    Mirrors gravity's mongobatch chunking
+    (pkg/inputs/mongobatch/position_value.go:155-284), which samples
+    $bucketAuto server-side for the same reason: never total-order the
+    collection.
+    """
+    n_buckets, k = 64, 8
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    bounds = docs.agg(
+        F.min("doc_id").alias("_lo"),
+        # +1 so the max value lands in bucket n (width_bucket returns
+        # n+1 for x >= hi)
+        (F.max("doc_id") + F.lit(1)).alias("_hi"),
+    )
+    bucketed = docs.join(F.broadcast(bounds)).select(
+        "doc_id",
+        F.width_bucket("doc_id", "_lo", "_hi", F.lit(n_buckets)).alias("_b"),
+    )
+    local = bucketed.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_b").orderBy("doc_id"))
+    )
+    wb = Window.orderBy("_b")  # ≤ n_buckets metadata rows — not a data shuffle
+    offsets = (
+        bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_c").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("_off"),
+            F.sum("_c")
+            .over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .alias("_n"),
+        )
+    )
+    rk = F.col("_off") + F.col("_lr")
+    q = (F.col("_n") / k).cast("long")  # floor: _n, k positive
+    r = F.col("_n") % k
+    head = r * (q + 1)  # rows covered by the first r (size q+1) tiles
+    chunk = F.when(
+        rk <= head, ((rk - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(r + ((rk - head - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
     return (
-        docs.select("doc_id", F.ntile(8).over(w).alias("chunk"))
+        local.join(F.broadcast(offsets), "_b")
+        .select("doc_id", chunk.alias("chunk"))
         .groupBy("chunk")
         .agg(
             F.count(F.lit(1)).alias("n"),
