@@ -989,6 +989,103 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_prefix_filter",
+    f"""
+    -- corpus-wide Jaccard >= 0.7 WITHOUT a blocking key: the oracle is
+    -- the naive all-pairs; the Spark side proves the prefix-filtering
+    -- join emits the identical pair set
+    WITH g AS (
+      SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+      WHERE len({_TOKS}) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             len(a.toks) + len(b.toks) AS total
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+       AND 10 * least(len(a.toks), len(b.toks)) >= 7 * greatest(len(a.toks), len(b.toks))
+    )
+    SELECT id_a, id_b,
+           CASE WHEN total - inter > 0
+                THEN inter / CAST(total - inter AS DOUBLE) ELSE 0 END AS jaccard
+    FROM pairs
+    WHERE 10 * inter >= 7 * (total - inter)  -- jaccard >= 0.7 in integer space
+    """,
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """Exact set-similarity self-join via prefix filtering (AllPairs/
+    PPJoin family) — the 100 TB path for n-gram dedup when there is no
+    natural blocking column.
+
+    Guarantee: order every doc's tokens by a global total order
+    (document-frequency asc, token asc — rarest first). For Jaccard
+    threshold t, a pair with J >= t must share a token inside BOTH
+    docs' prefixes of length |A| - ceil(t*|A|) + 1: the shared-token
+    count is >= ceil(t*|A|), so some shared token sits in A's prefix
+    (pigeonhole), and the globally-smallest shared token then sits in
+    both prefixes. Joining prefix tokens therefore yields an exact
+    candidate superset — verification by array_intersect restores
+    exactness. Quadratic work is confined to per-token candidate
+    groups of the RAREST tokens; every stage is a linear shuffle.
+
+    Replaces the reference's nothing (it has no similarity ops) — this
+    is part of the brief-mandated training-data extension set.
+    """
+    t_num, t_den = 7, 10  # threshold 0.7 as an exact rational
+    docs = T(spark, sf_dir, "documents")
+    g = (
+        docs.select(
+            "doc_id", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
+        )
+        .filter(F.size("toks") > 0)
+    )
+    ex = g.select("doc_id", F.size("toks").alias("la"), F.explode("toks").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # prefix length L = la - ceil(t*la) + 1, all-integer
+    L = F.col("la") - F.expr(f"({t_num} * la + {t_den} - 1) div {t_den}") + 1
+    prefix = (
+        ex.join(freq, "tok")
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok"))
+        )
+        .filter(F.col("rn") <= L)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    la, lb = F.size("toks_a"), F.size("toks_b")
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(t_den * F.least(la, lb) >= t_num * F.greatest(la, lb))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("inter"),
+            (la + lb).alias("total"),
+        )
+    )
+    union = F.col("total") - F.col("inter")
+    jac = F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(F.lit(0.0))
+    return (
+        verified.filter(t_den * F.col("inter") >= t_num * union)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
 _COS_SQL = """
 round(
   list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
