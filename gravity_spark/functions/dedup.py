@@ -197,6 +197,63 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → dedup clusters.
+
+    Min-label propagation: every vertex starts labelled with its own id;
+    each round, a vertex adopts the minimum label among itself and its
+    neighbours; converged when no label changes. Returns
+    ``(id_col, component)`` where component = min vertex id reachable.
+
+    Scale notes: each round is one shuffle over (vertex, label) pairs —
+    never the documents — and rounds ≈ cluster diameter, which for
+    near-dup clusters is small (most are cliques from a shared LSH
+    bucket, diameter 1-2). Lineage is truncated per round with
+    localCheckpoint so the plan stays O(1) deep. Convergence is detected
+    by the label sum: labels only ever decrease, so an unchanged sum is
+    a fixpoint. For adversarial long-chain graphs swap the loop body for
+    the alternating large-star/small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    per-round shuffle shape, O(log n) rounds.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = vertices.select(
+        F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.v)
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     toks = tokenize(text)
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))

@@ -846,28 +846,320 @@ def _minhash_pairs_sql() -> str:
     """
 
 
-@register("dedup_minhash_pairs", _minhash_pairs_sql())
-def dedup_minhash_pairs(spark, sf_dir):
+def _banded_df(spark, sf_dir):
+    """(doc_id, band, bh) in long form — LSH bucket join is an EQUI-join
+    on (band, bh), so Catalyst picks SortMergeJoin/BroadcastHashJoin and
+    the quadratic work stays confined to same-bucket groups. (An OR of
+    per-band equalities would force a nested-loop join at scale.)"""
     bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
     sig = _sig_df(spark, sf_dir)
-    band_cols = [
-        F.md5(
-            F.concat(*[F.col(f"m{i}") for i in range(b * width, (b + 1) * width)])
-        ).alias(f"bh{b}")
-        for b in range(bands)
-    ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"m{i}") for i in range(b * width, (b + 1) * width)])
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+
+
+@register("dedup_minhash_pairs", _minhash_pairs_sql())
+def dedup_minhash_pairs(spark, sf_dir):
     # persist: a self-join would otherwise recompute the signature
     # aggregation once per side
-    banded = sig.select("doc_id", *band_cols).persist()
+    banded = _banded_df(spark, sf_dir).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
-    band_match = F.lit(False)
-    for i in range(bands):
-        band_match = band_match | (F.col(f"a.bh{i}") == F.col(f"b.bh{i}"))
     return (
-        a.join(b, cond & band_match)
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+    )
+
+
+def _components_sql() -> str:
+    """Connected components over the MinHash-LSH candidate edges via a
+    recursive min-label reachability CTE (oracle-side); the Spark side
+    runs distributed label propagation (functions/dedup.py)."""
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
+    ]
+    return f"""
+    WITH RECURSIVE {_SIG_CTE},
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
+    edges AS (
+      SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
+    ),
+    sym AS (SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges),
+    reach(origin, node) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.origin, s.d FROM reach r JOIN sym s ON s.s = r.node
+    ),
+    comp AS (SELECT origin AS doc_id, min(node) AS component FROM reach GROUP BY origin)
+    SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS csize
+    FROM comp
+    """
+
+
+@register("dedup_components", _components_sql())
+def dedup_components(spark, sf_dir):
+    """Dedup clustering: LSH candidate pairs → connected components →
+    one cluster id (min doc_id) per group of transitively-linked
+    near-dups. The piece that turns pairwise near-dup output into an
+    actionable keep/drop list for a training corpus."""
+    from gravity_spark.functions.dedup import connected_components
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    comp = connected_components(pairs, docs)
+    w = Window.partitionBy("component")
+    return comp.withColumn("csize", F.count(F.lit(1)).over(w))
+
+
+# Portable hash for cross-engine-deterministic sketching/sampling:
+# h(x) = (A·(x mod P)) mod P with P = 2^31-1 (Mersenne prime) and
+# A = Knuth's multiplicative constant. Products stay < 2^63, so the
+# arithmetic is exact BIGINT in both engines — unlike xxhash64/HLL,
+# the sketch values are bit-identical under the DuckDB oracle.
+_HP, _HA = 2147483647, 2654435761
+_KMV_K = 64
+
+
+def _phash_sql(col: str) -> str:
+    return f"(({_HA} * ({col} % {_HP})) % {_HP})"
+
+
+def _phash_col(c):
+    return (F.lit(_HA) * (c % F.lit(_HP))) % F.lit(_HP)
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS flag, {_phash_sql('l_partkey')} AS hv
+      FROM lineitem
+    ),
+    r AS (
+      SELECT flag, hv, row_number() OVER (PARTITION BY flag ORDER BY hv) AS rn FROM h
+    ),
+    agg AS (
+      SELECT flag, count(*) AS n_hashes,
+             max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth
+      FROM r WHERE rn <= {_KMV_K} GROUP BY flag
+    ),
+    ex AS (
+      SELECT l_returnflag AS flag, count(DISTINCT l_partkey) AS exact_distinct
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.flag AS l_returnflag, ex.exact_distinct,
+           CASE WHEN a.kth IS NULL THEN CAST(a.n_hashes AS DOUBLE)
+                ELSE round(CAST({(_KMV_K - 1) * _HP} AS DOUBLE) / a.kth, 6) END
+             AS kmv_estimate
+    FROM agg a JOIN ex ON a.flag = ex.flag
+    """,
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """K-minimum-values distinct sketch: estimate = (k-1)·P / h_(k).
+
+    Unlike approx_count_distinct (HLL, engine-internal), the portable
+    hash makes the estimate value-checkable against the oracle. Scale
+    path: the k smallest are found per (group, hv mod 32) subgroup
+    first — bounded-memory collect_set per subgroup, all JVM — then the
+    ≤ 32k candidates per group take one tiny window."""
+    li = T(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("flag"), _phash_col(F.col("l_partkey")).alias("hv")
+    ).distinct()
+    sub = h.groupBy("flag", F.pmod(F.col("hv"), F.lit(32)).alias("sg")).agg(
+        F.slice(F.sort_array(F.collect_set("hv")), 1, _KMV_K).alias("mins")
+    )
+    cand = sub.select("flag", F.explode("mins").alias("hv"))
+    w = Window.partitionBy("flag").orderBy("hv")
+    r = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    agg = r.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth"),
+    )
+    ex = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    est = (
+        F.when(F.col("kth").isNull(), F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.round(F.lit((_KMV_K - 1) * _HP).cast("double") / F.col("kth"), 6)
+        )
+    )
+    return agg.join(ex, "flag").select(
+        F.col("flag").alias("l_returnflag"), "exact_distinct", est.alias("kmv_estimate")
+    )
+
+
+@register(
+    "sample_bernoulli_hash",
+    f"""
+    SELECT doc_id, lang, {_phash_sql('doc_id')} AS hv
+    FROM documents
+    WHERE {_phash_sql('doc_id')} < {_HP // 5}
+    """,
+)
+def sample_bernoulli_hash(spark, sf_dir):
+    """Deterministic ~20% Bernoulli sample by hash threshold — the
+    reproducible-sampling primitive a training pipeline needs (same
+    rows on every run/engine, no RNG state). Embarrassingly parallel:
+    a codegen'd filter, no shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    hv = _phash_col(F.col("doc_id"))
+    return docs.select("doc_id", "lang", hv.alias("hv")).filter(hv < F.lit(_HP // 5))
+
+
+@register(
+    "sample_stratified",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_phash_sql('doc_id')} AS hv FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, hv,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn
+      FROM h
+    )
+    SELECT doc_id, lang, rn FROM r WHERE rn <= 20
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Fixed-size-per-stratum deterministic sample: hash-order rank
+    within each language, keep the first 20. One shuffle on the stratum
+    key; rows carry only (id, stratum, hash)."""
+    docs = T(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "lang", _phash_col(F.col("doc_id")).alias("hv"))
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "rn")
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS t FROM documents
+    ),
+    c AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+    tot AS (SELECT sum(cnt) AS n FROM c)
+    SELECT t AS token, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+    FROM c, tot
+    WHERE cnt * 50 > n
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Exact frequent-items (share > 2% of the token stream). The
+    map-side partial aggregation means the shuffle carries one row per
+    distinct token per partition; the total is a broadcast scalar."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    c = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(F.sum("cnt").alias("n"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 50 > F.col("n"))
+        .select(
+            F.col("t").alias("token"),
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_sql() -> str:
+    t1, t2, t3 = _BM25_TERMS
+    tf = ", ".join(
+        f"count(*) FILTER (WHERE t = '{t}') AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    dfs = ", ".join(
+        f"count(DISTINCT CASE WHEN t = '{t}' THEN doc_id END) AS df{i}"
+        for i, t in enumerate(_BM25_TERMS, 1)
+    )
+    # idf rounded to 6dp right after ln() so a last-ulp libm difference
+    # between engines cannot propagate; every other operand is an exact
+    # integer-rational division (see driver-gotchas float rules)
+    idf = {
+        i: f"round(ln(1 + CAST(2 * g.n - 2 * df{i} + 1 AS DOUBLE) / (2 * df{i} + 1)), 6)"
+        for i in (1, 2, 3)
+    }
+    w = {
+        i: f"(tf{i} * 2.2 / (tf{i} + 0.3 + 0.9 * (CAST(dl * g.n AS DOUBLE) / g.sumdl)))"
+        for i in (1, 2, 3)
+    }
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, {tf}, count(*) AS dl FROM toks GROUP BY doc_id),
+    d AS (SELECT {dfs} FROM toks),
+    g AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM tf)
+    SELECT doc_id,
+           round((({idf[1]} * {w[1]}) + ({idf[2]} * {w[2]})) + ({idf[3]} * {w[3]}), 4)
+             AS bm25
+    FROM tf, d, g
+    WHERE tf1 + tf2 + tf3 > 0
+    """
+
+
+@register("text_bm25", _bm25_sql())
+def text_bm25(spark, sf_dir):
+    """BM25(k1=1.2, b=0.75) relevance score for a fixed 3-term query.
+
+    All corpus statistics (N, Σdl, df_t) are two tiny broadcast scalars;
+    the per-doc pass is one hash aggregation over the exploded tokens —
+    at 100 TB the shuffle carries (doc_id, tf1..tf3, dl) only."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    tf_cols = [
+        F.count(F.when(F.col("t") == t, 1)).alias(f"tf{i}")
+        for i, t in enumerate(_BM25_TERMS, 1)
+    ]
+    tf = toks.groupBy("doc_id").agg(*tf_cols, F.count(F.lit(1)).alias("dl"))
+    d = toks.agg(
+        *[
+            F.countDistinct(F.when(F.col("t") == t, F.col("doc_id"))).alias(f"df{i}")
+            for i, t in enumerate(_BM25_TERMS, 1)
+        ]
+    )
+    g = tf.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sumdl"))
+    joined = tf.crossJoin(F.broadcast(d)).crossJoin(F.broadcast(g))
+
+    def idf(i):
+        ratio = (2 * F.col("n") - 2 * F.col(f"df{i}") + 1).cast("double") / (
+            2 * F.col(f"df{i}") + 1
+        )
+        return F.round(F.log(1 + ratio), 6)
+
+    def wgt(i):
+        norm = (F.col("dl") * F.col("n")).cast("double") / F.col("sumdl")
+        return (F.col(f"tf{i}") * 2.2) / (F.col(f"tf{i}") + 0.3 + 0.9 * norm)
+
+    score = (idf(1) * wgt(1) + idf(2) * wgt(2)) + idf(3) * wgt(3)
+    return (
+        joined.filter((F.col("tf1") + F.col("tf2") + F.col("tf3")) > 0)
+        .select("doc_id", F.round(score, 4).alias("bm25"))
     )
 
 

@@ -129,3 +129,21 @@ def test_cosine_similarity_bounds(spark):
     ).collect()[0]["s"]
     assert abs(sim_same - 1.0) < 1e-12
     assert abs(sim_opp + 1.0) < 1e-12
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from gravity_spark.functions.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    # singleton 20
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    vertices = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 10, 11, 20]], ["doc_id"]
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(edges, vertices).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
