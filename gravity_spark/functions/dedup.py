@@ -254,6 +254,53 @@ def connected_components(
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 
+def connected_components_bipartite(
+    members: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over doc↔bucket membership (bipartite form).
+
+    Docs sharing an LSH bucket are pairwise connected, so components of
+    the bipartite graph equal components of the materialized pair graph
+    — but the edge list is O(docs × bands) instead of O(Σ bucket²). On
+    clique-heavy corpora (the common near-dup case) that is the
+    difference between millions of pair edges and one row per (doc,
+    band). Alternating min-label rounds: bucket label = min over member
+    docs, doc label = min over its buckets; bucket vertices never
+    surface in the output so their ids never pollute the label space.
+    """
+    m = (
+        members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        m.select("v").distinct().withColumn("label", F.col("v").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        bucket_label = m.join(labels, "v").groupBy("bk").agg(F.min("label").alias("bl"))
+        neighbor_min = m.join(bucket_label, "bk").groupBy("v").agg(F.min("bl").alias("nl"))
+        labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
+
+
 def word_ngrams(text: Column, n: int = 3) -> Column:
     toks = tokenize(text)
     cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
