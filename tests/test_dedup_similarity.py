@@ -147,3 +147,20 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(edges, vertices).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_bipartite_matches_pairwise(spark):
+    from gravity_spark.functions.dedup import connected_components_bipartite
+
+    # buckets: {1,2} share b1; {2,3} share b2 (chain via buckets);
+    # {10,11} share b3; 20 has a private bucket (singleton)
+    members = spark.createDataFrame(
+        [(1, "b1"), (2, "b1"), (2, "b2"), (3, "b2"),
+         (10, "b3"), (11, "b3"), (20, "b4")],
+        ["doc_id", "bucket"],
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_bipartite(members).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
