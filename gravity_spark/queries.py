@@ -962,6 +962,66 @@ def dedup_components(spark, sf_dir):
     return comp.withColumn("csize", F.count(F.lit(1)).over(w))
 
 
+def _corpus_dedup_sql() -> str:
+    # components CTEs (recursive min-label) + the text_stats quality
+    # expression, composed: keep the best-quality doc per cluster
+    comp_body = _components_sql().strip()
+    # strip the final SELECT; keep WITH RECURSIVE ... comp AS (...)
+    cut = comp_body.rindex("SELECT doc_id, component")
+    with_ctes = comp_body[:cut].rstrip().rstrip(",")
+    return f"""
+    {with_ctes},
+    qb AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9[:space:]]', '', 'g')) AS BIGINT) AS p,
+             CAST(len({_TOKS}) AS BIGINT) AS t,
+             CAST(len(list_filter({_TOKS}, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) AS BIGINT) AS s
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(4 * least(n, 2000) * greatest(n, 1) * greatest(t, 1)
+                + 6000 * greatest(t, 1) * (greatest(n, 1) - p)
+                + 6000 * greatest(n, 1) * s AS DOUBLE)
+             / CAST(20000 * greatest(n, 1) * greatest(t, 1) AS DOUBLE) AS quality
+      FROM qb
+    ),
+    j AS (
+      SELECT c.doc_id, c.component, q.quality
+      FROM comp c JOIN q ON c.doc_id = q.doc_id
+    )
+    SELECT component, doc_id AS kept_doc_id, quality, csize FROM (
+      SELECT *,
+             row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS csize
+      FROM j
+    ) WHERE rn = 1
+    """
+
+
+@register("corpus_dedup_pipeline", _corpus_dedup_sql())
+def corpus_dedup_pipeline(spark, sf_dir):
+    """The end-to-end training-corpus dedup pipeline: LSH bucketing →
+    connected components → keep ONE representative per cluster, chosen
+    by quality score (ties → min doc_id). This is the actual keep/drop
+    decision a 100 TB corpus clean-up ships: every stage is the already-
+    audited distributed form (bipartite label propagation + one hash
+    aggregation for quality + one per-cluster window over cluster-sized
+    groups)."""
+    comp = dedup_components(spark, sf_dir).select("doc_id", "component", "csize")
+    quality = text_stats(spark, sf_dir).select("doc_id", "quality")
+    j = comp.join(quality, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component", F.col("doc_id").alias("kept_doc_id"), "quality", "csize"
+        )
+    )
+
+
 # Portable hash for cross-engine-deterministic sketching/sampling:
 # h(x) = (A·(x mod P)) mod P with P = 2^31-1 (Mersenne prime) and
 # A = Knuth's multiplicative constant. Products stay < 2^63, so the

@@ -21,7 +21,9 @@ from gravity_spark.queries import REGISTRY
 CROSS_OK = {"sim_bruteforce_topk"}
 #: streaming / side-effecting queries — skipped (plan built at runtime)
 SKIP = {"streaming_window_counts", "streaming_cdc_pipeline", "cdc_merge_replace",
-        "cdc_padder_backfill", "dedup_minhash_pairs"}
+        "cdc_padder_backfill", "dedup_minhash_pairs",
+        # run streams / iterative collects at build time
+        "streaming_stream_join", "dedup_components"}
 
 
 def main() -> None:
