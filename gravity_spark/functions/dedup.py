@@ -284,14 +284,20 @@ def connected_components_bipartite(
     for _ in range(max_iter):
         bucket_label = m.join(labels, "v").groupBy("bk").agg(F.min("label").alias("bl"))
         neighbor_min = m.join(bucket_label, "bk").groupBy("v").agg(F.min("bl").alias("nl"))
+        labels = labels.join(neighbor_min, "v", "left").select(
+            "v",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        # path compression (pointer doubling): label(v) <- label(label(v)).
+        # Neighbor-min alone needs O(diameter) rounds on chain-shaped
+        # graphs; compressing through the label forest each round bounds
+        # convergence by O(log n) regardless of chain length.
+        l2 = labels.select(F.col("v").alias("v2"), F.col("label").alias("label2"))
         labels = (
-            labels.join(neighbor_min, "v", "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                    "label"
-                ),
-            )
+            labels.join(l2, labels.label == l2.v2, "left")
+            .select("v", F.coalesce(F.col("label2"), F.col("label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
