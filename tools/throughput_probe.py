@@ -60,9 +60,12 @@ def main() -> None:
             "seq",
         )
 
+    from gravity_spark.queries import _stream_conf
+
     t0 = time.time()
-    q = run_stream(changes, target, typed, f"{tmp}/ckpt", trigger_once=True)
-    q.awaitTermination(600)
+    with _stream_conf(spark):
+        q = run_stream(changes, target, typed, f"{tmp}/ckpt", trigger_once=True)
+        q.awaitTermination(600)
     elapsed = time.time() - t0
     out_rows = target.read().count()
 
