@@ -47,6 +47,14 @@ def main() -> None:
                 break
             finally:
                 spark.catalog.clearCache()  # queries persist intermediates
+                # localCheckpoint blocks are RDD-level, invisible to
+                # clearCache — free them so one query's state can't
+                # push a later query's sort into spill
+                jmap = spark.sparkContext._jsc.getPersistentRDDs()
+                for rid in list(jmap.keySet().toArray()):
+                    rdd = jmap.get(rid)
+                    if rdd is not None:
+                        rdd.unpersist(False)
         timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)

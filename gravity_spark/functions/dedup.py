@@ -197,6 +197,25 @@ def simhash_pairs(
     )
 
 
+def _persistent_rdd_ids(df: DataFrame) -> set[int]:
+    sc = df.sparkSession.sparkContext
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_rdds(df: DataFrame, ids: set[int]) -> None:
+    """Free localCheckpoint blocks by RDD id. Dataset.unpersist() only
+    talks to the SQL cache manager; checkpoint storage is RDD-level and
+    would otherwise pin executor memory until JVM GC gets around to it
+    (observed: stale checkpoints from earlier queries pushing a later
+    window sort into spill, 3.5 s → 28 s)."""
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in ids:
+        rdd = jmap.get(rid)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -223,15 +242,18 @@ def connected_components(
     "Connected Components in MapReduce and Beyond", SoCC'14) — same
     per-round shuffle shape, O(log n) rounds.
     """
+    base_ids = _persistent_rdd_ids(edges)
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     sym = sym.distinct().localCheckpoint(eager=True)
+    keep_ids = _persistent_rdd_ids(sym) - base_ids  # sym, reused every round
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
+        stale = _persistent_rdd_ids(labels) - base_ids - keep_ids
         neighbor_min = (
             sym.join(labels, sym.src == labels.v)
             .groupBy(F.col("dst").alias("v"))
@@ -248,9 +270,11 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        _unpersist_rdds(labels, stale)  # prior rounds, superseded now
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    _unpersist_rdds(labels, keep_ids)
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 
@@ -271,17 +295,20 @@ def connected_components_bipartite(
     docs, doc label = min over its buckets; bucket vertices never
     surface in the output so their ids never pollute the label space.
     """
+    base_ids = _persistent_rdd_ids(members)
     m = (
         members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    keep_ids = _persistent_rdd_ids(m) - base_ids  # m, reused every round
     labels = (
         m.select("v").distinct().withColumn("label", F.col("v").cast("long"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
+        stale = _persistent_rdd_ids(labels) - base_ids - keep_ids
         bucket_label = m.join(labels, "v").groupBy("bk").agg(F.min("label").alias("bl"))
         neighbor_min = m.join(bucket_label, "bk").groupBy("v").agg(F.min("bl").alias("nl"))
         labels = labels.join(neighbor_min, "v", "left").select(
@@ -301,9 +328,11 @@ def connected_components_bipartite(
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        _unpersist_rdds(labels, stale)  # prior rounds, superseded now
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    _unpersist_rdds(labels, keep_ids)
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 
