@@ -89,3 +89,62 @@ def sessionize_stateful(
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    wire protocol; absent in some runtimes, so the operator is gated."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_counts_stateful(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key running event count via transformWithStateInPandas —
+    Spark 4's typed stateful-processor API (ValueState handle), the
+    successor slot for the reference's arbitrary-stateful-plugin
+    surface alongside applyInPandasWithState. Emits one (key, n_events)
+    row per key per trigger with the cumulative count.
+
+    Requires protobuf at runtime (check transform_with_state_available()
+    first); sessionize_stateful covers the same slot without it."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", T.StructType([T.StructField("n", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._count.get()[0] if self._count.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._count.update((n,))
+            yield pd.DataFrame({key_col: [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -63,3 +63,23 @@ def test_sessionize_stateful(spark, tmp_path):
     # user 1: 10:00+10:10 one session, 13:00 second session
     assert rows[1]["n_sessions"] == 2 and rows[1]["n_events"] == 3
     assert rows[2]["n_sessions"] == 1
+
+
+def test_running_counts_transform_with_state(spark, tmp_path):
+    import pytest
+
+    from gravity_spark.streaming.windows import (
+        running_counts_stateful,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("protobuf not installed: transformWithStateInPandas unavailable")
+
+    stream = _events_stream(spark, tmp_path, ROWS)
+    out = running_counts_stateful(stream)
+    q = (out.writeStream.format("memory").queryName("rcs")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    counts = {r["user_id"]: r["n_events"] for r in spark.table("rcs").collect()}
+    assert counts == {1: 3, 2: 1}
