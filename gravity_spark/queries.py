@@ -86,6 +86,37 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _money_sum(expr, out: str):
+    """Exact distributed money sum: round each row's 4-decimal product
+    to a fixed-point integer, sum as BIGINT (order-independent — no
+    float accumulation), then round to cents in PURE INTEGER SPACE
+    ((fp+50) // 100) and divide the exact cent count by 100.0 once.
+
+    Two float traps this avoids: (1) distributed double sums reorder vs
+    DuckDB's sequential fold, flipping round(sum,2) on half-cent
+    boundaries; (2) Spark's round(double) rounds the SHORTEST decimal
+    representation (BigDecimal.valueOf) while DuckDB rounds the true
+    binary value — they disagree exactly on the x.xx5 landings fixed-
+    point sums produce constantly. Oracle mirror:
+    ((sum(CAST(round(expr*10000) AS BIGINT)) + 50) // 100) / 100.0."""
+    fp = F.sum(F.round(expr * 10000, 0).cast("long")) + 50
+    cents = ((fp - fp % 100) / 100).cast("long")  # exact: multiple-of-100 / 100
+    return (cents / 100.0).alias(out)
+
+
+def _fp_to_money(fp_col):
+    """10^-4 fixed-point BIGINT → money double, half-up in integer space
+    (oracle mirror: ((fp + 50) // 100) / 100.0)."""
+    a = fp_col + 50
+    return ((a - a % 100) / 100).cast("long") / 100.0
+
+
+def _div7_cents(cents_col):
+    """round(cents/7) in pure integers: (2c+7) // 14, then /100.0."""
+    a = 2 * cents_col + 7
+    return ((a - a % 14) / 14).cast("long") / 100.0
+
+
 # =====================================================================
 # §A  TPC-H-style analytics over replicated tables (SURVEY §7 M6)
 # =====================================================================
@@ -199,6 +230,791 @@ def q5_region_revenue(spark, sf_dir):
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH shipped AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), cand AS (
+      SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name
+      FROM shipped
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_type = 'STANDARD' AND p_size < 25 AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_name, s_acctbal, n_name
+    FROM cand c
+    WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2
+                       WHERE c2.p_partkey = c.p_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted to the reduced schema (no partsupp /
+    ps_supplycost): the correlated best-supplier-per-part subquery is
+    kept, with "suppliers who actually shipped the part" (distinct
+    lineitem pairs) standing in for partsupp and max(s_acctbal) for
+    min(ps_supplycost). Spark side: window max over the candidate set —
+    one shuffle, dims broadcast."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 25)
+    )
+    sup = T(spark, sf_dir, "supplier")
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sdim = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(sdim, li.l_suppkey == sdim.s_suppkey)
+        .select("p_partkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("max_bal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("max_bal"))
+        .drop("max_bal")
+    )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 adapted (no l_commitdate/l_receiptdate): "late" means
+    shipped >30 days after the order date. The EXISTS becomes a
+    left-semi join with a compound condition — no row duplication, no
+    distinct needed."""
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = T(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT ((sum(CAST(round(l_extendedprice * l_discount * 10000)
+                  AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 verbatim: pure filter-scan + single agg — the pushdown
+    showcase (all three predicates reach the parquet reader)."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           ((sum(volume) + 50) // 100) / 100.0 AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS volume
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+          OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 (nation pair trade volume by year). supplier+nation and
+    customer+nation are both broadcast dims; lineitem⋈orders is the one
+    big shuffle."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    orders = T(spark, sf_dir, "orders")
+    nat = T(spark, sf_dir, "nation")
+    sup = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        T(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                          ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share within a region's market).
+    Ratio determinism: numerator and denominator are each rounded to
+    cents, then one double division, then round(6) — bit-identical
+    cross-engine (see module docstring)."""
+    li = T(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    )
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    sup = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        T(spark, sf_dir, "customer")
+        .join(nat.alias("n1"), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(reg, F.col("n1.n_regionkey") == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    orders = T(spark, sf_dir, "orders")
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0)))
+    den = F.sum(vol)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+           ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget'
+    GROUP BY supp_nation, o_year
+    """,
+)
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 adapted (no ps_supplycost ⇒ profit = discounted
+    revenue): per supplier-nation per order-year for one product line."""
+    li = T(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget")).select("p_partkey")
+    )
+    nat = T(spark, sf_dir, "nation")
+    sup = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = T(spark, sf_dir, "orders")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= DATE '1999-10-01' AND o_orderdate < DATE '2000-01-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (revenue lost to returns, per customer, one quarter)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("date"))
+    )
+    nat = T(spark, sf_dir, "nation")
+    cust = F.broadcast(
+        T(spark, sf_dir, "customer")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH scoped AS (
+      SELECT l_partkey, CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS v
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 2
+    )
+    SELECT l_partkey, ((sum(v) + 50) // 100) / 100.0 AS part_value
+    FROM scoped
+    GROUP BY l_partkey
+    HAVING 2 * sum(v) * (SELECT count(DISTINCT l_partkey) FROM scoped) >
+           3 * (SELECT sum(v) FROM scoped)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 adapted (no partsupp): "important" parts are those
+    whose discounted revenue from one region's suppliers exceeds 1.5×
+    the mean per-part share — a scalar-subquery HAVING, sf-invariant
+    (unlike Q11's fixed fraction, which dilutes as part count grows).
+    Determinism: threshold = 1.5 * rounded total / exact distinct
+    count, identical arithmetic in both engines."""
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    sup = F.broadcast(
+        T(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    scoped = li.join(sup, li.l_suppkey == sup.s_suppkey).select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+        ).cast("long").alias("v"),
+    )
+    totals = F.broadcast(
+        scoped.agg(
+            F.sum("v").alias("total_v"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )
+    # threshold in pure integers: value > 1.5*total/n  ⇔  2*value*n > 3*total
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum("v").alias("vsum"))
+        .crossJoin(totals)
+        .filter(2 * F.col("vsum") * F.col("n_parts") > 3 * F.col("total_v"))
+        .select("l_partkey", _fp_to_money(F.col("vsum")).alias("part_value"))
+    )
+
+
+@register(
+    "q12_late_shipping",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipping(spark, sf_dir):
+    """TPC-H Q12 adapted (no l_shipmode/l_commitdate): priority mix of
+    late-shipped lineitems (>60 days after order) per return flag."""
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 (customer order-count histogram; the left join keeps
+    zero-order customers, the ON-clause filter must not drop them)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) ELSE 0 END)
+                 / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)), 6)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14 (promo revenue share, one month). Same rounded-
+    rational determinism as q8."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("date"))
+    )
+    part = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+    ).cast("long")
+    num = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0)))
+    den = F.sum(vol)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(F.round(F.lit(100.0) * num / den, 6).alias("promo_revenue"))
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_fp
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ((rev_fp + 50) // 100) / 100.0 AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE rev_fp = (SELECT max(rev_fp) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue; ties all kept, as
+    in the spec's view formulation). Max is taken over already-rounded
+    revenues so the cross-engine comparison is exact."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000, 0
+            ).cast("long")
+        ).alias("rev_fp")
+    )
+    mx = F.broadcast(rev.agg(F.max("rev_fp").alias("mx")))
+    sup = F.broadcast(T(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.crossJoin(mx)
+        .filter(F.col("rev_fp") == F.col("mx"))
+        .join(sup, F.col("supplier_no") == sup.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", _fp_to_money(F.col("rev_fp")).alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) shipped
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 adapted (partsupp ⇒ distinct shipped pairs): how many
+    suppliers can furnish each surviving (brand, type, size) bucket."""
+    shipped = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    part = F.broadcast(
+        T(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#13")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+    )
+    return (
+        shipped.join(part, shipped.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH stats AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS sq, count(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ((2 * sum(CAST(round(l_extendedprice * 100) AS BIGINT)) + 7) // 14)
+           / 100.0 AS avg_yearly
+    FROM lineitem
+    JOIN part  ON l_partkey = p_partkey
+    JOIN stats ON l_partkey = pk
+    WHERE p_brand IN ('Brand#13', 'Brand#19')
+      AND l_quantity * 5 * cnt < sq
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (revenue from unusually small orders). The correlated
+    avg subquery (qty < 0.2*avg per part) is rewritten as the exact
+    integer comparison qty*5*cnt < sum_qty — l_quantity is integral, so
+    both sides are exact doubles and the threshold can't drift between
+    engines. Spark side: per-part stats via one groupBy, re-joined."""
+    li = T(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sq"), F.count(F.lit(1)).alias("cnt")
+    )
+    part = F.broadcast(
+        T(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#13", "Brand#19"))
+        .select("p_partkey")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(stats, li.l_partkey == stats.pk)
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("sc"))
+        .select(_div7_cents(F.col("sc")).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_name, c_custkey, o_orderkey, epoch(o_orderdate) AS odate_epoch,
+           o_totalprice, sum(l_quantity) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    GROUP BY c_name, c_custkey, o_orderkey, odate_epoch, o_totalprice
+    """,
+)
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 (large-volume orders; threshold 250 sized to the
+    synthetic order-size distribution). Quantity sums are integral ⇒
+    exact. Order date is emitted as epoch seconds (timezone-free)."""
+    li = T(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).filter(
+        F.col("sum_qty") > 250
+    )
+    orders = T(spark, sf_dir, "orders")
+    cust = F.broadcast(T(spark, sf_dir, "customer").select("c_custkey", "c_name"))
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("odate_epoch"),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    """
+    SELECT ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) + 50) // 100) / 100.0 AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#5'  AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 (OR-of-ANDs "promo basket" predicate, adapted to the
+    reduced schema: size ranges stand in for container classes). One
+    broadcast join; the disjunction stays a single JVM filter."""
+    li = T(spark, sf_dir, "lineitem")
+    part = F.broadcast(T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & q.between(1, 21))
+        | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(1, 25) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(1, 35) & q.between(20, 40))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'large%'
+        AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 150
+    )
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 adapted (no ps_availqty): suppliers who moved >150
+    units of one product line in a window — IN-subquery ⇒ left-semi
+    join on an aggregated, broadcast-able key set."""
+    part = F.broadcast(
+        T(spark, sf_dir, "part").filter(F.col("p_name").like("large%")).select("p_partkey")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    movers = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_suppkey")
+    )
+    sup = T(spark, sf_dir, "supplier")
+    return sup.join(
+        F.broadcast(movers), sup.s_suppkey == movers.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 adapted ("late" = shipped >45 days after order date,
+    standing in for receipt>commit): the sole late supplier on a
+    finished multi-supplier order. EXISTS/NOT-EXISTS become left-semi /
+    left-anti self-joins on (orderkey, suppkey-mismatch [, lateness])."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = T(spark, sf_dir, "lineitem")
+    l1 = (
+        li.alias("l1")
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .filter(F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+        .select(
+            F.col("l1.l_orderkey").alias("orderkey"),
+            F.col("l1.l_suppkey").alias("suppkey"),
+            "o_orderdate",
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("orderkey") == F.col("k2")) & (F.col("suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("orderkey") == F.col("k3"))
+            & (F.col("suppkey") != F.col("s3"))
+            & (F.col("ship3") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")),
+            "left_anti",
+        )
+    )
+    sup = F.broadcast(T(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        waiting.join(sup, F.col("suppkey") == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_acctbal
+      FROM customer WHERE c_nationkey % 5 IN (0, 2, 3)
+    ), avg_pos AS (
+      SELECT sum(bal_cents) AS total_cents, count(*) AS n
+      FROM pool WHERE bal_cents > 0
+    )
+    SELECT cntrycode, count(*) AS numcust,
+           sum(bal_cents) / 100.0 AS totacctbal
+    FROM pool, avg_pos
+    WHERE bal_cents * n > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = pool.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 adapted (no c_phone ⇒ country code = nationkey mod 5;
+    every synthetic customer has orders ⇒ "dormant since 1999" replaces
+    "never ordered"). The above-average-balance comparison runs in
+    exact integer cents (bal*n > total) so the scalar-subquery
+    threshold can't drift between engines."""
+    cust = T(spark, sf_dir, "customer").filter(
+        (F.col("c_nationkey") % 5).isin(0, 2, 3)
+    )
+    pool = cust.select(
+        "c_custkey",
+        (F.col("c_nationkey") % 5).alias("cntrycode"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+    )
+    avg_pos = F.broadcast(
+        pool.filter(F.col("bal_cents") > 0).agg(
+            F.sum("bal_cents").alias("total_cents"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    recent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
+    return (
+        pool.crossJoin(avg_pos)
+        .filter(F.col("bal_cents") * F.col("n") > F.col("total_cents"))
+        .join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
         )
     )
 
