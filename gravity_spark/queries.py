@@ -3682,6 +3682,261 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media).select("media_id", "kind", "n_bytes", "payload_sha")
 
 
+# =====================================================================
+# §F  Event-analytics battery: funnel / retention / gap-fill / anomaly
+#     (the "analytics engine" face of the rebuild — each is one shuffle
+#     on user_id or one hash agg; all corpus-level scalars broadcast)
+# =====================================================================
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH w1 AS (
+      SELECT user_id, event_type, ts,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS st
+      FROM events
+    ), w2 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND ts > st THEN ts END)
+                  OVER (PARTITION BY user_id) AS ct
+      FROM w1
+    ), w3 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > ct THEN ts END)
+                  OVER (PARTITION BY user_id) AS pt
+      FROM w2
+    )
+    SELECT count(DISTINCT CASE WHEN st IS NOT NULL THEN user_id END) AS n_signup,
+           count(DISTINCT CASE WHEN ct IS NOT NULL THEN user_id END) AS n_click_after,
+           count(DISTINCT CASE WHEN pt IS NOT NULL THEN user_id END) AS n_purchase_after
+    FROM w3
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered 3-step funnel (signup → later click → later purchase) in
+    ONE shuffle: three chained unbounded windows over the same user_id
+    partitioning (Catalyst plans them inside a single Window stage — no
+    re-exchange), then a global conditional count-distinct. The classic
+    alternative (three self-joins on user_id) shuffles events three
+    times; this shape scales linearly in events per user."""
+    ev = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "st", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "ct",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("st")), F.col("ts"))
+        ).over(w),
+    )
+    df = df.withColumn(
+        "pt",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ct")), F.col("ts")
+            )
+        ).over(w),
+    )
+    return df.agg(
+        F.countDistinct(F.when(F.col("st").isNotNull(), F.col("user_id"))).alias("n_signup"),
+        F.countDistinct(F.when(F.col("ct").isNotNull(), F.col("user_id"))).alias("n_click_after"),
+        F.countDistinct(F.when(F.col("pt").isNotNull(), F.col("user_id"))).alias(
+            "n_purchase_after"
+        ),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH wk AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+      FROM events
+    ), fw AS (
+      SELECT user_id, week, min(week) OVER (PARTITION BY user_id) AS w0 FROM wk
+    )
+    SELECT w0 AS cohort_week, week - w0 AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM fw GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-activity week
+    (epoch-week integer — timezone-free, identical in both engines),
+    counted distinct at each later week offset. One shuffle on user_id
+    (window min), one hash agg; no join back to the event stream."""
+    ev = T(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 604800").alias("week")
+    )
+    w0 = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        wk.withColumn("w0", w0)
+        .groupBy(
+            F.col("w0").alias("cohort_week"),
+            (F.col("week") - F.col("w0")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "events_gapfill",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(hb) AS lo, max(hb) AS hi FROM b GROUP BY 1
+    ), grid AS (
+      SELECT event_type, unnest(generate_series(lo, hi)) AS hb FROM span
+    )
+    SELECT g.event_type, g.hb AS hour_bucket, coalesce(b.n, 0) AS n_events
+    FROM grid g LEFT JOIN b ON g.event_type = b.event_type AND g.hb = b.hb
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Time-series gap fill (hypertable `time_bucket_gapfill`): hourly
+    event counts densified so silent hours appear as zero rows. The
+    dense grid is generated FROM THE AGGREGATE (sequence(min,max) per
+    type, exploded) — never from the raw stream — so the left join runs
+    on two already-tiny aggregated sides and broadcasts at any scale."""
+    ev = T(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = b.groupBy("event_type").agg(F.min("hb").alias("lo"), F.max("hb").alias("hi"))
+    grid = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("hb")
+    )
+    return grid.join(b, ["event_type", "hb"], "left").select(
+        "event_type",
+        F.col("hb").alias("hour_bucket"),
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, count(*) AS cnt, sum(n) AS sn, sum(n * n) AS sn2
+      FROM b GROUP BY 1
+    )
+    SELECT b.event_type, b.hb AS hour_bucket, b.n AS n_events,
+           round((b.n - CAST(s.sn AS DOUBLE) / s.cnt)
+                 / sqrt((CAST(s.cnt * s.sn2 - s.sn * s.sn AS DOUBLE))
+                        / (s.cnt * s.cnt)), 6) AS z
+    FROM b JOIN s ON b.event_type = s.event_type
+    WHERE s.cnt * s.sn2 - s.sn * s.sn > 0
+      AND abs(round((b.n - CAST(s.sn AS DOUBLE) / s.cnt)
+                    / sqrt((CAST(s.cnt * s.sn2 - s.sn * s.sn AS DOUBLE))
+                           / (s.cnt * s.cnt)), 6)) >= 2.0
+    """,
+)
+def events_anomaly_zscore(spark, sf_dir):
+    """Statistical anomaly detection on the hourly event-rate series:
+    population z-score per (type, hour), flag |z| ≥ 2. Float
+    determinism: count/sum/sum-of-squares are EXACT BIGINTs, variance is
+    one integer expression divided once, and both engines evaluate the
+    same IEEE expression tree (div + sqrt are correctly rounded) — so
+    round(z, 6) is bit-identical. Stats side is per-type scalars
+    (broadcast); the series never re-shuffles."""
+    ev = T(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    j = b.join(F.broadcast(s), "event_type")
+    var_num = F.col("cnt") * F.col("sn2") - F.col("sn") * F.col("sn")
+    mean = F.col("sn").cast("double") / F.col("cnt")
+    z = F.round(
+        (F.col("n") - mean)
+        / F.sqrt(var_num.cast("double") / (F.col("cnt") * F.col("cnt"))),
+        6,
+    )
+    return (
+        j.filter(var_num > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.0)
+        .select(
+            "event_type",
+            F.col("hb").alias("hour_bucket"),
+            F.col("n").alias("n_events"),
+            "z",
+        )
+    )
+
+
+@register(
+    "perplexity_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), cf AS (
+      SELECT t, count(*) AS c FROM toks GROUP BY t
+    ), tot AS (
+      SELECT sum(c) AS total FROM cf
+    ), scored AS (
+      SELECT toks.doc_id,
+             sum(-CAST(round(round(ln(CAST(cf.c AS DOUBLE) / tot.total), 6)
+                             * 1000000) AS BIGINT)) AS sp_micro_sum,
+             count(*) AS dl
+      FROM toks JOIN cf ON toks.t = cf.t CROSS JOIN tot
+      GROUP BY toks.doc_id
+    )
+    SELECT doc_id, sp_micro_sum // dl AS avg_surprisal_micro,
+           CASE WHEN sp_micro_sum // dl <= 3800000 THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+)
+def perplexity_filter(spark, sf_dir):
+    """CCNet-style LM quality filter: per-doc mean unigram log-prob
+    under the corpus LM; low-likelihood (gibberish-ish) docs flagged
+    drop. Scale shape: the unigram table is a broadcast dim (vocab ≪
+    corpus), the doc pass is one hash agg over exploded tokens. Float
+    determinism: ln() rounded to 6dp at the source (libm-vs-JVM last
+    ulp), scaled to integer micro-SURPRISAL (positive, so Spark's
+    truncating `div` equals DuckDB's flooring `//`), summed exactly
+    (order-free), divided in integer space — no float accumulation."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    cf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cf.agg(F.sum("c").alias("total"))
+    sp_micro = -F.round(
+        F.round(F.log(F.col("c").cast("double") / F.col("total")), 6) * 1000000, 0
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(cf), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(sp_micro).alias("sp_micro_sum"),
+            F.count(F.lit(1)).alias("dl"),
+        )
+    )
+    avg = F.expr("sp_micro_sum div dl")
+    return scored.select(
+        "doc_id",
+        avg.alias("avg_surprisal_micro"),
+        F.when(avg <= 3800000, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
