@@ -3937,6 +3937,79 @@ def perplexity_filter(spark, sf_dir):
     )
 
 
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    ng AS (
+      SELECT doc_id, array_to_string(tk[i:i+3], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 3)) AS t(i)
+      WHERE len(tk) >= 4
+    ),
+    ev AS (SELECT DISTINCT g FROM ng WHERE doc_id % 97 = 0)
+    SELECT ng.doc_id, count(DISTINCT ng.g) AS n_shared
+    FROM ng JOIN ev USING (g)
+    WHERE ng.doc_id % 97 <> 0
+    GROUP BY ng.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any 4-gram
+    with the held-out eval slice (doc_id % 97 — stand-in for a benchmark
+    suite). Scale shape: the eval side is distinct 4-grams of a SMALL
+    fixed set → broadcast; the training side streams through one
+    explode + broadcast-hash-join + hash agg, never shuffling raw text.
+    At 100 TB the eval n-gram set stays a few MB (the benchmark suite
+    doesn't grow with the corpus)."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.tokenize(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 4
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 3),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 4)),
+    )
+    ng = d.select("doc_id", F.explode(grams).alias("g"))
+    ev = ng.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    return (
+        ng.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    g AS (SELECT sum(n) AS total, count(*) AS k FROM s)
+    SELECT source, n AS n_docs,
+           round(CAST(total AS DOUBLE) / (k * n), 6) AS weight
+    FROM s, g
+    """,
+)
+def corpus_mixture_weights(spark, sf_dir):
+    """Domain-mixing weights for training-data sampling: per-source
+    resampling weight that would equalize the mixture (target uniform
+    share / actual share). Exact integer rational with ONE double
+    division at the end — bit-identical cross-engine. One hash agg;
+    corpus totals are a broadcast scalar."""
+    docs = T(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    g = s.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    return (
+        s.crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.round(
+                F.col("total").cast("double") / (F.col("k") * F.col("n")), 6
+            ).alias("weight"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
