@@ -5,7 +5,15 @@ Pumps the sf events table through the full streaming path (envelope
 adapter → filter chain → LWW collapse → merge target) and reports
 end-to-end rows/sec. Usage:
 
-    python tools/throughput_probe.py [sf_dir]
+    python tools/throughput_probe.py [sf_dir] [multiplier]
+
+A multiplier N > 1 replicates the events file N× (hard links in a temp
+dir) so the single trigger processes N× the rows — separating the fixed
+micro-batch startup cost (~3 s, amortized away at scale) from the
+marginal per-row cost, which is the number that extrapolates to a real
+cluster. The copies are exact replicas, so the LWW collapse sees N
+changes per (key, seq) — the worst case for the collapse window — and
+the merged key set stays identical to the 1× run (idempotence check).
 """
 
 from __future__ import annotations
@@ -29,15 +37,25 @@ from gravity_spark.operators.filters import apply_filter_chain
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     spark = get_spark("throughput_probe")
     n_rows = T(spark, sf_dir, "events").count()
+
+    src_dir = sf_dir
+    if mult > 1:
+        import os
+
+        src_dir = tempfile.mkdtemp(prefix="throughput_in_")
+        for i in range(mult):
+            os.link(f"{sf_dir}/events.parquet", f"{src_dir}/events_{i:03d}.parquet")
+        n_rows *= mult
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", "events*.parquet")
+        .load(src_dir)
     )
     for f_ in stream.schema.fields:
         if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
