@@ -24,14 +24,29 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_id: str,
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join; returns all left columns + ``right_id``."""
+    """As-of join; returns all left columns + ``right_id``.
+
+    direction='backward' (default): greatest (right_ts, right_id) with
+    right_ts <= left_ts. direction='forward': least (right_ts, right_id)
+    with right_ts >= left_ts (pandas merge_asof parity). With
+    ``tolerance_seconds``, matches farther than the tolerance from the
+    left timestamp are nulled out — same union-sort pass, the matched
+    right timestamp rides along in a struct, so tolerance costs nothing
+    extra."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     left_cols = left.columns
+    rid_t = right.schema[right_id].dataType
+    rts_t = right.schema[right_ts].dataType
     l = left.select(
         *left_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        F.lit(None).cast(right.schema[right_id].dataType).alias("__rid"),
+        F.lit(None).cast(rid_t).alias("__rid"),
+        F.lit(None).cast(rts_t).alias("__rts"),
     )
     r = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c != on],
@@ -39,18 +54,56 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.col(right_id).alias("__rid"),
+        F.col(right_ts).alias("__rts"),
     ).select(*l.columns)  # align column order
 
     unioned = l.unionByName(r)
-    # right rows sort before left rows at equal ts (inclusive bound);
-    # among right rows at equal ts the highest id wins (last in order)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__rid").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts (inclusive
+        # bound); among right rows at equal ts the highest id wins
+        # (last in order); pick = last non-null looking backward
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("__ts"), F.col("__is_left"), F.col("__rid").asc_nulls_first())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick_id = F.last("__rid", ignorenulls=True).over(w)
+        pick_ts = F.last("__rts", ignorenulls=True).over(w)
+        within = (
+            None
+            if tolerance_seconds is None
+            else (F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__mts")))
+            <= tolerance_seconds
+        )
+    else:
+        # left rows sort before right rows at equal ts (inclusive
+        # bound); among right rows at equal ts the lowest id wins
+        # (first in order); pick = first non-null looking forward
+        w = (
+            Window.partitionBy(on)
+            .orderBy(
+                F.col("__ts"), F.col("__is_left").desc(), F.col("__rid").asc_nulls_last()
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick_id = F.first("__rid", ignorenulls=True).over(w)
+        pick_ts = F.first("__rts", ignorenulls=True).over(w)
+        within = (
+            None
+            if tolerance_seconds is None
+            else (F.unix_timestamp(F.col("__mts")) - F.unix_timestamp(F.col("__ts")))
+            <= tolerance_seconds
+        )
+    out = unioned.withColumn("__mid", pick_id).withColumn("__mts", pick_ts)
+    if within is not None:
+        out = out.withColumn(
+            "__mid", F.when(within, F.col("__mid")).otherwise(F.lit(None).cast(rid_t))
+        )
+    return (
+        out.filter(F.col("__is_left") == 1)
+        .withColumn(right_id, F.col("__mid"))
+        .select(*left_cols, right_id)
     )
-    out = unioned.withColumn(right_id, F.last("__rid", ignorenulls=True).over(w))
-    return out.filter(F.col("__is_left") == 1).select(*left_cols, right_id)
 
 
 def asof_join_pandas(

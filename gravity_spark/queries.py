@@ -4010,6 +4010,51 @@ def corpus_mixture_weights(spark, sf_dir):
     )
 
 
+@register(
+    "asof_join_next_purchase",
+    """
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         purch  AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id,
+           (SELECT p.event_id FROM purch p
+             WHERE p.user_id = c.user_id AND p.ts >= c.ts
+               AND CAST(floor(epoch(p.ts)) AS BIGINT)
+                   - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
+             ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS purchase_id
+    FROM clicks c
+    """,
+)
+def asof_join_next_purchase(spark, sf_dir):
+    """FORWARD as-of join with tolerance (pandas merge_asof parity):
+    each click picks the next purchase by the same user within one hour,
+    else NULL. Same union-sort implementation as the backward variant —
+    one shuffle on the key, linear work; the tolerance check rides the
+    matched timestamp through the window, costing nothing extra.
+    (One-sided tolerance keeps filter-then-pick ≡ pick-then-check: the
+    forward-nearest match minimizes the time gap, so if it's out of
+    tolerance every later candidate is too.)"""
+    from gravity_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    joined = asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_id="purchase_id",
+        direction="forward",
+        tolerance_seconds=3600,
+    )
+    return joined.select("click_id", "purchase_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 

@@ -36,3 +36,47 @@ def test_pandas_asof_key_with_no_right_rows(spark):
     )
     out = asof_join_pandas(left, right, on="k", left_ts="lts", right_ts="rts", right_id="rid")
     assert out.collect()[0]["rid"] is None
+
+
+def test_forward_asof_with_tolerance_brute_force(spark):
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, f"k{rng.randrange(5)}", base + dt.timedelta(minutes=rng.randrange(1000)))
+        for i in range(200)
+    ]
+    right_rows = [
+        (1000 + i, f"k{rng.randrange(5)}", base + dt.timedelta(minutes=rng.randrange(1000)))
+        for i in range(100)
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k string, lts timestamp")
+    right = spark.createDataFrame(right_rows, "rid long, k string, rts timestamp")
+    tol = 3600  # 60 minutes
+
+    got = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", right_id="rid",
+        direction="forward", tolerance_seconds=tol).collect()}
+
+    want = {}
+    for lid, k, lts in left_rows:
+        cands = [
+            (rts, rid) for rid, rk, rts in right_rows
+            if rk == k and rts >= lts
+            and (rts - lts).total_seconds() <= tol
+        ]
+        want[lid] = min(cands)[1] if cands else None
+    assert got == want
+
+
+def test_forward_asof_inclusive_equal_ts(spark):
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, "k", t)], "lid long, k string, lts timestamp")
+    right = spark.createDataFrame(
+        [(10, "k", t), (11, "k", t)], "rid long, k string, rts timestamp"
+    )
+    # equal timestamps are eligible forward matches; lowest rid wins
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", right_id="rid",
+        direction="forward",
+    ).collect()
+    assert out[0]["rid"] == 10
