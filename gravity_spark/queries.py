@@ -4055,6 +4055,87 @@ def asof_join_next_purchase(spark, sf_dir):
     return joined.select("click_id", "purchase_id")
 
 
+@register(
+    "train_val_test_split",
+    """
+    WITH h AS (
+      SELECT source,
+             (2654435761 * (doc_id % 2147483647)) % 2147483647 AS hv
+      FROM documents
+    ), s AS (
+      SELECT source,
+             CASE WHEN hv % 100 < 80 THEN 'train'
+                  WHEN hv % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM s GROUP BY source, split
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 corpus split via the portable integer
+    hash (A·x mod P — exact BIGINT in both engines): membership is a
+    pure function of doc_id, so the split is reproducible across runs,
+    engines, and cluster sizes, and new docs never reshuffle old ones.
+    One narrow projection + hash agg; no shuffle of document payloads."""
+    docs = T(spark, sf_dir, "documents")
+    hv = (F.lit(2654435761) * (F.col("doc_id") % 2147483647)) % 2147483647
+    split = (
+        F.when(hv % 100 < 80, F.lit("train"))
+        .when(hv % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM d
+    )
+    SELECT source, start_off // 2048 AS bin_id,
+           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM r GROUP BY source, bin_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM training (concat-and-chunk): documents
+    concatenate in deterministic doc_id order within each source stream
+    and are chunked into 2048-token bins; a doc's bin is its start
+    offset div 2048. One window running-sum per source partition (the
+    natural packing unit — at 100 TB each source shard packs
+    independently and in parallel), then a hash agg; all integers."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(tx.tokenize(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        r.groupBy("source", F.expr("start_off div 2048").alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
