@@ -4136,6 +4136,91 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+def _pagerank_sql(rounds: int = 3) -> str:
+    prev = "r0"
+    layers = []
+    for k in range(1, rounds + 1):
+        layers.append(
+            f"""r{k} AS (
+      SELECT d.node,
+             150000 + (850000 * coalesce(s.contrib, 0)) // 1000000 AS rank_micro
+      FROM deg d LEFT JOIN (
+        SELECT e.dst AS node, sum(p.rank_micro // pd.degree) AS contrib
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg pd ON e.src = pd.node
+        GROUP BY e.dst
+      ) s ON d.node = s.node
+    )"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+    ), deg AS (
+      SELECT src AS node, count(*) AS degree FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM deg
+    ), {', '.join(layers)}
+    SELECT (node - 1) // 2 AS suppkey, rank_micro
+    FROM {prev} WHERE node % 2 = 1
+    """
+
+
+@register("graph_pagerank_purchases", _pagerank_sql())
+def graph_pagerank_purchases(spark, sf_dir):
+    """Random-walk PageRank (damping 0.85, 3 fixed iterations) on the
+    undirected customer↔supplier purchase graph — link-graph centrality
+    of the kind web-crawl curation uses as a document-quality prior.
+    Entirely INTEGER arithmetic (micro-rank units, floor divisions) so
+    the result is bit-exact in both engines despite being an iterative
+    float-ish algorithm. Scale shape: per round one equi-join of the
+    edge list against the rank table + one hash agg — the same shuffle
+    profile as the label-propagation components operator; rank and
+    degree tables are O(nodes), edges never materialize pairs beyond the
+    input relation. Fixed rounds ⇒ no convergence collect in the loop."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+    ).unionAll(
+        pairs.select((2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("rank_micro"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(
+                deg.select(F.col("node").alias("dn"), "degree"),
+                F.col("src") == F.col("dn"),
+            )
+            .select("dst", F.expr("rank_micro div degree").alias("part"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("part").alias("contrib"))
+        )
+        ranks = deg.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(150000)
+                + F.expr("850000 * coalesce(contrib, 0) div 1000000")
+            ).cast("long").alias("rank_micro"),
+        )
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.expr("(node - 1) div 2").alias("suppkey"), "rank_micro"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
