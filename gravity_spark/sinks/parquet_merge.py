@@ -99,6 +99,21 @@ class ParquetMergeTarget:
             return self.spark.createDataFrame([], self.schema_ddl)
         return self.spark.read.parquet(os.path.join(self.path, f"p={value}", f"v{ver}"))
 
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: read a historical version (unpartitioned mode).
+
+        Every apply_batch writes a fresh immutable version dir and flips
+        the manifest pointer, so prior versions remain readable until
+        `vacuum` reclaims them — the same contract as Delta/Iceberg
+        `VERSION AS OF`. Raises FileNotFoundError for vacuumed or
+        never-written versions."""
+        if self.partition_col is not None:
+            raise ValueError("read_version applies to unpartitioned targets")
+        out = os.path.join(self.path, f"v{version}")
+        if not os.path.isdir(out):
+            raise FileNotFoundError(f"version {version} not present (vacuumed?)")
+        return self.spark.read.parquet(out)
+
     def apply_batch(self, changes: DataFrame, epoch_id: int | None = None) -> None:
         """Idempotent batch apply (safe for foreachBatch redelivery):
         merging an already-applied batch yields the same state.

@@ -104,3 +104,20 @@ def test_vacuum_keeps_current(spark, tmp_path):
     removed = tp.vacuum(keep_last=1)
     assert removed == 2
     assert [r["v"] for r in tp.read().collect()] == ["x2"]
+
+
+def test_time_travel_read_version(spark, tmp_path):
+    import pytest
+
+    t = ParquetMergeTarget(spark, str(tmp_path / "tt"), ["id"], "id long, v string")
+    for i in range(3):
+        t.apply_batch(
+            spark.createDataFrame([(1, f"v{i}", "update", i)],
+                                  "id long, v string, op string, seq long"), i)
+    # VERSION AS OF: each immutable version dir reflects state after batch i
+    assert [r["v"] for r in t.read_version(1).collect()] == ["v0"]
+    assert [r["v"] for r in t.read_version(2).collect()] == ["v1"]
+    assert [r["v"] for r in t.read().collect()] == ["v2"]
+    t.vacuum(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.read_version(1)
