@@ -1,0 +1,108 @@
+"""Runnable walkthrough: the full training-corpus curation pipeline.
+
+Chains the engine's training-data operators end-to-end over the sf0.001
+documents table and prints the survival funnel:
+
+    raw → near-dup dedup (MinHash-LSH + components, keep best per
+    cluster) → LM quality filter (unigram perplexity) → benchmark
+    decontamination (4-gram overlap vs the held-out slice) →
+    deterministic 80/10/10 split → 2048-token sequence packing.
+
+Every stage is the same audited distributed form the graded queries
+use; this script only composes them.
+
+    python examples/training_corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gravity_spark.queries import REGISTRY, T
+from gravity_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training_corpus_pipeline", cpus=8)
+    run = lambda name: REGISTRY[name].spark(spark, sf_dir)  # noqa: E731
+
+    docs = T(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. near-dup dedup: keep the best-quality doc of each cluster,
+    #    plus every unclustered doc
+    keep_rep = run("corpus_dedup_pipeline").select(
+        F.col("kept_doc_id").alias("doc_id")
+    )
+    clustered = run("dedup_components").select("doc_id")
+    survivors = docs.join(clustered, "doc_id", "left_anti").select("doc_id").union(
+        keep_rep
+    )
+    n_dedup = survivors.count()
+
+    # 2. LM quality filter
+    ppl = run("perplexity_filter")
+    survivors = survivors.join(ppl.filter(F.col("keep") == 1), "doc_id").select(
+        "doc_id"
+    )
+    n_quality = survivors.count()
+
+    # 3. benchmark decontamination: drop flagged overlaps and the eval
+    #    slice itself
+    contaminated = run("decontaminate_ngram_overlap").select("doc_id")
+    survivors = (
+        survivors.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    n_clean = survivors.count()
+
+    # 4. deterministic split (same hash as train_val_test_split)
+    hv = (F.lit(2654435761) * (F.col("doc_id") % 2147483647)) % 2147483647
+    split = (
+        F.when(hv % 100 < 80, F.lit("train"))
+        .when(hv % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    tagged = survivors.join(docs, "doc_id").withColumn("split", split)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # 5. pack the train split into 2048-token sequences per source
+    from gravity_spark.functions import text as tx
+
+    train = tagged.filter(F.col("split") == "train").select(
+        "source", "doc_id", F.size(tx.tokenize(F.col("text"))).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        train.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+        .groupBy("source", F.expr("start_off div 2048").alias("bin_id"))
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    n_bins = packed.count()
+    n_tokens = packed.agg(F.sum("n_tokens")).collect()[0][0]
+
+    print("corpus curation funnel")
+    print(f"  raw documents        {n_raw}")
+    print(f"  after near-dup dedup {n_dedup}")
+    print(f"  after quality filter {n_quality}")
+    print(f"  after decontaminate  {n_clean}")
+    print(f"  split                {split_counts}")
+    print(f"  packed train bins    {n_bins} bins / {n_tokens} tokens")
+
+
+if __name__ == "__main__":
+    main()
