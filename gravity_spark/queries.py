@@ -4221,6 +4221,105 @@ def graph_pagerank_purchases(spark, sf_dir):
     )
 
 
+def _zorder_terms(a: str, b: str, bits: int = 8, idiv: str = "//") -> str:
+    """Bit-interleave two already-normalized 0..2^bits-1 values via pure
+    integer arithmetic ((x idiv 2^i) % 2 · 2^k) — same semantics in both
+    engines; only the integer-division spelling differs (DuckDB `//`,
+    Spark SQL `div`)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a}) {idiv} {2 ** i}) % 2 * {2 ** (2 * i)}")
+        terms.append(f"(({b}) {idiv} {2 ** i}) % 2 * {2 ** (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_layout",
+    f"""
+    WITH mx AS (
+      SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem
+    ), z AS (
+      SELECT l_partkey, l_suppkey,
+             {_zorder_terms('(l_partkey * 256) // (mp + 1)',
+                            '(l_suppkey * 256) // (ms + 1)')} AS zval
+      FROM lineitem CROSS JOIN mx
+    )
+    SELECT zval // 256 AS zcluster,
+           count(*) AS n_rows,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+    FROM z GROUP BY zcluster
+    """,
+)
+def zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key for multi-dimensional data
+    layout — what Delta/Iceberg OPTIMIZE ZORDER computes so file
+    skipping works on BOTH l_partkey and l_suppkey predicates. Each
+    dimension is first normalized to 8 bits against its max (a 1-row
+    broadcast scalar — scale-invariant: ≤256 clusters at any SF), then
+    bit-interleaved with pure integer arithmetic (portable, bit-exact).
+    The per-cluster min/max ranges in the output are exactly the
+    zone-map bounds a writer would persist; at scale zval is the
+    repartitionByRange sort key, and either-column predicates prune
+    files."""
+    li = T(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    )
+    z = li.crossJoin(F.broadcast(mx)).select(
+        "l_partkey",
+        "l_suppkey",
+        F.expr(
+            _zorder_terms(
+                "(l_partkey * 256) div (mp + 1)",
+                "(l_suppkey * 256) div (ms + 1)",
+                idiv="div",
+            )
+        ).alias("zval"),
+    )
+    return (
+        z.groupBy(F.expr("zval div 256").alias("zcluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+@register(
+    "orders_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT cents // 2500000 AS bucket,
+           count(*) AS n_orders,
+           sum(cents) / 100.0 AS total_value
+    FROM c GROUP BY bucket
+    """,
+)
+def orders_histogram(spark, sf_dir):
+    """Equi-width value histogram ($25k buckets) over order totals —
+    binning in exact integer cents (both the bucket id and the
+    per-bucket sum), one double division at the end. One hash agg; the
+    classic profiling/zone-map statistic."""
+    orders = T(spark, sf_dir, "orders")
+    c = orders.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    return (
+        c.groupBy(F.expr("cents div 2500000").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("total_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
