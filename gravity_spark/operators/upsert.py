@@ -96,6 +96,26 @@ def merge_changes(
     raise ValueError(f"unknown engine {engine!r}")
 
 
+def merge_aggregate(
+    target: DataFrame,
+    partials: DataFrame,
+    key_cols: Sequence[str],
+    agg_cols: Sequence[str],
+) -> DataFrame:
+    """Additive merge for incremental aggregate maintenance
+    (continuous-aggregate / materialized-view upkeep): the target holds
+    per-key partial sums/counts and each batch contributes additive
+    partials. union + one hash re-aggregation — no join, map-side
+    combine, and the result is invariant to how the stream was split
+    into batches (addition commutes), which is what makes the streaming
+    rollup exactly-once under epoch-guarded apply."""
+    cols = list(key_cols) + list(agg_cols)
+    u = target.select(*cols).unionByName(partials.select(*cols))
+    return u.groupBy(*key_cols).agg(
+        *[F.sum(c).alias(c) for c in agg_cols]
+    )
+
+
 def merge_with_conflict_detect(
     target: DataFrame,
     changes: DataFrame,

@@ -4320,6 +4320,77 @@ def orders_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_incremental_rollup",
+    """
+    SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+           count(*) AS n_events,
+           sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micro
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_incremental_rollup(spark, sf_dir):
+    """Continuous-aggregate maintenance, run as a REAL multi-batch
+    stream: events are re-laid-out into 4 files, streamed 2 files per
+    micro-batch (2 epochs), and each epoch's per-(type, hour) additive
+    partials merge into an AggregateRollupTarget (union + one hash
+    re-agg; epoch-guarded exactly-once since addition isn't idempotent).
+    The oracle is the straight batch GROUP BY — additive merge is
+    batch-split invariant, so stream/batch parity holds whatever the
+    trigger carved. Sums are exact integer micro-units; no float
+    accumulation across epochs."""
+    import shutil
+    import tempfile
+
+    from gravity_spark.sinks.parquet_merge import AggregateRollupTarget
+
+    ev = T(spark, sf_dir, "events").select("event_type", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="rollup_")
+    try:
+        src = f"{tmp}/src"
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+        )
+        target = AggregateRollupTarget(
+            spark,
+            f"{tmp}/target",
+            ["event_type", "hb"],
+            ["n_events", "value_micro"],
+            "event_type string, hb long, n_events long, value_micro long",
+        )
+
+        def per_batch(df, epoch_id):
+            partial = df.groupBy(
+                "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias(
+                    "value_micro"
+                ),
+            )
+            target.apply_batch(partial, epoch_id)
+
+        with _stream_conf(spark):
+            q = (
+                stream.writeStream.foreachBatch(per_batch)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        # materialize before the temp dir vanishes
+        rows = target.read().collect()
+        return spark.createDataFrame(
+            rows, "event_type string, hb long, n_events long, value_micro long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 

@@ -244,3 +244,49 @@ class ParquetMergeTarget:
             for val, ver in m["partitions"].items():
                 removed += clean(os.path.join(self.path, f"p={val}"), ver)
         return removed
+
+
+class AggregateRollupTarget:
+    """Continuous-aggregate target: per-key ADDITIVE partials merged via
+    one union + re-aggregation per epoch (operators.upsert.
+    merge_aggregate). The manifest records the last applied epoch, so a
+    foreachBatch redelivery of the same epoch is a no-op — addition is
+    not idempotent, so exactly-once here is epoch-guarded rather than
+    merge-idempotent (the counterpart of the reference's position-flush
+    dedup, pkg/position_cache/cache.go:13).
+    """
+
+    def __init__(self, spark, path: str, key_cols, agg_cols, schema_ddl: str):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.agg_cols = list(agg_cols)
+        self.schema_ddl = schema_ddl
+        os.makedirs(path, exist_ok=True)
+
+    def _manifest(self) -> dict:
+        p = os.path.join(self.path, "_manifest.json")
+        if not os.path.exists(p):
+            return {"version": None, "epoch": None}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def read(self) -> DataFrame:
+        m = self._manifest()
+        if m["version"] is None:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        return self.spark.read.parquet(os.path.join(self.path, f"v{m['version']}"))
+
+    def apply_batch(self, partials: DataFrame, epoch_id: int) -> None:
+        from gravity_spark.operators.upsert import merge_aggregate
+
+        m = self._manifest()
+        if m["epoch"] is not None and epoch_id <= m["epoch"]:
+            return  # epoch already applied (redelivery after restart)
+        merged = merge_aggregate(self.read(), partials, self.key_cols, self.agg_cols)
+        next_v = (m["version"] or 0) + 1
+        merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v{next_v}"))
+        tmp = os.path.join(self.path, "_manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": next_v, "epoch": epoch_id}, fh)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))

@@ -121,3 +121,17 @@ def test_time_travel_read_version(spark, tmp_path):
     t.vacuum(keep_last=1)
     with pytest.raises(FileNotFoundError):
         t.read_version(1)
+
+
+def test_aggregate_rollup_epoch_guard(spark, tmp_path):
+    from gravity_spark.sinks.parquet_merge import AggregateRollupTarget
+
+    t = AggregateRollupTarget(
+        spark, str(tmp_path / "agg"), ["k"], ["n"], "k string, n long"
+    )
+    batch = spark.createDataFrame([("a", 2), ("b", 1)], "k string, n long")
+    t.apply_batch(batch, epoch_id=0)
+    t.apply_batch(batch, epoch_id=0)  # redelivery: must be a no-op
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 2, "b": 1}
+    t.apply_batch(batch, epoch_id=1)  # new epoch: accumulates
+    assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 4, "b": 2}
