@@ -21,7 +21,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from gravity_spark.queries import REGISTRY, T
@@ -63,32 +62,26 @@ def main() -> None:
     )
     n_clean = survivors.count()
 
-    # 4. deterministic split (same hash as train_val_test_split)
-    hv = (F.lit(2654435761) * (F.col("doc_id") % 2147483647)) % 2147483647
-    split = (
-        F.when(hv % 100 < 80, F.lit("train"))
-        .when(hv % 100 < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
-    tagged = survivors.join(docs, "doc_id").withColumn("split", split)
+    # 4. deterministic split — the SAME expression the graded
+    #    train_val_test_split query uses
+    from gravity_spark.queries import corpus_split_expr
+
+    tagged = survivors.join(docs, "doc_id").withColumn("split", corpus_split_expr())
     split_counts = {
         r["split"]: r["n"]
         for r in tagged.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
 
-    # 5. pack the train split into 2048-token sequences per source
+    # 5. pack the train split into 2048-token sequences per source —
+    #    the same two-level parallel prefix the pack_sequences query uses
     from gravity_spark.functions import text as tx
+    from gravity_spark.queries import pack_start_offsets
 
     train = tagged.filter(F.col("split") == "train").select(
         "source", "doc_id", F.size(tx.tokenize(F.col("text"))).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     packed = (
-        train.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+        pack_start_offsets(train)
         .groupBy("source", F.expr("start_off div 2048").alias("bin_id"))
         .agg(F.sum("n_tok").alias("n_tokens"))
     )

@@ -72,8 +72,11 @@ def asof_join(
         within = (
             None
             if tolerance_seconds is None
-            else (F.unix_timestamp(F.col("__ts")) - F.unix_timestamp(F.col("__mts")))
-            <= tolerance_seconds
+            else (
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                - F.unix_micros(F.col("__mts").cast("timestamp"))
+            )
+            <= tolerance_seconds * 1_000_000
         )
     else:
         # left rows sort before right rows at equal ts (inclusive
@@ -91,8 +94,11 @@ def asof_join(
         within = (
             None
             if tolerance_seconds is None
-            else (F.unix_timestamp(F.col("__mts")) - F.unix_timestamp(F.col("__ts")))
-            <= tolerance_seconds
+            else (
+                F.unix_micros(F.col("__mts").cast("timestamp"))
+                - F.unix_micros(F.col("__ts").cast("timestamp"))
+            )
+            <= tolerance_seconds * 1_000_000
         )
     out = unioned.withColumn("__mid", pick_id).withColumn("__mts", pick_ts)
     if within is not None:

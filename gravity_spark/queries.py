@@ -86,35 +86,41 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def _money_sum(expr, out: str):
-    """Exact distributed money sum: round each row's 4-decimal product
-    to a fixed-point integer, sum as BIGINT (order-independent — no
-    float accumulation), then round to cents in PURE INTEGER SPACE
-    ((fp+50) // 100) and divide the exact cent count by 100.0 once.
-
-    Two float traps this avoids: (1) distributed double sums reorder vs
-    DuckDB's sequential fold, flipping round(sum,2) on half-cent
-    boundaries; (2) Spark's round(double) rounds the SHORTEST decimal
-    representation (BigDecimal.valueOf) while DuckDB rounds the true
-    binary value — they disagree exactly on the x.xx5 landings fixed-
-    point sums produce constantly. Oracle mirror:
-    ((sum(CAST(round(expr*10000) AS BIGINT)) + 50) // 100) / 100.0."""
-    fp = F.sum(F.round(expr * 10000, 0).cast("long")) + 50
-    cents = ((fp - fp % 100) / 100).cast("long")  # exact: multiple-of-100 / 100
-    return (cents / 100.0).alias(out)
+def _int_div(col, n: int):
+    """Exact integer division of a non-negative BIGINT Column by a
+    literal — (col - col%n) is divisible by n, and the division runs in
+    DECIMAL(38,0) so it stays exact beyond 2^53 (a plain `/` would
+    round the long to the nearest double first, drifting from DuckDB's
+    `//` once fixed-point sums pass ~9e15 — i.e. at large SF)."""
+    exact = (col - col % n).cast("decimal(38,0)")
+    return (exact / n).cast("long")
 
 
 def _fp_to_money(fp_col):
     """10^-4 fixed-point BIGINT → money double, half-up in integer space
-    (oracle mirror: ((fp + 50) // 100) / 100.0)."""
-    a = fp_col + 50
-    return ((a - a % 100) / 100).cast("long") / 100.0
+    (oracle mirror: ((fp + 50) // 100) / 100.0). The only float op is
+    the final cents/100.0, identical IEEE in both engines.
+
+    Float traps this avoids: (1) distributed double sums reorder vs
+    DuckDB's sequential fold, flipping round(sum,2) on half-cent
+    boundaries; (2) Spark's round(double) rounds the SHORTEST decimal
+    representation (BigDecimal.valueOf) while DuckDB rounds the true
+    binary value — they disagree exactly on the x.xx5 landings fixed-
+    point sums produce constantly."""
+    return _int_div(fp_col + 50, 100) / 100.0
+
+
+def _money_sum(expr, out: str):
+    """Exact distributed money sum: round each row's 4-decimal product
+    to a fixed-point integer, sum as BIGINT (order-independent — no
+    float accumulation), then _fp_to_money. Oracle mirror:
+    ((sum(CAST(round(expr*10000) AS BIGINT)) + 50) // 100) / 100.0."""
+    return _fp_to_money(F.sum(F.round(expr * 10000, 0).cast("long"))).alias(out)
 
 
 def _div7_cents(cents_col):
     """round(cents/7) in pure integers: (2c+7) // 14, then /100.0."""
-    a = 2 * cents_col + 7
-    return ((a - a % 14) / 14).cast("long") / 100.0
+    return _int_div(2 * cents_col + 7, 14) / 100.0
 
 
 # =====================================================================
@@ -368,13 +374,16 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 (nation pair trade volume by year). supplier+nation and
-    customer+nation are both broadcast dims; lineitem⋈orders is the one
-    big shuffle."""
+    customer+nation are both broadcast dims, PRE-FILTERED to the two
+    nations of interest before broadcasting — the dim joins then act as
+    semi-joins that discard ~(n-2)/n of the fact rows mid-stream, and
+    only the cross pair filter remains at the end."""
     li = T(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").between("1996-01-01", "1997-12-31")
     )
     orders = T(spark, sf_dir, "orders")
-    nat = T(spark, sf_dir, "nation")
+    nations = ("NATION_3", "NATION_8")
+    nat = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(*nations))
     sup = F.broadcast(
         T(spark, sf_dir, "supplier")
         .join(nat, F.col("s_nationkey") == nat.n_nationkey)
@@ -385,10 +394,7 @@ def q7_volume_shipping(spark, sf_dir):
         .join(nat, F.col("c_nationkey") == nat.n_nationkey)
         .select("c_custkey", F.col("n_name").alias("cust_nation"))
     )
-    pair = (
-        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
-        | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
-    )
+    pair = F.col("supp_nation") != F.col("cust_nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
@@ -4018,8 +4024,7 @@ def corpus_mixture_weights(spark, sf_dir):
     SELECT c.event_id AS click_id,
            (SELECT p.event_id FROM purch p
              WHERE p.user_id = c.user_id AND p.ts >= c.ts
-               AND CAST(floor(epoch(p.ts)) AS BIGINT)
-                   - CAST(floor(epoch(c.ts)) AS BIGINT) <= 3600
+               AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
              ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS purchase_id
     FROM clicks c
     """,
@@ -4055,6 +4060,18 @@ def asof_join_next_purchase(spark, sf_dir):
     return joined.select("click_id", "purchase_id")
 
 
+def corpus_split_expr(id_col: str = "doc_id"):
+    """The canonical 80/10/10 split expression (portable A·x mod P hash
+    — exact BIGINT in both engines). Shared by the graded query and the
+    example pipeline so the membership function has ONE definition."""
+    hv = (F.lit(2654435761) * (F.col(id_col) % 2147483647)) % 2147483647
+    return (
+        F.when(hv % 100 < 80, F.lit("train"))
+        .when(hv % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 @register(
     "train_val_test_split",
     """
@@ -4080,17 +4097,49 @@ def train_val_test_split(spark, sf_dir):
     engines, and cluster sizes, and new docs never reshuffle old ones.
     One narrow projection + hash agg; no shuffle of document payloads."""
     docs = T(spark, sf_dir, "documents")
-    hv = (F.lit(2654435761) * (F.col("doc_id") % 2147483647)) % 2147483647
-    split = (
-        F.when(hv % 100 < 80, F.lit("train"))
-        .when(hv % 100 < 90, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
     return (
-        docs.select("source", split.alias("split"))
+        docs.select("source", corpus_split_expr().alias("split"))
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def pack_start_offsets(d: DataFrame, shard_docs: int = 4096) -> DataFrame:
+    """Global concat order start-offset per doc WITHOUT a per-source
+    sequential window: the running sum is hierarchical (the exact-ntile
+    trick from mongo_bucket_chunks). Docs shard by `doc_id div N`
+    (shards are contiguous in doc_id order, so (shard, doc_id) order ==
+    doc_id order); level 1 runs the prefix sum inside each (source,
+    shard) in parallel, level 2 prefix-sums the 1/N-sized per-shard
+    totals and broadcasts them back. A single Window.partitionBy(source)
+    would serialize each source's entire stream through one task — this
+    keeps parallelism at #shards regardless of source skew (recurse the
+    shard level if even that overflows one task).
+
+    Input: (source, doc_id, n_tok). Output: + start_off."""
+    d2 = d.withColumn("shard", F.expr(f"doc_id div {shard_docs}"))
+    w_in = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum("n_tok").over(w_in) - F.col("n_tok")
+    shard_tot = d2.groupBy("source", "shard").agg(F.sum("n_tok").alias("stot"))
+    w_sh = (
+        Window.partitionBy("source")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = shard_tot.withColumn(
+        "soff", F.coalesce(F.sum("stot").over(w_sh), F.lit(0))
+    ).select("source", "shard", "soff")
+    return (
+        d2.withColumn("within", within)
+        .join(F.broadcast(offs), ["source", "shard"])
+        .withColumn("start_off", F.col("soff") + F.col("within"))
+        .drop("shard", "within", "soff")
+    )
+
 
 
 @register(
@@ -4117,19 +4166,14 @@ def pack_sequences(spark, sf_dir):
     """Sequence packing for LLM training (concat-and-chunk): documents
     concatenate in deterministic doc_id order within each source stream
     and are chunked into 2048-token bins; a doc's bin is its start
-    offset div 2048. One window running-sum per source partition (the
-    natural packing unit — at 100 TB each source shard packs
-    independently and in parallel), then a hash agg; all integers."""
+    offset div 2048. The running sum is the two-level parallel prefix of
+    `pack_start_offsets` — no source-sized sequential window — then one
+    hash agg; all integers."""
     docs = T(spark, sf_dir, "documents")
     d = docs.select(
         "source", "doc_id", F.size(tx.tokenize(F.col("text"))).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    r = d.withColumn("start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    r = pack_start_offsets(d)
     return (
         r.groupBy("source", F.expr("start_off div 2048").alias("bin_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
@@ -4381,7 +4425,9 @@ def streaming_incremental_rollup(spark, sf_dir):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("incremental rollup stream timed out")
         # materialize before the temp dir vanishes
         rows = target.read().collect()
         return spark.createDataFrame(

@@ -290,3 +290,24 @@ class AggregateRollupTarget:
         with open(tmp, "w") as fh:
             json.dump({"version": next_v, "epoch": epoch_id}, fh)
         os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def vacuum(self, keep_last: int = 2) -> int:
+        """Reclaim version dirs older than the last ``keep_last`` —
+        required for long-running streams (every epoch writes a full new
+        version). Returns the number of versions removed."""
+        import shutil
+
+        current = self._manifest()["version"]
+        if current is None:
+            return 0
+        removed = 0
+        for entry in os.listdir(self.path):
+            if entry.startswith("v"):
+                try:
+                    ver = int(entry[1:])
+                except ValueError:
+                    continue
+                if ver <= current - keep_last:
+                    shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+                    removed += 1
+        return removed

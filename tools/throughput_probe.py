@@ -44,10 +44,15 @@ def main() -> None:
     src_dir = sf_dir
     if mult > 1:
         import os
+        import shutil
 
         src_dir = tempfile.mkdtemp(prefix="throughput_in_")
         for i in range(mult):
-            os.link(f"{sf_dir}/events.parquet", f"{src_dir}/events_{i:03d}.parquet")
+            dst = f"{src_dir}/events_{i:03d}.parquet"
+            try:
+                os.link(f"{sf_dir}/events.parquet", dst)
+            except OSError:  # cross-device temp dir: fall back to a copy
+                shutil.copyfile(f"{sf_dir}/events.parquet", dst)
         n_rows *= mult
 
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
@@ -100,6 +105,11 @@ def main() -> None:
             }
         )
     )
+    import shutil
+
+    if src_dir != sf_dir:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
