@@ -80,3 +80,41 @@ def test_forward_asof_inclusive_equal_ts(spark):
         direction="forward",
     ).collect()
     assert out[0]["rid"] == 10
+
+
+def test_forward_asof_matches_pandas_merge_asof(spark):
+    import pandas as pd
+
+    rng = random.Random(21)
+    base = dt.datetime(2024, 1, 1)
+    left_rows = [
+        (i, f"k{rng.randrange(4)}",
+         base + dt.timedelta(seconds=rng.randrange(100000) / 10))
+        for i in range(150)
+    ]
+    right_rows = [
+        (1000 + i, f"k{rng.randrange(4)}",
+         base + dt.timedelta(seconds=rng.randrange(100000) / 10))
+        for i in range(80)
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, k string, lts timestamp")
+    right = spark.createDataFrame(right_rows, "rid long, k string, rts timestamp")
+
+    got = {r["lid"]: r["rid"] for r in asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts", right_id="rid",
+        direction="forward", tolerance_seconds=1800).collect()}
+
+    lp = pd.DataFrame(left_rows, columns=["lid", "k", "ts"]).sort_values("ts")
+    rp = (
+        pd.DataFrame(right_rows, columns=["rid", "k", "ts"])
+        .sort_values(["ts", "rid"], kind="stable")
+    )
+    merged = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward",
+        tolerance=pd.Timedelta(seconds=1800), allow_exact_matches=True,
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in merged.itertuples()
+    }
+    assert got == want
