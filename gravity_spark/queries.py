@@ -4437,6 +4437,60 @@ def streaming_incremental_rollup(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@register(
+    "streaming_sessionize_stateful",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def streaming_sessionize_stateful(spark, sf_dir):
+    """The CUSTOM Python stateful operator, run as a real stream and
+    graded against the batch gap-and-island SQL: per-user session
+    counting via applyInPandasWithState (one state cell per user —
+    the arbitrary-stateful-plugin slot the reference fills with gRPC
+    sidecar filters, SURVEY §2.2). One availableNow trigger ⇒ each user
+    emits exactly one update row, which must equal the batch answer —
+    stream/batch parity for user-defined state, not just built-ins."""
+    import uuid
+
+    from gravity_spark.streaming.windows import sessionize_stateful
+
+    name = f"sss_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = sessionize_stateful(stream, gap_seconds=1800)
+    with _stream_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stateful sessionization stream timed out")
+    return spark.table(name).select("user_id", "n_sessions", "n_events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
