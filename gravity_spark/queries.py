@@ -4491,6 +4491,51 @@ def streaming_sessionize_stateful(spark, sf_dir):
     return spark.table(name).select("user_id", "n_sessions", "n_events")
 
 
+@register(
+    "fk_integrity_audit",
+    """
+    SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation', count(*)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey IS NULL
+    """,
+)
+def fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit (the dcp checker's cross-TABLE
+    cousin): orphan counts for each FK edge via LEFT ANTI joins. The
+    child side streams through once; parent key sets are either
+    broadcast (dims) or co-partitioned on the join key — at 100 TB this
+    is the standard post-replication consistency sweep."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    sup = T(spark, sf_dir, "supplier").select("s_nationkey")
+    nat = T(spark, sf_dir, "nation").select("n_nationkey")
+
+    def orphans(child, parent, ckey, pkey, label):
+        n = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return n.select(F.lit(label).alias("fk"), "n_orphans")
+
+    return (
+        orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(
+            orphans(orders, cust, "o_custkey", "c_custkey", "orders.o_custkey->customer")
+        )
+        .unionAll(
+            orphans(sup, nat, "s_nationkey", "n_nationkey", "supplier.s_nationkey->nation")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
