@@ -4536,6 +4536,45 @@ def fk_integrity_audit(spark, sf_dir):
     )
 
 
+def _reach_sql(orders: str, lineitem: str) -> str:
+    """Recursive-CTE 2-hop reachability — the SAME SQL text runs on both
+    engines (Spark 4 and DuckDB both support WITH RECURSIVE); only the
+    table names are parameterized."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM {orders} JOIN {lineitem} ON o_orderkey = l_orderkey
+    ), edges AS (
+      SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+      UNION ALL
+      SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+    ), reach AS (
+      SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst AS node, r.hops + 1 AS hops
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 2
+    )
+    SELECT node, min(hops) AS hops FROM reach GROUP BY node
+    """
+
+
+@register("recursive_reachability", _reach_sql("orders", "lineitem"))
+def recursive_reachability(spark, sf_dir):
+    """SQL-surface parity for iterative graph queries: Spark 4's native
+    WITH RECURSIVE runs 2-hop BFS reachability (from customer 1 over
+    the purchase graph) with the LITERAL SAME SQL the DuckDB oracle
+    runs — no DataFrame loop. Each recursion step is an equi-join of
+    the frontier against the edge list (the engine materializes the
+    step and re-plans — same shuffle shape as the hand-rolled label
+    propagation); the depth bound keeps path explosion polynomial.
+    Complements graph_pagerank_purchases (DataFrame loop) and
+    dedup_components (recursive-CTE used oracle-side only)."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("rr_orders")
+    T(spark, sf_dir, "lineitem").createOrReplaceTempView("rr_lineitem")
+    return spark.sql(_reach_sql("rr_orders", "rr_lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
