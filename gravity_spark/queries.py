@@ -4575,6 +4575,110 @@ def recursive_reachability(spark, sf_dir):
     return spark.sql(_reach_sql("rr_orders", "rr_lineitem"))
 
 
+_CHUNK_W, _CHUNK_S = 200, 150  # window / stride (50-char overlap)
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH c AS (
+      SELECT doc_id, text,
+             UNNEST(range(0, (length(text) - 1) // {_CHUNK_S} + 1)) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(1 + i * {_CHUNK_S} AS BIGINT) AS chunk_start,
+           substring(text, CAST(1 + i * {_CHUNK_S} AS INT), {_CHUNK_W}) AS chunk_text
+    FROM c
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Overlapping fixed-window document chunking (RAG / context-window
+    prep): 200-char windows every 150 chars. Map-only — sequence +
+    explode + substring are all narrow ops, so the plan is a single
+    whole-stage-codegen scan with ZERO shuffles; at 100 TB this scales
+    embarrassingly (chunk count ~ bytes/stride, no repartition needed).
+    Guard length>0: Spark's sequence(0,-1) DESCENDS ([0,-1]) while
+    DuckDB's generate_series(0,-1) is empty — empty docs must be
+    filtered, not relied on to vanish."""
+    docs = T(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(f"sequence(0, (length(text) - 1) div {_CHUNK_S})")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_idx"),
+            (F.lit(1) + F.col("i") * _CHUNK_S).cast("long").alias("chunk_start"),
+            F.expr(f"substring(text, 1 + i * {_CHUNK_S}, {_CHUNK_W})").alias("chunk_text"),
+        )
+    )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+
+
+def _profile_sql() -> str:
+    aggs, rows = [], []
+    for k, c in enumerate(_PROFILE_COLS, 1):
+        num = f"CAST({c} AS DATE) - DATE '1970-01-01'" if c == "o_orderdate" else c
+        aggs.append(
+            f"count({c}) AS c{k}, count(DISTINCT {c}) AS d{k}, "
+            f"min({num}) AS mn{k}, max({num}) AS mx{k}"
+        )
+        rows.append(
+            f"SELECT '{c}' AS col, n - c{k} AS n_nulls, d{k} AS n_distinct, "
+            f"CAST(mn{k} AS DOUBLE) AS min_val, CAST(mx{k} AS DOUBLE) AS max_val FROM a"
+        )
+    return (
+        "WITH a AS (SELECT count(*) AS n, "
+        + ", ".join(aggs)
+        + " FROM orders)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+@register("table_profile", _profile_sql())
+def table_profile(spark, sf_dir):
+    """ANALYZE-style column profiling (null count, distinct count,
+    min/max) in ONE scan of the table: a single wide aggregate row,
+    then stack() unpivots it driver-side-free into one row per column.
+    The multi-column COUNT(DISTINCT ...) lowers to Spark's Expand
+    operator — still one pass over the parquet, one shuffle of the
+    expanded (tiny) agg state; min/max/count come for free in the same
+    pass. At 100 TB this is the cheapest possible profile short of
+    sketches (for which see approx_aggregates / kmv_distinct_sketch).
+    Timestamps are profiled as epoch-day integers so the min/max stay
+    engine-portable doubles."""
+    o = T(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k, c in enumerate(_PROFILE_COLS, 1):
+        num = (
+            F.datediff(F.col(c).cast("date"), F.lit("1970-01-01"))
+            if c == "o_orderdate"
+            else F.col(c)
+        )
+        aggs += [
+            F.count(F.col(c)).alias(f"c{k}"),
+            F.countDistinct(F.col(c)).alias(f"d{k}"),
+            F.min(num).alias(f"mn{k}"),
+            F.max(num).alias(f"mx{k}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n - c{k}, d{k}, CAST(mn{k} AS DOUBLE), CAST(mx{k} AS DOUBLE)"
+        for k, c in enumerate(_PROFILE_COLS, 1)
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
