@@ -70,20 +70,31 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in the testdata. Depending on the
+    session it arrives as: long nanos (spark.sql.legacy.parquet.nanosAsLong
+    set at BUILDER time — runtime conf.set is ignored by the 4.1 reader),
+    or TIMESTAMP_NTZ (vanilla session — the driver's — truncates nanos to
+    micros natively). Normalize both to a session-TZ TIMESTAMP so epoch
+    math and watermarks work identically; with UTC session TZ the values
+    are bit-equal to DuckDB's reader either way (verified min/max/count)."""
+    for f in df.schema.fields:
+        if f.name == "ts":
+            t = f.dataType.simpleString()
+            if t == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif t == "timestamp_ntz":
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the driver's own session won't carry these configs — set them here
     # so nano-timestamp parquet (events.ts) loads and epoch math matches
     # the (TZ-naive) DuckDB oracle under any session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in the testdata; with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
-    # truncate to micros exactly like DuckDB's reader does
-    for f in df.schema.fields:
-        if f.name == "ts" and f.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _int_div(col, n: int):
@@ -3016,9 +3027,7 @@ def streaming_window_counts(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    for f_ in stream.schema.fields:
-        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     out = swc(stream, window="1 hour")
     with _stream_conf(spark):
         q = (
@@ -3067,9 +3076,7 @@ def streaming_stream_join(spark, sf_dir):
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
         )
-        for f_ in s.schema.fields:
-            if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-                s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _normalize_ts(s)
         return (
             s.filter(F.col("event_type") == event_type)
             .select(
@@ -3142,9 +3149,7 @@ def streaming_cdc_pipeline(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    for f_ in stream.schema.fields:
-        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     changes = events_to_changes(stream)
 
     tmp = tempfile.mkdtemp(prefix="cdc_pipe_")
@@ -4473,9 +4478,7 @@ def streaming_sessionize_stateful(spark, sf_dir):
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    for f_ in stream.schema.fields:
-        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
-            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     out = sessionize_stateful(stream, gap_seconds=1800)
     with _stream_conf(spark):
         q = (
@@ -4676,6 +4679,103 @@ def table_profile(spark, sf_dir):
     )
     return wide.selectExpr(
         f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@register(
+    "variant_extraction",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def variant_extraction(spark, sf_dir):
+    """Semi-structured payloads via Spark 4's VARIANT type: parse_json
+    once into the binary variant encoding, then typed variant_get
+    extraction and a predicate over the extracted value; try_variant_get
+    on an absent path degrades to NULL instead of failing (the schema-
+    dynamic `map[string]interface{}` payload story of core.Msg,
+    pkg/core/msg.go:180-185, without a fixed struct). Scale: the JSON
+    text is decoded ONCE per row into variant binary — repeated-path
+    extraction then reads offsets, not re-parsed text, which is the
+    difference between O(paths × parse) and O(parse + paths) on a
+    100 TB props column; the filter stays in whole-stage codegen."""
+    ev = T(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    ).filter(F.col("k") >= 50)
+
+
+def _lateral_topk_sql(customer: str, orders: str) -> str:
+    """Correlated LATERAL subquery — the SAME SQL text runs on Spark 4
+    and DuckDB; only table names are parameterized."""
+    return f"""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM {customer} c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM {orders} o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    """
+
+
+@register("lateral_topk_orders", _lateral_topk_sql("customer", "orders"))
+def lateral_topk_orders(spark, sf_dir):
+    """Top-2 orders per customer via a correlated LATERAL subquery with
+    ORDER BY + LIMIT — the LITERAL SAME SQL the DuckDB oracle runs.
+    Catalyst decorrelates the per-row subquery into a joint plan (rank
+    over a partitioned window on the single orders scan), so despite
+    the "for each customer run a subquery" surface syntax the physical
+    plan is one shuffle — no N+1 subquery execution, which is what
+    makes the construct survive 100 TB (the naive interpretation would
+    be #customers scans of orders). Values are raw row columns, so the
+    double o_totalprice compares bit-exact across engines."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("lt_customer")
+    T(spark, sf_dir, "orders").createOrReplaceTempView("lt_orders")
+    return spark.sql(_lateral_topk_sql("lt_customer", "lt_orders"))
+
+
+@register(
+    "udtf_tokenize",
+    """
+    SELECT doc_id,
+           CAST(generate_subscripts(parts, 1) - 1 AS BIGINT) AS pos,
+           unnest(parts) AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)
+    """,
+)
+def udtf_tokenize(spark, sf_dir):
+    """User-defined TABLE function surface (Spark 4 Python UDTF) — the
+    one-row-in/N-rows-out shape of the reference's arbitrary-code
+    plugin points (grpc-sidecar filter pkg/filters/grpc_sidecar_filter.go:43-120,
+    go-native plugin pkg/filters/filters.go:16-22), here a positional
+    tokenizer invoked per-row via LATERAL correlation. This is
+    deliberately the slow path (per-row Python generator) kept for API
+    parity; the hot-path equivalents in this repo are pure-JVM
+    posexplode(split(...)) (chunk_documents, text_stats) and Arrow-
+    batched pandas UDFs (multimodal_features) — the docstring contract
+    is: reach for a UDTF only when the logic is genuinely imperative
+    AND row-expanding. Empty text yields one empty token (mirrors
+    string_split semantics in both engines); NULL text yields no rows."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class _Tokenize:
+        def eval(self, text):
+            if text is not None:
+                for i, tok in enumerate(text.split(" ")):
+                    yield i, tok
+
+    spark.udtf.register("gs_tokenize", _Tokenize)
+    T(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, t.pos, t.token "
+        "FROM udtf_docs d, LATERAL gs_tokenize(d.text) t"
     )
 
 

@@ -12,6 +12,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -58,7 +59,19 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle_check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # mimic the DRIVER's session: no custom configs at builder time —
+        # catches anything that silently depends on get_spark's configs
+        # (e.g. nanosAsLong, which is builder-time-only in Spark 4.1)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
