@@ -4779,6 +4779,297 @@ def udtf_tokenize(spark, sf_dir):
     )
 
 
+@register(
+    "stat_agg_battery",
+    """
+    SELECT l_returnflag,
+           round(corr(l_extendedprice, l_quantity), 6)           AS corr_pq,
+           round(covar_pop(l_extendedprice, l_quantity), 4)      AS covp,
+           round(covar_samp(l_extendedprice, l_quantity), 4)     AS covs,
+           round(stddev_samp(l_quantity), 6)                     AS sd_qty,
+           round(var_pop(l_quantity), 6)                         AS var_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n_pairs,
+           bool_and(l_quantity >= 1)                             AS all_pos_qty,
+           bool_or(l_discount > 0.09)                            AS any_deep_disc,
+           bit_or(CAST(l_linenumber AS BIGINT))                  AS ln_bits,
+           bit_xor(CAST(l_orderkey AS BIGINT))                   AS key_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_agg_battery(spark, sf_dir):
+    """Statistical / bitwise aggregate battery: the co-moment family
+    (corr, covar, the SQL:2003 regr_* linear-fit set) plus bool_and/or
+    and bit_or/xor — all single-pass JVM partial aggregates, so the
+    exchange carries one small state struct per (group, agg) regardless
+    of input size; at 100 TB the map-side combine reduces 600M rows/task
+    to 3 group states before any shuffle. Floats are rounded to absorb
+    summation-order differences between engines; bit_xor is an
+    order-independent exact check over the full key column."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_pop("l_extendedprice", "l_quantity"), 4).alias("covp"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covs"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_qty"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        F.bool_and(F.col("l_quantity") >= 1).alias("all_pos_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
+        F.bit_or(F.col("l_linenumber").cast("long")).alias("ln_bits"),
+        F.bit_xor(F.col("l_orderkey").cast("long")).alias("key_xor"),
+    )
+
+
+@register(
+    "array_hof_battery",
+    """
+    SELECT o_orderkey,
+           generate_series(1, o_orderkey % 5 + 2)                             AS arr,
+           list_aggregate(list_transform(generate_series(1, o_orderkey % 5 + 2),
+                                         x -> x * x), 'sum')                  AS sq_sum,
+           list_filter(generate_series(1, o_orderkey % 5 + 2),
+                       x -> x % 2 = 0)                                        AS evens,
+           len(list_filter(generate_series(1, o_orderkey % 5 + 2),
+                           x -> x % 2 = 0)) > 0                               AS has_even,
+           len(list_filter(generate_series(1, o_orderkey % 5 + 2),
+                           x -> x <= 0)) = 0                                  AS all_pos,
+           list_max(generate_series(1, o_orderkey % 5 + 2))                   AS arr_max,
+           list_slice(list_sort(generate_series(1, o_orderkey % 5 + 2),
+                                'DESC'), 1, 2)                                AS top2
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def array_hof_battery(spark, sf_dir):
+    """Higher-order array-function battery: sequence → transform /
+    filter / aggregate(fold) / exists / forall / array_max / sort+slice,
+    all as Catalyst lambda expressions — no Python in the loop, the
+    lambdas compile to JVM codegen exactly like scalar exprs (the
+    nested-data analogue of the reference's per-row plugin mutations,
+    pkg/filters/grpc_sidecar_filter.go:43-120, minus the subprocess).
+    At scale the arrays live inside the row (no explode → no row-count
+    blowup, no shuffle); the whole select is one narrow map stage."""
+    arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 2).cast("int"))
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            "o_orderkey",
+            arr.alias("arr"),
+            F.aggregate(
+                F.transform(arr, lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq_sum"),
+            F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+            F.exists(arr, lambda x: x % 2 == 0).alias("has_even"),
+            F.forall(arr, lambda x: x > 0).alias("all_pos"),
+            F.array_max(arr).alias("arr_max"),
+            F.slice(F.sort_array(arr, asc=False), 1, 2).alias("top2"),
+        )
+    )
+
+
+@register(
+    "map_functions_battery",
+    """
+    SELECT o_orderkey,
+           3                                                    AS n_keys,
+           o_orderkey % 7                                       AS v2,
+           ['p1', 'p2', 'p3']                                   AS keys,
+           o_orderkey % 10 + o_orderkey % 7 + o_orderkey % 3    AS vals_sum,
+           (o_orderkey % 10) * 2                                AS doubled_p1,
+           list_sort(list_filter(['p1', 'p2', 'p3'],
+             x -> CASE x WHEN 'p1' THEN o_orderkey % 10
+                         WHEN 'p2' THEN o_orderkey % 7
+                         ELSE o_orderkey % 3 END >= 3))         AS big_keys
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def map_functions_battery(spark, sf_dir):
+    """MapType expression battery: create_map / size / element_at /
+    map_keys / map_values / transform_values / map_filter — the typed
+    Spark surface for the reference's schema-dynamic
+    map[string]interface{} row payload (pkg/core/msg.go:180-185, the
+    same shape our CDC envelope carries as MapType columns). The oracle
+    states the expected VALUES directly (DuckDB's MAP returns list-
+    wrapped lookups, so cross-engine map columns don't hash stably —
+    scalars and sorted key lists do). All map lambdas are Catalyst
+    expressions: row-local, codegen'd, shuffle-free."""
+    k = F.col("o_orderkey")
+    m = F.create_map(
+        F.lit("p1"), k % 10,
+        F.lit("p2"), k % 7,
+        F.lit("p3"), k % 3,
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(k < 2000)
+        .select(
+            "o_orderkey",
+            F.size(m).alias("n_keys"),
+            F.element_at(m, "p2").alias("v2"),
+            F.sort_array(F.map_keys(m)).alias("keys"),
+            F.aggregate(
+                F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("vals_sum"),
+            F.element_at(F.transform_values(m, lambda _, v: v * 2), "p1").alias(
+                "doubled_p1"
+            ),
+            F.sort_array(F.map_keys(F.map_filter(m, lambda _, v: v >= 3))).alias(
+                "big_keys"
+            ),
+        )
+    )
+
+
+@register(
+    "window_ignore_nulls",
+    """
+    SELECT o_orderkey,
+           first_value(v IGNORE NULLS) OVER w                AS first_nn,
+           last_value(v IGNORE NULLS)  OVER w                AS last_nn,
+           nth_value(v, 2 IGNORE NULLS) OVER w               AS second_nn,
+           lag(v IGNORE NULLS)         OVER w                AS prev_nn,
+           round(percent_rank() OVER w, 6)                   AS prank,
+           round(cume_dist()    OVER w, 6)                   AS cdist
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice, 2) END AS v
+          FROM orders WHERE o_orderkey < 5000)
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation (first/last/nth/lag skipping
+    nulls) plus the distribution functions percent_rank / cume_dist.
+    Sparse-column navigation is how a CDC consumer carries forward the
+    last known value of an infrequently-updated field (the reference's
+    partial-row updates: Old/Data maps carry only changed columns,
+    pkg/core/msg.go:180-185). Same running-frame semantics both
+    engines; only the IGNORE NULLS token placement differs (Spark:
+    after the call; DuckDB: inside). One hash-partition shuffle on the
+    window key, then a single ordered pass per partition."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("win_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               first_value(v) IGNORE NULLS OVER w  AS first_nn,
+               last_value(v)  IGNORE NULLS OVER w  AS last_nn,
+               nth_value(v, 2) IGNORE NULLS OVER w AS second_nn,
+               lag(v) IGNORE NULLS OVER w          AS prev_nn,
+               round(percent_rank() OVER w, 6)     AS prank,
+               round(cume_dist()    OVER w, 6)     AS cdist
+        FROM (SELECT o_orderkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 3 = 0 THEN round(o_totalprice, 2) END AS v
+              FROM win_orders WHERE o_orderkey < 5000)
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        """
+    )
+
+
+@register(
+    "dpp_partition_pruned",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_ym,
+           round(sum(o_totalprice), 2)    AS revenue,
+           count(*)                       AS n_orders
+    FROM orders
+    WHERE year(o_orderdate) = 1996 AND month(o_orderdate) <= 3
+    GROUP BY 1
+    """,
+)
+def dpp_partition_pruned(spark, sf_dir):
+    """Dynamic partition pruning end-to-end: write orders hive-
+    partitioned by month, then join the fact against a broadcast month
+    dim filtered to 1996Q1 — Catalyst injects the dim's surviving keys
+    as a runtime partition filter on the fact SCAN (visible as
+    `dynamicpruning#N` in the plan), so only 3 of ~80 month directories
+    are read. This is THE mechanism that makes star-schema queries
+    survive 100 TB: pruning happens before IO, proportional to the dim
+    filter's selectivity, with zero query rewrite. The quarter column
+    exists only on the dim side, so static pruning can't do it."""
+    import tempfile
+
+    orders = T(spark, sf_dir, "orders").withColumn(
+        "o_ym", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+    orders.write.partitionBy("o_ym").mode("overwrite").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        orders.select("o_ym")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("o_ym", 1, 4),
+                F.lit("Q"),
+                ((F.substring("o_ym", 6, 2).cast("int") - 1) / 3 + 1).cast("int"),
+            ),
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim.filter(F.col("quarter") == "1996Q1")), "o_ym")
+        .groupBy("o_ym")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def streaming_dedup_watermark(spark, sf_dir):
+    """Streaming exact deduplication with bounded state: watermarked
+    dropDuplicates on (user_id, event_type) — the streaming twin of
+    dedup_exact and the idempotency guard a CDC pipeline puts in front
+    of an at-least-once source (re-delivered binlog events must not
+    re-apply; the reference gets this from per-stream InputSequence
+    ordering, pkg/core/msg.go:70-76). The watermark lets the state
+    store EVICT keys older than the horizon instead of growing
+    unboundedly — at 100 TB/day the state holds one row per distinct
+    key within the watermark window, not per event. Oracle = batch
+    DISTINCT (stream/batch parity)."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    deduped = (
+        stream.withWatermark("ts", "40 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"sdw_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
