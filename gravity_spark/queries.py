@@ -5070,6 +5070,158 @@ def streaming_dedup_watermark(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "quality_repetition",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    ucnt AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM base) GROUP BY 1, 2
+    ),
+    uagg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(max(c) AS BIGINT) AS top_token_n,
+             CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS rep_tok_n
+      FROM ucnt GROUP BY 1
+    ),
+    bcnt AS (
+      SELECT doc_id, bg, count(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bg
+            FROM base) GROUP BY 1, 2
+    ),
+    bagg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(max(c) AS BIGINT) AS top_bigram_n,
+             CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dup_bigram_n
+      FROM bcnt GROUP BY 1
+    )
+    SELECT u.doc_id, n_tokens, top_token_n,
+           round(rep_tok_n / CAST(n_tokens AS DOUBLE), 6)   AS rep_token_frac,
+           top_bigram_n,
+           round(dup_bigram_n / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+           100 * dup_bigram_n <= 60 * n_bigrams             AS keep
+    FROM uagg u JOIN bagg USING (doc_id)
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition quality filters: per-document top-
+    unigram count, repeated-token mass, top-bigram count, and the
+    duplicate-bigram fraction that flags boilerplate/spam for a
+    training corpus. All counts are exact integers (two explode →
+    two-level hash agg passes, unigrams and positional bigrams); the
+    fractions are single bigint/bigint divisions rounded identically in
+    both engines, and the keep flag is decided in integer space
+    (100·dup ≤ 60·total) so no float ever gates a row. At 100 TB the
+    shape is two shuffles keyed by (doc_id, gram) — gram state is
+    map-side combined, so the exchange carries per-(doc,gram) partials,
+    bounded by vocabulary not document length; the final per-doc join
+    is co-partitioned on doc_id."""
+    toks = F.split(F.col("text"), " ")
+    base = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("w"))
+        .filter(F.size("w") >= 2)
+    )
+    ucnt = (
+        base.select("doc_id", F.explode("w").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uagg = ucnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_token_n"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)).alias(
+            "rep_tok_n"
+        ),
+    )
+    w = F.col("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat(
+            F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+        ),
+    )
+    bcnt = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bagg = bcnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)).alias(
+            "dup_bigram_n"
+        ),
+    )
+    return uagg.join(bagg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_token_n",
+        F.round(F.col("rep_tok_n") / F.col("n_tokens").cast("double"), 6).alias(
+            "rep_token_frac"
+        ),
+        "top_bigram_n",
+        F.round(F.col("dup_bigram_n") / F.col("n_bigrams").cast("double"), 6).alias(
+            "dup_bigram_frac"
+        ),
+        (100 * F.col("dup_bigram_n") <= 60 * F.col("n_bigrams")).alias("keep"),
+    )
+
+
+_PII_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             substr(text, 1, 200) || ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@example.com now' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_RE}'))          AS n_emails,
+           regexp_extract(t, '{_PII_RE}')                   AS first_email,
+           length(regexp_replace(t, '{_PII_RE}', '[EMAIL]', 'g')) AS redacted_len,
+           length(regexp_replace(t, '[^0-9]', '', 'g'))     AS n_digits
+    FROM aug
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII detection + redaction over the documents table: find / count
+    / extract email-shaped spans and replace them with a placeholder —
+    the scrubbing pass every training-data pipeline runs before
+    packing. A deterministic synthetic email (keyed by doc_id) is
+    appended so the corpus exercises a real match on every row; the
+    regex is kept in the RE2 ∩ java.util.regex common subset so both
+    engines see identical spans (note DuckDB needs the explicit 'g'
+    flag where Spark's regexp_replace is global by default). Pure
+    row-local projection: no shuffle, scan prunes to (doc_id, text),
+    and the regex runs once per row inside WSCG."""
+    aug = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 200),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        ).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_RE), 0)).alias("n_emails"),
+        F.regexp_extract("t", _PII_RE, 0).alias("first_email"),
+        F.length(F.regexp_replace("t", _PII_RE, "[EMAIL]")).alias("redacted_len"),
+        F.length(F.regexp_replace("t", "[^0-9]", "")).alias("n_digits"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
