@@ -383,3 +383,79 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    t_num: int = 9,
+    t_den: int = 10,
+) -> DataFrame:
+    """Exact set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin family) — Jaccard >= t_num/t_den with NO blocking column.
+
+    Guarantee (exactness): order every doc's distinct tokens by a
+    global total order (document-frequency asc, then token asc —
+    rarest first). For threshold t, any pair with J >= t shares at
+    least ceil(t·|A|) tokens, so by pigeonhole some shared token falls
+    in A's prefix of length |A| - ceil(t·|A|) + 1; the globally
+    smallest shared token then falls in BOTH prefixes. Joining prefix
+    tokens therefore yields an exact candidate superset; verification
+    by array_intersect restores exactness. The threshold is an exact
+    integer rational — no float ever gates a pair.
+
+    Scale: quadratic work is confined to per-token candidate groups of
+    the RAREST tokens (subquadratic on Zipfian vocabularies); every
+    stage is a linear shuffle (freq agg, one window per doc, one
+    equi-join on prefix tokens, one verify join).
+
+    Input rows must have distinct, non-empty ``tokens_col`` arrays.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    g = df.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks"))
+    ex = g.select("doc_id", F.size("toks").alias("la"), F.explode("toks").alias("tok"))
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("la") - F.expr(f"({t_num} * la + {t_den} - 1) div {t_den}") + 1
+    )
+    prefix = (
+        ex.join(freq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "tok")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(
+            prefix.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    la, lb = F.size("toks_a"), F.size("toks_b")
+    verified = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(t_den * F.least(la, lb) >= t_num * F.greatest(la, lb))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("inter"),
+            (la + lb).alias("total"),
+        )
+    )
+    union = F.col("total") - F.col("inter")
+    jac = (
+        F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(F.lit(0.0))
+    )
+    return verified.filter(t_den * F.col("inter") >= t_num * union).select(
+        "id_a", "id_b", jac.alias("jaccard")
+    )

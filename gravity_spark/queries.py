@@ -2390,7 +2390,8 @@ def dedup_prefix_filter(spark, sf_dir):
     measures the join machinery instead of an unavoidable quadratic
     result write-out.
     """
-    t_num, t_den = 9, 10  # threshold 0.9 as an exact rational
+    from gravity_spark.functions.dedup import prefix_filter_pairs
+
     docs = T(spark, sf_dir, "documents")
     g = (
         docs.select(
@@ -2398,50 +2399,9 @@ def dedup_prefix_filter(spark, sf_dir):
         )
         .filter((F.size("toks") > 0) & (F.col("doc_id") < 1000))
     )
-    ex = g.select("doc_id", F.size("toks").alias("la"), F.explode("toks").alias("tok"))
-    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # prefix length L = la - ceil(t*la) + 1, all-integer
-    L = F.col("la") - F.expr(f"({t_num} * la + {t_den} - 1) div {t_den}") + 1
-    prefix = (
-        ex.join(freq, "tok")
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok"))
-        )
-        .filter(F.col("rn") <= L)
-        .select("doc_id", "tok")
-    )
-    cand = (
-        prefix.alias("pa")
-        .join(
-            prefix.alias("pb"),
-            (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
-        )
-        .select(
-            F.col("pa.doc_id").alias("id_a"), F.col("pb.doc_id").alias("id_b")
-        )
-        .distinct()
-    )
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
-    la, lb = F.size("toks_a"), F.size("toks_b")
-    verified = (
-        cand.join(ga, "id_a")
-        .join(gb, "id_b")
-        .filter(t_den * F.least(la, lb) >= t_num * F.greatest(la, lb))
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("toks_a", "toks_b")).alias("inter"),
-            (la + lb).alias("total"),
-        )
-    )
-    union = F.col("total") - F.col("inter")
-    jac = F.when(union > 0, F.col("inter") / union.cast("double")).otherwise(F.lit(0.0))
-    return (
-        verified.filter(t_den * F.col("inter") >= t_num * union)
-        .select("id_a", "id_b", jac.alias("jaccard"))
-    )
+    # threshold 0.9 as an exact rational; exactness property-tested
+    # against brute force in tests/test_dedup_similarity.py
+    return prefix_filter_pairs(g, "doc_id", "toks", t_num=9, t_den=10)
 
 
 _COS_SQL = """

@@ -164,3 +164,56 @@ def test_connected_components_bipartite_matches_pairwise(spark):
         for r in connected_components_bipartite(members).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+# ---- prefix-filter exactness: property-based vs brute force ----------
+
+def _brute_force_pairs(token_sets, t_num, t_den):
+    """O(n²) reference: all pairs with t_den*|∩| >= t_num*|∪|."""
+    out = set()
+    ids = sorted(token_sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            sa, sb = token_sets[a], token_sets[b]
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union > 0 and t_den * inter >= t_num * union:
+                out.add((a, b))
+    return out
+
+
+def test_prefix_filter_matches_brute_force_property(spark):
+    """Property test: on randomized corpora (small vocab → dense
+    near-dup structure, the algorithm's worst case) the prefix-filter
+    join emits EXACTLY the brute-force pair set, across thresholds.
+    Hypothesis drives the corpus shapes; Spark evaluation is batched
+    per corpus (one deterministic derandomized run, no deadline)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gravity_spark.functions.dedup import prefix_filter_pairs
+
+    token_set = st.sets(st.sampled_from([f"t{i}" for i in range(8)]),
+                        min_size=1, max_size=6)
+    corpus = st.lists(token_set, min_size=2, max_size=12)
+
+    @settings(max_examples=12, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=corpus, thresh=st.sampled_from([(1, 2), (7, 10), (9, 10)]))
+    def run(corpus, thresh):
+        t_num, t_den = thresh
+        token_sets = {i: s for i, s in enumerate(corpus)}
+        df = spark.createDataFrame(
+            [(i, sorted(s)) for i, s in token_sets.items()],
+            "doc_id long, toks array<string>",
+        )
+        got_rows = prefix_filter_pairs(df, "doc_id", "toks", t_num, t_den).collect()
+        got = {(r.id_a, r.id_b) for r in got_rows}
+        expected = _brute_force_pairs(token_sets, t_num, t_den)
+        assert got == expected
+        # reported jaccard values are exact rationals of the two sets
+        for r in got_rows:
+            sa, sb = token_sets[r.id_a], token_sets[r.id_b]
+            assert r.jaccard == len(sa & sb) / len(sa | sb)
+
+    run()
