@@ -5187,6 +5187,125 @@ def pii_redaction(spark, sf_dir):
     )
 
 
+@register(
+    "try_arithmetic_battery",
+    """
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS safe_div,
+           TRY_CAST(o_orderstatus AS BIGINT)                  AS bad_cast,
+           TRY_CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)    AS good_cast,
+           CASE WHEN o_orderkey = 0 THEN 9223372036854775807
+                ELSE CAST(NULL AS BIGINT) END                 AS overflow_add,
+           string_split(o_orderpriority, '-')[3]              AS oob_elem
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def try_arithmetic_battery(spark, sf_dir):
+    """Error-safe arithmetic/coercion battery: try_divide / try_cast /
+    try_add / try_element_at degrade to NULL instead of failing the
+    job — the coercion posture a CDC applier needs when source data is
+    dirtier than the target schema (the reference's byte→Go coercion
+    fix-ups, pkg/inputs/mysqlstream/msg.go:230-273, with NULL instead
+    of a crashed pipeline). At 100 TB a single poisoned row must NOT
+    kill a 10k-task stage — TRY_* keeps the error row-local and
+    auditable (count the NULLs) rather than job-fatal. The oracle
+    states the equivalent semantics with standard SQL (nullif guard,
+    TRY_CAST, list OOB → NULL). Row-local projection: no shuffle."""
+    k = F.col("o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .filter(k < 2000)
+        .select(
+            "o_orderkey",
+            F.round(F.try_divide(F.col("o_totalprice"), k % 3), 6).alias("safe_div"),
+            F.expr("try_cast(o_orderstatus AS BIGINT)").alias("bad_cast"),
+            F.expr("try_cast(CAST(o_orderkey AS STRING) AS BIGINT)").alias(
+                "good_cast"
+            ),
+            F.try_add(k, F.lit(9223372036854775807)).alias("overflow_add"),
+            F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias(
+                "oob_elem"
+            ),
+        )
+    )
+
+
+@register(
+    "decimal_exact_battery",
+    """
+    -- exact DECIMAL arithmetic: cents built by half-up rounding (same
+    -- rule both engines for positive prices), then all math stays in
+    -- decimal space — sums/products are exact, no float accumulation
+    WITH d AS (
+      SELECT l_returnflag,
+             CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS DECIMAL(18,0)) AS cents,
+             CAST(l_quantity AS DECIMAL(4,0)) AS qty
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           sum(cents)       AS sum_cents,
+           min(cents)       AS min_cents,
+           max(cents)       AS max_cents,
+           sum(cents * qty) AS weighted_cents,
+           count(*)         AS n
+    FROM d GROUP BY l_returnflag
+    """,
+)
+def decimal_exact_battery(spark, sf_dir):
+    """DecimalType aggregate battery: fixed-point sums, extremes, and a
+    scale-growing decimal product — bit-exact across engines because no
+    float ever enters an accumulator (the TPC-H battery's bigint-cents
+    trick, here on the DECIMAL surface itself: Spark's Decimal128 sums
+    are exact and overflow-checked at p=38). Python Decimal equality is
+    numeric, so engine-specific result scales (18,0 vs 38,0) compare
+    clean. One partial-agg + one exchange of 3 group states."""
+    li = T(spark, sf_dir, "lineitem")
+    cents = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("decimal(18,0)")
+    )
+    qty = F.col("l_quantity").cast("decimal(4,0)")
+    return (
+        li.select("l_returnflag", cents.alias("cents"), qty.alias("qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.sum(F.col("cents") * F.col("qty")).alias("weighted_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _grouping_meta_sql(orders: str) -> str:
+    """Same SQL text on Spark and DuckDB — only the table name varies."""
+    return f"""
+    SELECT coalesce(o_orderstatus, '<all>')    AS status,
+           coalesce(o_orderpriority, '<all>')  AS priority,
+           CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*)                            AS n,
+           round(sum(o_totalprice), 2)         AS revenue
+    FROM {orders}
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    """
+
+
+@register("grouping_id_metadata", _grouping_meta_sql("orders"))
+def grouping_id_metadata(spark, sf_dir):
+    """GROUPING SETS with grouping() METADATA columns (plus the empty
+    grand-total set) — grouping() disambiguates a real NULL key from a
+    rolled-up one, which coalesce alone cannot (the difference matters
+    once keys are nullable). LITERAL same SQL text runs on both
+    engines. Physically one Expand (4 replicas of each input row
+    restricted to the grouped columns) feeding a single hash agg — the
+    exchange carries per-(set, key) partials, so cost scales with
+    distinct keys × sets, not input rows."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("gm_orders")
+    return spark.sql(_grouping_meta_sql("gm_orders"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
