@@ -5306,6 +5306,58 @@ def grouping_id_metadata(spark, sf_dir):
     return spark.sql(_grouping_meta_sql("gm_orders"))
 
 
+@register(
+    "streaming_static_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joins a STATIC
+    dimension (customer segment) that Spark broadcasts to every task —
+    the canonical CDC-enrichment shape (attach reference data to each
+    change without a stateful join; the static side is re-read per
+    micro-batch, so dim updates are picked up between triggers). The
+    per-segment aggregate sums integer cents, so the stream's partial-
+    aggregation order can't perturb the value — exact match with the
+    batch oracle. At 100 TB/day the stream side never shuffles for the
+    join (broadcast), only the tiny (segment, partial) states move."""
+    import uuid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = stream.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("value_cents"),
+    )
+    name = f"ssj2_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
