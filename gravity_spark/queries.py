@@ -5358,6 +5358,62 @@ def streaming_static_join(spark, sf_dir):
     return spark.table(name)
 
 
+@register(
+    "banded_range_join",
+    """
+    -- pairs of events within 60s of each other (any users), counted per
+    -- type pair — the oracle states the non-equi join directly; the
+    -- Spark side reaches the same pairs through bucket banding
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60000000
+    GROUP BY 1, 2
+    """,
+)
+def banded_range_join(spark, sf_dir):
+    """Non-equi interval join via BANDING: a raw |ta−tb| ≤ 60s self-
+    join has no equi key, so naive Spark plans it as BroadcastNestedLoop
+    (quadratic — dead at 100 TB). Banding restores an equi key: bucket
+    time into band-width windows, explode one side to its bucket ±1,
+    equi-join on the bucket, then apply the exact predicate. Every
+    candidate pair shares a bucket value exactly once (the three
+    exploded values are distinct), so no dedup step is needed; work is
+    O(Σ per-bucket²) instead of O(n²) — the band width is the knob that
+    trades candidate count against explode factor. All time math in
+    integer microseconds (unix_micros), so the boundary is exact in
+    both engines. This is the batch twin of the stream-stream join's
+    time-range condition (streaming_stream_join)."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    band = 60_000_000
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("us").alias("us_a"),
+        F.explode(
+            F.array(
+                F.expr(f"us div {band}") - 1,
+                F.expr(f"us div {band}"),
+                F.expr(f"us div {band}") + 1,
+            )
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("us_b"),
+        F.expr(f"us div {band}").alias("bucket"),
+    )
+    pairs = a.join(b, "bucket").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.abs(F.col("us_a") - F.col("us_b")) <= band)
+    )
+    return pairs.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
