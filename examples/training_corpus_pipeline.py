@@ -4,9 +4,10 @@ Chains the engine's training-data operators end-to-end over the sf0.001
 documents table and prints the survival funnel:
 
     raw → near-dup dedup (MinHash-LSH + components, keep best per
-    cluster) → LM quality filter (unigram perplexity) → benchmark
-    decontamination (4-gram overlap vs the held-out slice) →
-    deterministic 80/10/10 split → 2048-token sequence packing.
+    cluster) → quality filters (unigram perplexity + Gopher-style
+    repetition) → PII redaction → benchmark decontamination (4-gram
+    overlap vs the held-out slice) → deterministic 80/10/10 split →
+    2048-token sequence packing.
 
 Every stage is the same audited distributed form the graded queries
 use; this script only composes them.
@@ -46,12 +47,23 @@ def main() -> None:
     )
     n_dedup = survivors.count()
 
-    # 2. LM quality filter
+    # 2. quality filters: LM perplexity + Gopher-style repetition
     ppl = run("perplexity_filter")
     survivors = survivors.join(ppl.filter(F.col("keep") == 1), "doc_id").select(
         "doc_id"
     )
+    rep = run("quality_repetition")
+    survivors = survivors.join(rep.filter(F.col("keep")), "doc_id").select("doc_id")
     n_quality = survivors.count()
+
+    # 2b. PII scrub: redact email spans before anything downstream sees
+    #     text (demonstrated on the doc ids that survive)
+    n_pii = (
+        run("pii_redaction")
+        .join(survivors, "doc_id")
+        .agg(F.sum("n_emails"))
+        .collect()[0][0]
+    )
 
     # 3. benchmark decontamination: drop flagged overlaps and the eval
     #    slice itself
@@ -92,6 +104,7 @@ def main() -> None:
     print(f"  raw documents        {n_raw}")
     print(f"  after near-dup dedup {n_dedup}")
     print(f"  after quality filter {n_quality}")
+    print(f"  PII spans redacted   {n_pii}")
     print(f"  after decontaminate  {n_clean}")
     print(f"  split                {split_counts}")
     print(f"  packed train bins    {n_bins} bins / {n_tokens} tokens")
