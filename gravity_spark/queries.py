@@ -4752,6 +4752,15 @@ def udtf_tokenize(spark, sf_dir):
            round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
            regr_count(l_extendedprice, l_quantity)               AS n_pairs,
+           round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avgx,
+           round(regr_avgy(l_extendedprice, l_quantity), 4)      AS avgy,
+           round(regr_sxx(l_extendedprice, l_quantity)
+                 / regr_count(l_extendedprice, l_quantity), 4)   AS sxx_n,
+           round(regr_sxy(l_extendedprice, l_quantity)
+                 / regr_count(l_extendedprice, l_quantity), 4)   AS sxy_n,
+           round(regr_syy(l_extendedprice, l_quantity)
+                 / regr_count(l_extendedprice, l_quantity), 2)   AS syy_n,
+           round(median(l_quantity), 6)                          AS med_qty,
            bool_and(l_quantity >= 1)                             AS all_pos_qty,
            bool_or(l_discount > 0.09)                            AS any_deep_disc,
            bit_or(CAST(l_linenumber AS BIGINT))                  AS ln_bits,
@@ -4779,6 +4788,24 @@ def stat_agg_battery(spark, sf_dir):
         F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
         F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 6).alias("avgx"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avgy"),
+        F.round(
+            F.regr_sxx("l_extendedprice", "l_quantity")
+            / F.regr_count("l_extendedprice", "l_quantity"),
+            4,
+        ).alias("sxx_n"),
+        F.round(
+            F.regr_sxy("l_extendedprice", "l_quantity")
+            / F.regr_count("l_extendedprice", "l_quantity"),
+            4,
+        ).alias("sxy_n"),
+        F.round(
+            F.regr_syy("l_extendedprice", "l_quantity")
+            / F.regr_count("l_extendedprice", "l_quantity"),
+            2,
+        ).alias("syy_n"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
         F.bool_and(F.col("l_quantity") >= 1).alias("all_pos_qty"),
         F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_disc"),
         F.bit_or(F.col("l_linenumber").cast("long")).alias("ln_bits"),
