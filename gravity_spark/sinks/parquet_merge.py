@@ -213,6 +213,62 @@ class ParquetMergeTarget:
             self.apply_batch(df, epoch_id)
         return fn
 
+    def compact(self, target_bytes: int = 128 * 1024 * 1024) -> dict:
+        """Small-file compaction (the OPTIMIZE bin-packing job): rewrite
+        the current version's data into right-sized files as a NEW
+        version and flip the pointer — data is byte-identical, readers
+        are never disturbed, and a crashed compaction leaves the old
+        version current (same atomicity as apply_batch). Streaming CDC
+        merges naturally produce file counts tied to shuffle
+        parallelism, not data volume; at 100 TB unmanaged small files
+        dominate scan open/seek cost, so compaction cadence is the knob
+        that keeps scan cost proportional to bytes. Returns per-scope
+        (files_before, files_after)."""
+        import math
+
+        def dir_stats(d: str) -> tuple[int, int]:
+            files = [
+                os.path.join(d, e)
+                for e in os.listdir(d)
+                if e.endswith(".parquet") and not e.startswith("_")
+            ]
+            return len(files), sum(os.path.getsize(f) for f in files)
+
+        def compact_dir(read_df: DataFrame, dirpath: str, current: int) -> dict:
+            src = os.path.join(dirpath, f"v{current}")
+            n_before, nbytes = dir_stats(src)
+            n_target = max(1, math.ceil(nbytes / target_bytes))
+            if n_target >= n_before:
+                return {"files_before": n_before, "files_after": n_before}
+            out = os.path.join(dirpath, f"v{current + 1}")
+            read_df.repartition(n_target).write.mode("overwrite").parquet(out)
+            return {"files_before": n_before, "files_after": dir_stats(out)[0]}
+
+        m = self._manifest()
+        result: dict = {}
+        if self.partition_col is None:
+            if m["version"] is None:
+                return {}
+            stats = compact_dir(self.read(), self.path, m["version"])
+            if stats["files_after"] < stats["files_before"]:
+                m["version"] += 1
+                self._write_manifest(m)
+            result["<table>"] = stats
+            return result
+        flipped = False
+        for val, ver in list(m["partitions"].items()):
+            stats = compact_dir(
+                self.read_partition(val), os.path.join(self.path, f"p={val}"), ver
+            )
+            if stats["files_after"] < stats["files_before"]:
+                m["partitions"][val] = ver + 1
+                flipped = True
+            result[str(val)] = stats
+        if flipped:
+            m["version"] = (m["version"] or 0) + 1
+            self._write_manifest(m)
+        return result
+
     def vacuum(self, keep_last: int = 2) -> int:
         """Remove superseded version directories (the sink's compaction/
         retention job). Keeps the current version plus ``keep_last - 1``

@@ -135,3 +135,60 @@ def test_aggregate_rollup_epoch_guard(spark, tmp_path):
     assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 2, "b": 1}
     t.apply_batch(batch, epoch_id=1)  # new epoch: accumulates
     assert {r["k"]: r["n"] for r in t.read().collect()} == {"a": 4, "b": 2}
+
+
+def _no_coalesce(spark):
+    # AQE normally right-sizes tiny writes to one file; disable it while
+    # building the fragmented state a parallel merge produces at scale
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        key = "spark.sql.adaptive.coalescePartitions.enabled"
+        old = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, old)
+
+    return ctx()
+
+
+def test_compact_bin_packs_small_files(spark, tmp_path):
+    t = ParquetMergeTarget(spark, str(tmp_path / "tc"), ["id"], "id long, v string")
+    rows = [(i, f"v{i}", "insert", i) for i in range(100)]
+    with _no_coalesce(spark):
+        t.apply_batch(
+            spark.createDataFrame(rows, "id long, v string, op string, seq long")
+            .repartition(8), 0)
+    before = {(r["id"], r["v"]) for r in t.read().collect()}
+    v_before = t._current_version()
+
+    stats = t.compact(target_bytes=10**9)["<table>"]
+    assert stats["files_after"] == 1
+    assert stats["files_before"] > 1
+    # data byte-identical, new version atomically current, old readable
+    assert t._current_version() == v_before + 1
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == before
+    assert t.read_version(v_before).count() == 100
+    # already-compact table: no-op, version unchanged
+    assert t.compact(target_bytes=10**9)["<table>"]["files_after"] == 1
+    assert t._current_version() == v_before + 1
+
+
+def test_compact_partitioned(spark, tmp_path):
+    t = ParquetMergeTarget(spark, str(tmp_path / "tcp"), ["id"],
+                           "id long, dt string, v string", partition_col="dt")
+    rows = [(i, f"d{i % 2}", f"v{i}", "insert", i) for i in range(60)]
+    with _no_coalesce(spark):
+        t.apply_batch(
+            spark.createDataFrame(rows, "id long, dt string, v string, op string, seq long")
+            .repartition(6), 0)
+    before = {(r["id"], r["v"]) for r in t.read().collect()}
+    stats = t.compact(target_bytes=10**9)
+    assert set(stats) == {"d0", "d1"}
+    assert all(s["files_after"] == 1 for s in stats.values())
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == before
+    # vacuum reclaims the pre-compaction version dirs
+    assert t.vacuum(keep_last=1) == 2
