@@ -94,6 +94,8 @@ def run_stream(
     trigger_once: bool = False,
     catalog=None,
     current_db: str | None = None,
+    compact_every: int | None = None,
+    compact_target_bytes: int = 128 * 1024 * 1024,
 ) -> StreamingQuery:
     """Wire a change stream into a merge target.
 
@@ -106,6 +108,12 @@ def run_stream(
     seq order, driver-side) BEFORE the batch's DML — the foreachBatch
     epoch boundary is the DDL barrier (binlog_tailer.go:434-509); the
     sink handles additive schema evolution.
+
+    ``compact_every=N`` runs the sink's small-file compaction (then a
+    version vacuum) after every Nth epoch — maintenance rides the
+    stream's own epoch cadence instead of a separate scheduled job, and
+    because compaction flips an atomic new version, concurrent readers
+    and a later epoch's merge are never disturbed.
     """
     def per_batch(df: DataFrame, epoch_id: int) -> None:
         if catalog is not None:
@@ -123,6 +131,9 @@ def run_stream(
             df = df.filter(F.col("type") != "ddl")
         batch = typed(df)
         target.apply_batch(batch, epoch_id)
+        if compact_every and (epoch_id + 1) % compact_every == 0:
+            target.compact(target_bytes=compact_target_bytes)
+            target.vacuum()
 
     writer = (
         changes.writeStream.foreachBatch(per_batch)

@@ -192,3 +192,38 @@ def test_compact_partitioned(spark, tmp_path):
     assert {(r["id"], r["v"]) for r in t.read().collect()} == before
     # vacuum reclaims the pre-compaction version dirs
     assert t.vacuum(keep_last=1) == 2
+
+
+def test_stream_with_compaction_cadence(spark, tmp_path):
+    """Maintenance rides the stream's epoch cadence: with
+    compact_every=1 each epoch's merge is followed by bin-packing to a
+    single file + vacuum, and the final state still equals the LWW
+    truth."""
+    from pyspark.sql import functions as F
+
+    from gravity_spark.streaming.pipeline import run_stream
+
+    src = str(tmp_path / "src")
+    with _no_coalesce(spark):
+        spark.createDataFrame(
+            [(i, f"v{i}", "insert", i) for i in range(40)],
+            "id long, v string, op string, seq long",
+        ).repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "2").parquet(src)
+    )
+    t = ParquetMergeTarget(spark, str(tmp_path / "tgt"), ["id"], "id long, v string")
+    with _no_coalesce(spark):
+        q = run_stream(
+            stream, t, lambda df: df.select("id", "v", "op", "seq"),
+            str(tmp_path / "ckpt"), compact_every=1,
+        )
+        q.processAllAvailable()
+        q.stop()
+    assert t.read().count() == 40
+    # current version dir is bin-packed to one file
+    cur = t._current_version()
+    vdir = str(tmp_path / "tgt" / f"v{cur}")
+    n_files = len([e for e in os.listdir(vdir) if e.endswith(".parquet")])
+    assert n_files == 1
