@@ -75,3 +75,67 @@ def test_batch_boundary_invariance(spark):
     a = _run_engine(spark, ops, ENGINE_REPLACE, batch_size=200)
     b = _run_engine(spark, ops, ENGINE_REPLACE, batch_size=17)
     assert a == b
+
+
+def test_randomized_conflict_detect_engine(spark):
+    """Randomized CAS oracle for the conflict-detect engine
+    (conflict_engine.go:25-300 semantics): per batch, the LAST change
+    per key is CAS'd against the batch-start target image; stale-image
+    updates are dropped and audited, inserts/deletes never conflict.
+    The sequential Python model is the truth; ~20%% of generated old
+    images are deliberately corrupted, and intra-batch double updates
+    self-conflict (the second's old image reflects the first, which the
+    batch-start CAS rejects) — both paths must match exactly."""
+    from gravity_spark.operators.upsert import merge_with_conflict_detect
+
+    def workload(seed, n_ops=240, n_keys=30):
+        rng = random.Random(seed)
+        view = {}  # optimistic writer's view (applies everything)
+        ops = []
+        for seq in range(n_ops):
+            key = rng.randrange(n_keys)
+            op = rng.choices(["insert", "update", "delete"], weights=[0.3, 0.5, 0.2])[0]
+            old = view.get(key, (None, None))
+            if rng.random() < 0.2:  # stale/corrupt pre-image
+                old = (f"stale{seq}", -1.0)
+            ops.append((key, f"v{seq}", float(seq), old[0], old[1], op, seq))
+            if op == "delete":
+                view.pop(key, None)
+            else:
+                view[key] = (f"v{seq}", float(seq))
+        return ops
+
+    def sequential(ops, batch_size):
+        state, conflicts = {}, []
+        for i in range(0, len(ops), batch_size):
+            batch = ops[i : i + batch_size]
+            last = {}
+            for t in batch:
+                last[t[0]] = t  # seq order: later op wins the collapse
+            for key, (k, name, bal, old_name, old_bal, op, seq) in sorted(last.items()):
+                if op == "update" and key in state and state[key] != (old_name, old_bal):
+                    conflicts.append((key, name, bal, op))
+                elif op == "delete":
+                    state.pop(key, None)
+                else:
+                    state[key] = (name, bal)
+        return state, sorted(conflicts)
+
+    schema = ("id long, name string, bal double, old_name string, "
+              "old_bal double, op string, seq long")
+    for seed in (3, 99):
+        ops = workload(seed)
+        batch_size = 60
+        state = spark.createDataFrame([], "id long, name string, bal double")
+        all_conflicts = []
+        for i in range(0, len(ops), batch_size):
+            batch = spark.createDataFrame(ops[i : i + batch_size], schema)
+            state, conf = merge_with_conflict_detect(state, batch, ["id"])
+            all_conflicts += [
+                (r["id"], r["name"], r["bal"], r["op"]) for r in conf.collect()
+            ]
+            state = spark.createDataFrame(state.collect(), state.schema)
+        got_state = {r["id"]: (r["name"], r["bal"]) for r in state.collect()}
+        exp_state, exp_conflicts = sequential(ops, batch_size)
+        assert got_state == exp_state, f"seed={seed}"
+        assert sorted(all_conflicts) == exp_conflicts, f"seed={seed}"
