@@ -58,14 +58,33 @@ def main() -> None:
         timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    detail = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Per-query detail goes to stderr + a sidecar file; stdout ends with a
+    # SHORT single JSON line so the driver's tail capture can parse it
+    # (round 1 had "parsed": null — the 132-query line was head-truncated).
+    print(json.dumps(detail), file=sys.stderr)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
             {
                 "metric": "total_query_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "queries_detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -120,35 +120,82 @@ def lsh_bucket_topk(
     )
 
 
+def default_bands(dim: int = 64, dims_per_band: int = 8) -> list[tuple[int, ...]]:
+    """Deterministic band layout: disjoint runs of `dims_per_band` sign
+    dimensions. 64-dim embedding → 8 bands × 8 bits = 256 buckets per
+    band; every dimension participates, so recall doesn't hinge on a
+    handful of arbitrary axes."""
+    n_bands = dim // dims_per_band
+    return [
+        tuple(range(b * dims_per_band, (b + 1) * dims_per_band))
+        for b in range(n_bands)
+    ]
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dims: Sequence[int] = (0, 1, 2, 3, 4, 5),
+    bands: Sequence[Sequence[int]] | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-bucket blocking."""
-    c = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        sign_bucket(F.col(vec_col), dims).alias("__bucket"),
+    """Embedding-cosine near-duplicate pairs via BANDED sign-LSH.
+
+    Round-1 design used one 6-bit bucket (64 buckets total): at 100 TB
+    each bucket holds ~1.6% of the corpus and the within-bucket
+    self-join is O((n/64)²) — a scale-killer. Now each vector gets one
+    bucket id per band (default 8 bands × 8 sign bits = 256 buckets per
+    band, 2048 (band, bucket) keys total); candidates are pairs sharing
+    ANY band's bucket (same shape as minhash_lsh_pairs in dedup.py).
+    The self-join key is (band, bucket), so per-group size shrinks as
+    dims_per_band grows — tune bits per band, not the algorithm, as the
+    corpus grows. Candidate pairs are deduped BEFORE the cosine verify
+    so each pair is scored once.
+
+    Mirrors the reference's dedup role (no direct counterpart — the
+    reference is row-replication; this is the LLM-corpus extension).
+    """
+    if bands is None:
+        bands = default_bands()
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                sign_bucket(F.col(vec_col), dims).alias("bucket"),
+            )
+            for i, dims in enumerate(bands)
+        ]
+    )
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col), F.explode(entries).alias("bb"))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("bb.band").alias("__band"),
+            F.col("bb.bucket").alias("__bucket"),
+        )
     )
     a = c.alias("a")
     b = c.alias("b")
-    sim = cosine_similarity(
-        F.col(f"a.{vec_col}").cast("array<double>"),
-        F.col(f"b.{vec_col}").cast("array<double>"),
-    )
-    return (
+    cand = (
         a.join(
             b,
-            (F.col("a.__bucket") == F.col("b.__bucket"))
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("sim"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine_similarity(
+        F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
+    )
+    return (
+        cand.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

@@ -608,10 +608,10 @@ def q11_important_parts(spark, sf_dir):
     "q12_late_shipping",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
@@ -810,7 +810,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
 @register(
     "q18_large_volume_customers",
     """
-    SELECT c_name, c_custkey, o_orderkey, epoch(o_orderdate) AS odate_epoch,
+    SELECT c_name, c_custkey, o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS odate_epoch,
            o_totalprice, sum(l_quantity) AS sum_qty
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -1174,7 +1174,7 @@ def window_running_revenue(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
 )
@@ -2860,29 +2860,44 @@ def cube_events(spark, sf_dir):
     )
 
 
-@register(
-    "dedup_embedding_near",
-    f"""
-    WITH b AS (
-      SELECT vec_id, embedding,
-             (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-           + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-           + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-           + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-           + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
-           + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket
-      FROM embeddings
+def _near_dup_sql(threshold: float) -> str:
+    """DuckDB replica of similarity.embedding_near_dup_pairs: banded
+    sign-LSH (8 bands × 8 sign bits over the 64-dim embedding), pairs
+    sharing any band bucket, deduped, cosine-verified."""
+    from gravity_spark.functions.similarity import default_bands
+
+    band_selects = []
+    for i, dims in enumerate(default_bands()):
+        bits = " + ".join(
+            f"(CASE WHEN embedding[{d + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j, d in enumerate(dims)
+        )
+        band_selects.append(
+            f"SELECT vec_id, embedding, {i} AS band, {bits} AS bucket FROM embeddings"
+        )
+    bb = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH bb AS (
+      {bb}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bb a JOIN bb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_SQL} AS sim
-    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.2
-    """,
-)
+    SELECT c.id_a, c.id_b, {_COS_SQL} AS sim
+    FROM cand c
+    JOIN embeddings a ON c.id_a = a.vec_id
+    JOIN embeddings b ON c.id_b = b.vec_id
+    WHERE {_COS_SQL} >= {threshold}
+    """
+
+
+@register("dedup_embedding_near", _near_dup_sql(0.2))
 def dedup_embedding_near(spark, sf_dir):
     from gravity_spark.functions.similarity import embedding_near_dup_pairs
 
     emb = T(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.2, dims=(0, 1, 2, 3, 4, 5))
+    return embedding_near_dup_pairs(emb, threshold=0.2)
 
 
 @register(
@@ -3870,7 +3885,7 @@ def events_anomaly_zscore(spark, sf_dir):
       FROM toks JOIN cf ON toks.t = cf.t CROSS JOIN tot
       GROUP BY toks.doc_id
     )
-    SELECT doc_id, sp_micro_sum // dl AS avg_surprisal_micro,
+    SELECT doc_id, CAST(sp_micro_sum // dl AS BIGINT) AS avg_surprisal_micro,
            CASE WHEN sp_micro_sum // dl <= 3800000 THEN 1 ELSE 0 END AS keep
     FROM scored
     """,
@@ -4122,8 +4137,8 @@ def pack_start_offsets(d: DataFrame, shard_docs: int = 4096) -> DataFrame:
                - n_tok AS start_off
       FROM d
     )
-    SELECT source, start_off // 2048 AS bin_id,
-           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    SELECT source, CAST(start_off // 2048 AS BIGINT) AS bin_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM r GROUP BY source, bin_id
     """,
 )
@@ -4152,7 +4167,8 @@ def _pagerank_sql(rounds: int = 3) -> str:
         layers.append(
             f"""r{k} AS (
       SELECT d.node,
-             150000 + (850000 * coalesce(s.contrib, 0)) // 1000000 AS rank_micro
+             CAST(150000 + (850000 * coalesce(s.contrib, 0)) // 1000000
+                  AS BIGINT) AS rank_micro
       FROM deg d LEFT JOIN (
         SELECT e.dst AS node, sum(p.rank_micro // pd.degree) AS contrib
         FROM edges e
@@ -4334,7 +4350,7 @@ def orders_histogram(spark, sf_dir):
     """
     SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
            count(*) AS n_events,
-           sum(CAST(round(value * 1000000) AS BIGINT)) AS value_micro
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
     FROM events GROUP BY 1, 2
     """,
 )
@@ -4412,7 +4428,7 @@ def streaming_incremental_rollup(spark, sf_dir):
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
     FROM gaps GROUP BY user_id
     """,
 )
@@ -4818,8 +4834,8 @@ def stat_agg_battery(spark, sf_dir):
     """
     SELECT o_orderkey,
            generate_series(1, o_orderkey % 5 + 2)                             AS arr,
-           list_aggregate(list_transform(generate_series(1, o_orderkey % 5 + 2),
-                                         x -> x * x), 'sum')                  AS sq_sum,
+           CAST(list_aggregate(list_transform(generate_series(1, o_orderkey % 5 + 2),
+                                         x -> x * x), 'sum') AS BIGINT)       AS sq_sum,
            list_filter(generate_series(1, o_orderkey % 5 + 2),
                        x -> x % 2 = 0)                                        AS evens,
            len(list_filter(generate_series(1, o_orderkey % 5 + 2),
@@ -4841,7 +4857,9 @@ def array_hof_battery(spark, sf_dir):
     pkg/filters/grpc_sidecar_filter.go:43-120, minus the subprocess).
     At scale the arrays live inside the row (no explode → no row-count
     blowup, no shuffle); the whole select is one narrow map stage."""
-    arr = F.sequence(F.lit(1), (F.col("o_orderkey") % 5 + 2).cast("int"))
+    # long sequence so dtypes align exactly with DuckDB's BIGINT[] (the
+    # driver's value hash is type-sensitive — see round-1 verdict)
+    arr = F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 5 + 2)
     return (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") < 2000)
@@ -5270,10 +5288,10 @@ def try_arithmetic_battery(spark, sf_dir):
       FROM lineitem
     )
     SELECT l_returnflag,
-           sum(cents)       AS sum_cents,
+           CAST(sum(cents) AS DECIMAL(28,0))       AS sum_cents,
            min(cents)       AS min_cents,
            max(cents)       AS max_cents,
-           sum(cents * qty) AS weighted_cents,
+           CAST(sum(cents * qty) AS DECIMAL(33,0)) AS weighted_cents,
            count(*)         AS n
     FROM d GROUP BY l_returnflag
     """,

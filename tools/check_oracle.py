@@ -45,6 +45,84 @@ def canon(rows, cols):
     return [cols[i] for i in order], out
 
 
+_SPARK_TO_DUCK = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INTEGER",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "binary": "BLOB",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+# classes used to decide whether a mismatch is fatal (value-widening the
+# driver's typed hash will see) vs cosmetic (same hashed representation)
+_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "HUGEINT": "wide", "UHUGEINT": "wide",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "wide",
+    "FLOAT": "float", "DOUBLE": "float", "REAL": "float",
+    "VARCHAR": "text", "BOOLEAN": "bool", "DATE": "date", "BLOB": "binary",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts", "TIMESTAMP_NS": "ts",
+    "TIMESTAMP_MS": "ts", "TIMESTAMP_S": "ts",
+}
+
+
+def spark_to_duck(dtype: str) -> str | None:
+    """Expected DuckDB type for a Spark dtype string; None = unchecked."""
+    dtype = dtype.strip()
+    if dtype.startswith("array<") and dtype.endswith(">"):
+        inner = spark_to_duck(dtype[6:-1])
+        return None if inner is None else inner + "[]"
+    if dtype.startswith("decimal"):
+        return dtype.upper().replace(" ", "")
+    return _SPARK_TO_DUCK.get(dtype)
+
+
+def _type_class(duck_type: str) -> str:
+    base = duck_type
+    depth = 0
+    while base.endswith("[]"):
+        base = base[:-2]
+        depth += 1
+    if base.startswith("DECIMAL"):
+        cls = "decimal:" + base
+    else:
+        cls = _CLASS.get(base, base)
+    return cls + "[]" * depth
+
+
+def type_mismatches(spark_dtypes, duck_desc):
+    """Compare Spark df.dtypes against DuckDB DESCRIBE output.
+
+    Returns (fatal, warn): lists of (col, spark_type, duck_type).
+    Fatal = the driver's typed value-hash will differ (e.g. sum(int) →
+    HUGEINT, epoch() → DOUBLE); warn = cosmetic variant (timestamp unit).
+    """
+    duck = {name: dt for name, dt in duck_desc}
+    fatal, warn = [], []
+    for col, sdt in spark_dtypes:
+        ddt = duck.get(col)
+        if ddt is None:
+            continue
+        expect = spark_to_duck(sdt)
+        if expect is None:
+            continue
+        if ddt == expect:
+            continue
+        rec = (col, sdt, ddt)
+        if _type_class(ddt) != _type_class(expect):
+            fatal.append(rec)
+        else:
+            warn.append(rec)
+    return fatal, warn
+
+
 def values_equal(a, b):
     if a is None and b is None:
         return True
@@ -99,6 +177,7 @@ def main():
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{spark_s:.1f}s]")
             continue
         try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
             res = con.execute(sql)
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
@@ -106,6 +185,14 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
+
+        fatal, warn = type_mismatches(sdf.dtypes, [(d[0], d[1]) for d in desc])
+        if fatal:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle type widening {fatal}")
+            continue
+        if warn:
+            print(f"warn  {name}: type variants {warn}")
 
         sc, sr = canon(s_rows, s_cols)
         dc, dr = canon(d_rows, d_cols)
