@@ -227,8 +227,68 @@ def from_canal_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
         pks.alias("pks"),
         F.when(vv["isDdl"], vv["sql"]).otherwise(F.lit(None).cast("string")).alias("ddl_statement"),
         F.concat_ws("/", vv["database"], vv["table"]).alias("stream_key"),
-        (F.col("seq0") * F.lit(1 << 16) + F.col("pos")).alias("seq"),
+        # pos is NULL for row-less messages (DDL: data=[]) — they must
+        # still carry their stream position, not a NULL seq
+        (F.col("seq0") * F.lit(1 << 16) + F.coalesce(F.col("pos"), F.lit(0))).alias("seq"),
     )
+
+
+def decompose_pk_updates(changes: DataFrame) -> DataFrame:
+    """Split primary-key-changing updates into DELETE(old) + INSERT(new).
+
+    Reference: pkg/inputs/mysqlstream/msg.go:170-225 — an update whose PK
+    columns changed is emitted as two messages: first a delete carrying
+    the OLD image (pks generated from the old values), then an insert
+    carrying the NEW image (pks from the new values). A downstream
+    upsert-by-PK sink would otherwise leave the old row behind.
+
+    Sequence numbers are uniformly rescaled (seq → 2·seq, delete at
+    2·seq, its insert at 2·seq+1, untouched rows at 2·seq+1) so relative
+    source order — including the delete-before-insert pair order — is
+    preserved within each stream.
+
+    One narrow map stage (when/explode), no shuffle; safe in streaming.
+    """
+    empty_map = F.create_map().cast(T.MapType(T.StringType(), T.StringType()))
+    pk_keys = F.map_keys(F.col("pks"))
+    old_map = F.coalesce(F.col("old"), empty_map)
+    old_pks = F.map_filter(old_map, lambda k, _: F.array_contains(pk_keys, k))
+    # MapType has no equality — compare sorted entry arrays instead
+    pk_changed = (
+        (F.col("op") == OP_UPDATE)
+        & F.col("old").isNotNull()
+        & (
+            F.array_sort(F.map_entries(old_pks))
+            != F.array_sort(F.map_entries(F.col("pks")))
+        )
+    )
+
+    def _row(op, data, old, pks, seq):
+        return F.struct(
+            F.col("type").alias("type"),
+            F.col("database").alias("database"),
+            F.col("table").alias("table"),
+            F.col("host").alias("host"),
+            op.alias("op"),
+            F.col("ts").alias("ts"),
+            data.alias("data"),
+            old.alias("old"),
+            pks.alias("pks"),
+            F.col("ddl_statement").alias("ddl_statement"),
+            F.col("stream_key").alias("stream_key"),
+            seq.alias("seq"),
+        )
+
+    null_map = F.lit(None).cast(T.MapType(T.StringType(), T.StringType()))
+    two = F.array(
+        _row(F.lit(OP_DELETE), old_map, null_map, old_pks, F.col("seq") * 2),
+        _row(F.lit(OP_INSERT), F.col("data"), null_map, F.col("pks"), F.col("seq") * 2 + 1),
+    )
+    one = F.array(
+        _row(F.col("op"), F.col("data"), F.col("old"), F.col("pks"), F.col("seq") * 2 + 1)
+    )
+    rows = F.when(pk_changed, two).otherwise(one)
+    return changes.select(F.explode(rows).alias("m")).select("m.*")
 
 
 def typed_view(changes: DataFrame, schema: T.StructType, pk_cols: list[str]) -> DataFrame:

@@ -1306,6 +1306,101 @@ def cdc_merge_replace(spark, sf_dir):
 
 
 @register(
+    "cdc_debezium_roundtrip",
+    """
+    -- final-state truth of the synthesized Debezium capture stream:
+    -- per order: insert; then %3→non-PK update, elif %7→PK move to
+    -- id+1000000, elif %5→delete (disjoint by precedence)
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS BIGINT) AS total_cents
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT CASE WHEN k % 3 <> 0 AND k % 7 = 0 THEN k + 1000000 ELSE k END AS id,
+           CASE WHEN k % 3 = 0 THEN 'U'
+                WHEN k % 7 = 0 THEN 'M'
+                ELSE 'O' END AS status,
+           total_cents
+    FROM base
+    WHERE NOT (k % 3 <> 0 AND k % 7 <> 0 AND k % 5 = 0)
+    """,
+)
+def cdc_debezium_roundtrip(spark, sf_dir):
+    """Full CDC wire path, end to end: synthesize verbatim Debezium-JSON
+    captures from `orders` (insert + one follow-up per key: non-PK
+    update, PK-moving update, or delete), decode with
+    from_debezium_json, split PK-moves into DELETE(old)+INSERT(new)
+    (pkg/inputs/mysqlstream/msg.go:170-225), collapse through the
+    replace engine — the sandbox-faithful TestMySQLToMySQLStream
+    (integration_test/mysql_mysql_test.go:37-127).
+
+    Scale shape: JSON encode/decode is per-row codegen (to_json/
+    from_json, no Python); the only shuffle is the merge collapse on the
+    PK — identical at 100 TB."""
+    from gravity_spark.core.envelope import (
+        decompose_pk_updates,
+        from_debezium_json,
+        typed_view,
+    )
+    from gravity_spark.operators.upsert import merge_changes
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string")
+
+    def img(idc, status):
+        return F.create_map(
+            F.lit("id"), idc.cast("string"),
+            F.lit("status"), F.lit(status),
+            F.lit("total_cents"), cents,
+        )
+
+    def dbz(op, before, after, seq):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.struct(
+                    F.lit("demo").alias("db"),
+                    F.lit("orders").alias("table"),
+                    (F.lit(1700000000000) + seq).alias("ts_ms"),
+                    F.lit(1).cast("long").alias("server_id"),
+                ).alias("source"),
+                F.lit(op).alias("op"),
+                (F.lit(1700000000005) + seq).alias("ts_ms"),
+            )
+        )
+
+    null_img = F.lit(None).cast("map<string,string>")
+    insert_evt = dbz("c", null_img, img(k, "O"), k * 2)
+    follow_evt = (
+        F.when(k % 3 == 0, dbz("u", img(k, "O"), img(k, "U"), k * 2 + 1))
+        .when(k % 7 == 0, dbz("u", img(k, "O"), img(k + 1000000, "M"), k * 2 + 1))
+        .when(k % 5 == 0, dbz("d", img(k, "O"), null_img, k * 2 + 1))
+    )
+    captures = (
+        o.select(
+            F.explode(
+                F.array(
+                    F.struct(insert_evt.alias("value"), (k * 2).alias("offset")),
+                    F.struct(follow_evt.alias("value"), (k * 2 + 1).alias("offset")),
+                )
+            ).alias("e")
+        )
+        .select("e.value", "e.offset")
+        .filter(F.col("value").isNotNull())
+    )
+    changes = decompose_pk_updates(from_debezium_json(captures))
+    typed = typed_view(
+        changes,
+        spark.createDataFrame([], "id long, status string, total_cents long").schema,
+        ["id"],
+    )
+    empty = spark.createDataFrame([], "id long, status string, total_cents long")
+    return merge_changes(empty, typed, ["id"])
+
+
+@register(
     "cdc_insert_ignore",
     f"""
     -- sequential INSERT IGNORE + DELETE truth: final value per key is
