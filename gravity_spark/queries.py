@@ -3400,6 +3400,82 @@ def ann_recall(spark, sf_dir):
 
 
 @register(
+    "esmodel_incremental_docs",
+    """
+    -- truth for the incrementally-maintained doc index after two
+    -- epochs: final docs must equal full relational assembly
+    SELECT CAST(c_custkey AS VARCHAR) AS doc_id,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(coalesce(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)), 0)
+                AS BIGINT) AS total_cents
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey < 120
+    GROUP BY c_custkey
+    """,
+)
+def esmodel_incremental_docs(spark, sf_dir):
+    """Incremental esmodel maintenance end-to-end (esmodel.go:297-492):
+    customers land in epoch 1 with half their orders; epoch 2 delivers
+    the other half and reassembles ONLY the touched parent docs. The
+    final doc store — parsed back out of the stored JSON — must equal
+    what a from-scratch relational assembly would produce."""
+    import tempfile
+
+    from gravity_spark.sinks.esmodel import EsModelTarget
+
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 120)
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 120).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    t = EsModelTarget(
+        spark,
+        tempfile.mkdtemp(prefix="esmodel_q_"),
+        parent_table="customer",
+        parent_key="c_custkey",
+        parent_schema_ddl="c_custkey long, c_name string",
+        one_many=[{
+            "name": "orders",
+            "table": "orders",
+            "pk": "o_orderkey",
+            "join-key": "o_custkey",
+            "order-key": "o_orderkey",
+            "schema_ddl": "o_orderkey long, o_custkey long, cents long",
+        }],
+        track_stats=False,
+    )
+
+    def as_changes(df, seq_col):
+        return df.withColumn("op", F.lit("insert")).withColumn(
+            "seq", F.col(seq_col).cast("long")
+        )
+
+    t.apply_batch(
+        {
+            "customer": as_changes(cust.select("c_custkey", "c_name"), "c_custkey"),
+            "orders": as_changes(orders.filter(F.col("o_orderkey") % 2 == 0), "o_orderkey"),
+        },
+        epoch_id=1,
+    )
+    t.apply_batch(
+        {"orders": as_changes(orders.filter(F.col("o_orderkey") % 2 == 1), "o_orderkey")},
+        epoch_id=2,
+    )
+
+    parsed = F.from_json(
+        F.col("doc"),
+        "c_name string, orders array<struct<o_orderkey:long,cents:long>>",
+    )
+    arr = F.coalesce(parsed["orders"], F.array().cast("array<struct<o_orderkey:long,cents:long>>"))
+    return t.docs().select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_orders"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, o: a + o["cents"]).alias("total_cents"),
+    )
+
+
+@register(
     "esmodel_nested_docs",
     """
     -- nested parent/child document assembly: per customer, the ordered

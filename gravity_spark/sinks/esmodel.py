@@ -105,6 +105,152 @@ def to_docs(assembled: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+class EsModelTarget:
+    """Incrementally-maintained document index (the reference's painless
+    read-modify-write, re-expressed Spark-first).
+
+    Reference: pkg/outputs/esmodel/esmodel.go:297-492 — a child-row
+    change updates ONLY its parent document (docId = FK value) via a
+    stored script; pkg/outputs/routers/esmodel_router.go:24-59 — per-
+    route include/exclude/convert column maps on parent and children.
+
+    Spark design: relational state per table rides a ParquetMergeTarget;
+    each batch (1) merges the table changes, (2) derives the TOUCHED
+    parent keyset — parent PKs in the batch ∪ child FK values in the
+    batch, (3) reassembles documents for touched parents only
+    (broadcast semi-join against the keyset — batch-sized, so the big
+    parent/child tables never reshuffle), and (4) upserts only those
+    docs into the doc store. Cost per batch is O(touched docs), not
+    O(index) — the round-1 gap where one child update rewrote every
+    sibling doc is closed.
+
+    Assumption (same as the reference's docId-by-FK scheme): a child
+    row's FK is immutable. An FK move must arrive as delete+insert —
+    which the decoders produce for PK moves via decompose_pk_updates.
+
+    Route specs reuse assemble_docs' shape; include/exclude/convert
+    apply per route through _project.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        parent_table: str,
+        parent_key: str,
+        parent_schema_ddl: str,
+        one_one: Sequence[Mapping[str, Any]] = (),
+        one_many: Sequence[Mapping[str, Any]] = (),
+        parent_spec: Mapping[str, Any] | None = None,
+        track_stats: bool = True,
+    ) -> None:
+        from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+        self.spark = spark
+        self.parent_table = parent_table
+        self.parent_key = parent_key
+        self.one_one = list(one_one)
+        self.one_many = list(one_many)
+        self.parent_spec = dict(parent_spec or {})
+        self.state: dict[str, Any] = {
+            parent_table: ParquetMergeTarget(
+                spark, f"{path}/state/{parent_table}", [parent_key], parent_schema_ddl
+            )
+        }
+        self._child_specs: dict[str, Mapping[str, Any]] = {}
+        for spec in self.one_one + self.one_many:
+            tbl = spec["table"]
+            self.state[tbl] = ParquetMergeTarget(
+                spark, f"{path}/state/{tbl}", [spec["pk"]], spec["schema_ddl"]
+            )
+            self._child_specs[tbl] = spec
+        self.docs_store = ParquetMergeTarget(
+            spark, f"{path}/docs", ["doc_id"], "doc_id string, doc string"
+        )
+        self.track_stats = track_stats
+        self.last_reassembled = 0
+
+    def _touched_parent_keys(self, changes_by_table) -> DataFrame:
+        keys = None
+        for tbl, ch in changes_by_table.items():
+            if tbl == self.parent_table:
+                part = ch.select(F.col(self.parent_key).cast("string").alias("__k"))
+            else:
+                fk = self._child_specs[tbl]["join-key"]
+                part = ch.select(F.col(fk).cast("string").alias("__k"))
+            keys = part if keys is None else keys.unionByName(part)
+        return keys.distinct()
+
+    def apply_batch(self, changes_by_table, epoch_id: int = 0) -> None:
+        """changes_by_table: {table: typed changes (value cols + op + seq)}."""
+        for tbl, ch in changes_by_table.items():
+            self.state[tbl].apply_batch(ch, epoch_id=epoch_id)
+
+        touched = F.broadcast(self._touched_parent_keys(changes_by_table))
+
+        parent_state = self.state[self.parent_table].read()
+        parent_touched = parent_state.join(
+            touched,
+            parent_state[self.parent_key].cast("string") == touched["__k"],
+            "left_semi",
+        )
+        if self.parent_spec:
+            spec = dict(self.parent_spec)
+            spec.setdefault("join-key", self.parent_key)
+            parent_touched = _project(parent_touched, spec)
+
+        specs_one, specs_many = [], []
+        for spec in self.one_one:
+            child_state = self.state[spec["table"]].read()
+            fk = spec["join-key"]
+            child_touched = child_state.join(
+                touched, child_state[fk].cast("string") == touched["__k"], "left_semi"
+            )
+            specs_one.append({**spec, "df": child_touched})
+        for spec in self.one_many:
+            child_state = self.state[spec["table"]].read()
+            fk = spec["join-key"]
+            child_touched = child_state.join(
+                touched, child_state[fk].cast("string") == touched["__k"], "left_semi"
+            )
+            specs_many.append({**spec, "df": child_touched})
+
+        assembled = assemble_docs(
+            parent_touched, self.parent_key, specs_one, specs_many
+        )
+        upserts = to_docs(assembled, self.parent_key).select(
+            "doc_id", "doc", F.lit("insert").alias("op"), F.lit(epoch_id).alias("seq")
+        )
+        # parents touched but absent from state = deleted → doc delete
+        alive = assembled.select(
+            F.col(self.parent_key).cast("string").alias("__alive")
+        )
+        deletes = (
+            touched.join(alive, touched["__k"] == alive["__alive"], "left_anti")
+            .select(
+                F.col("__k").alias("doc_id"),
+                F.lit(None).cast("string").alias("doc"),
+                F.lit("delete").alias("op"),
+                F.lit(epoch_id).alias("seq"),
+            )
+        )
+        doc_changes = upserts.unionByName(deletes)
+        if self.track_stats:
+            doc_changes = doc_changes.persist()
+            try:
+                self.last_reassembled = doc_changes.filter(
+                    F.col("op") != "delete"
+                ).count()
+                self.docs_store.apply_batch(doc_changes, epoch_id=epoch_id)
+            finally:
+                doc_changes.unpersist()
+        else:
+            self.docs_store.apply_batch(doc_changes, epoch_id=epoch_id)
+
+    def docs(self) -> DataFrame:
+        return self.docs_store.read()
+
+
 def bulk_index(docs: DataFrame, hosts: str, index: str) -> None:
     """Gated ES transport — the harness image has no ES libs/cluster."""
     try:

@@ -76,3 +76,113 @@ def test_wire_roundtrip_streaming_schema(spark, tmp_path):
     wired = to_wire_v01(stream)
     assert wired.isStreaming
     assert set(wired.columns) == {"key", "value"}
+
+
+def test_esmodel_incremental_touches_one_doc(spark, tmp_path):
+    """esmodel.go:297-492 parity: a single child-row change reassembles
+    exactly ONE parent document; sibling docs are not rewritten."""
+    from gravity_spark.sinks.esmodel import EsModelTarget
+
+    t = EsModelTarget(
+        spark,
+        str(tmp_path / "es"),
+        parent_table="customer",
+        parent_key="cid",
+        parent_schema_ddl="cid long, name string",
+        one_many=[{
+            "name": "orders",
+            "table": "orders",
+            "pk": "oid",
+            "join-key": "cid",
+            "order-key": "oid",
+            "schema_ddl": "oid long, cid long, amount long",
+        }],
+    )
+
+    def ch(rows, ddl):
+        return spark.createDataFrame(rows, ddl + ", op string, seq long")
+
+    t.apply_batch(
+        {
+            "customer": ch(
+                [(1, "ada", "insert", 1), (2, "bob", "insert", 2), (3, "eve", "insert", 3)],
+                "cid long, name string",
+            ),
+            "orders": ch(
+                [(10, 1, 100, "insert", 4), (11, 1, 150, "insert", 5), (20, 2, 70, "insert", 6)],
+                "oid long, cid long, amount long",
+            ),
+        },
+        epoch_id=1,
+    )
+    assert t.last_reassembled == 3
+    docs1 = {r.doc_id: r.doc for r in t.docs().collect()}
+    assert set(docs1) == {"1", "2", "3"}
+    assert '"amount":100' in docs1["1"] and '"amount":150' in docs1["1"]
+
+    # epoch 2: ONE child update → only parent 1's doc reassembled
+    t.apply_batch(
+        {
+            "orders": ch(
+                [(10, 1, 999, "update", 7)], "oid long, cid long, amount long"
+            )
+        },
+        epoch_id=2,
+    )
+    assert t.last_reassembled == 1
+    docs2 = {r.doc_id: r.doc for r in t.docs().collect()}
+    assert '"amount":999' in docs2["1"]
+    assert docs2["2"] == docs1["2"] and docs2["3"] == docs1["3"]
+
+    # epoch 3: parent delete → doc delete, siblings untouched
+    t.apply_batch(
+        {
+            "customer": ch([(2, None, "delete", 8)], "cid long, name string"),
+        },
+        epoch_id=3,
+    )
+    docs3 = {r.doc_id: r.doc for r in t.docs().collect()}
+    assert set(docs3) == {"1", "3"}
+
+
+def test_esmodel_route_column_maps(spark, tmp_path):
+    """Per-route include/exclude/convert (esmodel_router.go:24-59):
+    parent excludes a column, child includes a subset and converts a
+    type — maps applied at assembly, not stored state."""
+    from gravity_spark.sinks.esmodel import EsModelTarget
+
+    t = EsModelTarget(
+        spark,
+        str(tmp_path / "es2"),
+        parent_table="p",
+        parent_key="pid",
+        parent_schema_ddl="pid long, name string, secret string",
+        parent_spec={"exclude-columns": ["secret"]},
+        one_many=[{
+            "name": "kids",
+            "table": "k",
+            "pk": "kid",
+            "join-key": "pid",
+            "order-key": "kid",
+            "schema_ddl": "kid long, pid long, v string, junk string",
+            "include-columns": ["kid", "v"],
+            "convert-columns": {"v": "long"},
+        }],
+    )
+
+    def ch(rows, ddl):
+        return spark.createDataFrame(rows, ddl + ", op string, seq long")
+
+    t.apply_batch(
+        {
+            "p": ch([(1, "ada", "s3cret", "insert", 1)],
+                    "pid long, name string, secret string"),
+            "k": ch([(10, 1, "42", "x", "insert", 2)],
+                    "kid long, pid long, v string, junk string"),
+        },
+        epoch_id=1,
+    )
+    doc = {r.doc_id: r.doc for r in t.docs().collect()}["1"]
+    assert "secret" not in doc and "s3cret" not in doc
+    assert "junk" not in doc
+    assert '"v":42' in doc  # converted to long → unquoted JSON number
