@@ -65,6 +65,101 @@ class PositionStore:
         self._last_flush = time.time()
 
 
+#: stages the reference's PositionMeta.Validate accepts
+#: (pkg/position_repos/position_repos.go meta; config.InputMode)
+VALID_STAGES = {"batch", "stream", "unknown"}
+
+
+class DbPositionStore:
+    """Durable position repo on any DB-API connection — the
+    `_gravity.gravity_positions` table (pkg/position_repos/
+    mysql_repo.go:37-60) with the same shape and semantics:
+
+        name VARCHAR PRIMARY KEY, stage VARCHAR NOT NULL,
+        position TEXT, created_at, updated_at
+
+    Same interface as PositionStore (get/put/delete/flush) so pipelines
+    swap stores by construction only. Writes are write-through-cached
+    and flushed on the reference's 5 s cadence or on demand; each flush
+    upserts only dirty pipelines in one transaction. In the sandbox the
+    conn factory is sqlite3; in production, any PEP-249 driver
+    (mysqlclient etc.) — the SQL sticks to the common subset.
+    """
+
+    TABLE = "gravity_positions"
+
+    def __init__(self, conn_factory, flush_interval_s: float = 5.0) -> None:
+        self._connect = conn_factory
+        self.flush_interval_s = flush_interval_s
+        self._cache: dict[str, dict[str, Any]] = {}
+        self._dirty: set[str] = set()
+        self._deleted: set[str] = set()
+        self._last_flush = 0.0
+        con = self._connect()
+        try:
+            con.execute(
+                f"""CREATE TABLE IF NOT EXISTS {self.TABLE} (
+                    name VARCHAR(255) NOT NULL PRIMARY KEY,
+                    stage VARCHAR(20) NOT NULL DEFAULT 'unknown',
+                    position TEXT,
+                    created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP,
+                    updated_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP
+                )"""
+            )
+            con.commit()
+            cur = con.execute(f"SELECT name, stage, position FROM {self.TABLE}")
+            for name, stage, position in cur.fetchall():
+                v = json.loads(position) if position else {}
+                v["stage"] = stage
+                self._cache[name] = v
+        finally:
+            con.close()
+
+    def get(self, pipeline: str) -> dict[str, Any] | None:
+        return self._cache.get(pipeline)
+
+    def put(self, pipeline: str, value: dict[str, Any], flush: bool = False) -> None:
+        stage = value.get("stage", "unknown")
+        if stage not in VALID_STAGES:
+            raise ValueError(f"invalid stage {stage!r} (PositionMeta.Validate)")
+        self._cache[pipeline] = dict(value, updated_at=time.time())
+        self._dirty.add(pipeline)
+        self._deleted.discard(pipeline)
+        now = time.time()
+        if flush or (now - self._last_flush) >= self.flush_interval_s:
+            self.flush()
+
+    def delete(self, pipeline: str, flush: bool = True) -> None:
+        self._cache.pop(pipeline, None)
+        self._deleted.add(pipeline)
+        self._dirty.discard(pipeline)
+        if flush:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._dirty and not self._deleted:
+            return
+        con = self._connect()
+        try:
+            for name in self._dirty:
+                v = self._cache[name]
+                payload = json.dumps({k: v[k] for k in v if k != "stage"})
+                stage = v.get("stage", "unknown")
+                con.execute(f"DELETE FROM {self.TABLE} WHERE name = ?", (name,))
+                con.execute(
+                    f"INSERT INTO {self.TABLE} (name, stage, position) VALUES (?, ?, ?)",
+                    (name, stage, payload),
+                )
+            for name in self._deleted:
+                con.execute(f"DELETE FROM {self.TABLE} WHERE name = ?", (name,))
+            con.commit()
+        finally:
+            con.close()
+        self._dirty.clear()
+        self._deleted.clear()
+        self._last_flush = time.time()
+
+
 def batch_scan_position(
     table: str, scan_column: str | None, done_chunks: list[int],
     total_chunks: int, current_key: Any = None,

@@ -96,3 +96,82 @@ def test_progress_snapshot_and_listener(spark, tmp_path):
         q.stop()
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_db_position_store_roundtrip(tmp_path):
+    """Durable DB-API position repo (_gravity.gravity_positions shape,
+    pkg/position_repos/mysql_repo.go:37-60): survives process restart,
+    upserts by pipeline name, validates stages, deletes."""
+    import sqlite3
+
+    from gravity_spark.core.positions import DbPositionStore
+
+    db = str(tmp_path / "gravity.db")
+    factory = lambda: sqlite3.connect(db)
+
+    s1 = DbPositionStore(factory, flush_interval_s=999)
+    s1.put("pipe1", batch_scan_position("t1", "id", [0, 1], 4, current_key=123))
+    s1.put("pipe1", batch_scan_position("t1", "id", [0, 1, 2], 4, current_key=200),
+           flush=True)
+    s1.put("pipe2", stream_position("s0", {"file": "binlog.000001", "pos": 4}),
+           flush=True)
+
+    # "restart": a fresh store on the same database resumes the positions
+    s2 = DbPositionStore(factory)
+    p = s2.get("pipe1")
+    assert p["stage"] == "batch" and p["done_chunks"] == [0, 1, 2]
+    assert p["current_key"] == 200 and not p["done"]
+    assert s2.get("pipe2")["offset"] == {"file": "binlog.000001", "pos": 4}
+
+    # the backing table has the reference's shape
+    con = factory()
+    rows = con.execute(
+        "SELECT name, stage FROM gravity_positions ORDER BY name"
+    ).fetchall()
+    con.close()
+    assert rows == [("pipe1", "batch"), ("pipe2", "stream")]
+
+    s2.delete("pipe1")
+    s3 = DbPositionStore(factory)
+    assert s3.get("pipe1") is None and s3.get("pipe2") is not None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        s3.put("pipe3", {"stage": "bogus"})
+
+
+def test_db_position_store_resumes_chunked_scan(spark, tmp_path, sf_dir):
+    """Restart mid-snapshot: chunks recorded as done are skipped on
+    resume, and the union of both runs covers the table exactly once."""
+    import sqlite3
+
+    from gravity_spark.core.positions import DbPositionStore
+    from gravity_spark.sources.batch import chunked_scan
+
+    db = str(tmp_path / "scan.db")
+    factory = lambda: sqlite3.connect(db)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    chunks = chunked_scan(orders, "o_orderkey", chunk_size=500)
+    n_chunks = chunks.select("chunk_id").distinct().count()
+    assert n_chunks > 2
+
+    # run 1 processes chunks 0..1, records progress, "crashes"
+    s1 = DbPositionStore(factory, flush_interval_s=999)
+    done = [0, 1]
+    run1 = chunks.filter(chunks.chunk_id.isin(done))
+    n1 = run1.count()
+    s1.put("snap", batch_scan_position("orders", "o_orderkey", done, n_chunks),
+           flush=True)
+
+    # run 2 resumes from the store and takes only the remainder
+    s2 = DbPositionStore(factory)
+    resume = s2.get("snap")
+    assert resume["done_chunks"] == [0, 1] and not resume["done"]
+    run2 = chunks.filter(~chunks.chunk_id.isin(resume["done_chunks"]))
+    n2 = run2.count()
+    assert n1 + n2 == orders.count()
+    s2.put("snap", batch_scan_position(
+        "orders", "o_orderkey", list(range(n_chunks)), n_chunks), flush=True)
+    assert DbPositionStore(factory).get("snap")["done"]
