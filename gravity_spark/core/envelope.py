@@ -233,6 +233,241 @@ def from_canal_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+_DEBEZIUM_MONGO_VALUE = T.StructType(
+    [
+        T.StructField("after", T.StringType(), True),   # extended-JSON string
+        T.StructField("patch", T.StringType(), True),   # pre-4.x update shape
+        T.StructField("filter", T.StringType(), True),  # delete/update selector
+        T.StructField(
+            "source",
+            T.StructType(
+                [
+                    T.StructField("db", T.StringType(), True),
+                    T.StructField("rs", T.StringType(), True),
+                    T.StructField("collection", T.StringType(), True),
+                    T.StructField("ts_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+        T.StructField("op", T.StringType(), True),  # c/u/d/r
+        T.StructField("ts_ms", T.LongType(), True),
+    ]
+)
+
+
+def from_debezium_mongo_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode Debezium-MongoDB JSON into the envelope — the oplog tailer
+    re-expressed (pkg/inputs/mongostream/oplog_tailer.go:150-216):
+    insert → full document, update → full row image (capture.mode
+    full_document; pre-4.x `patch` accepted as fallback), delete → EMPTY
+    data map, and pks is always {_id} regardless of op. Unlike the MySQL
+    topic shape, Debezium-Mongo `after` is an extended-JSON STRING — a
+    second from_json stringifies nested sub-documents into the map
+    values, which is exactly the envelope's string-map contract.
+
+    Stream key is the tailer's fixed "mongooplog"; seq is the Kafka
+    offset when present, else source ts_ms (the oplog ts equivalent).
+    """
+    empty_map = F.from_json(F.lit("{}"), T.MapType(T.StringType(), T.StringType()))
+    v = F.from_json(F.col(value_col).cast("string"), _DEBEZIUM_MONGO_VALUE)
+    op = (
+        F.when(v["op"].isin("c", "r"), F.lit(OP_INSERT))
+        .when(v["op"] == "u", F.lit(OP_UPDATE))
+        .when(v["op"] == "d", F.lit(OP_DELETE))
+        .otherwise(F.lit(None))
+    )
+    doc = F.coalesce(v["after"], v["patch"])
+    data = F.when(op == OP_DELETE, empty_map).otherwise(
+        F.coalesce(F.from_json(doc, T.MapType(T.StringType(), T.StringType())), empty_map)
+    )
+    # _id may be a scalar or a nested {"$oid": ...} — either way its JSON
+    # text is a stable string key (the reference hashes fmt.Sprint(op.Id))
+    id_str = F.coalesce(
+        F.get_json_object(doc, "$._id"),
+        F.get_json_object(v["filter"], "$._id"),
+    )
+    seq = (
+        F.col("offset").cast("long")
+        if "offset" in raw.columns
+        else v["source"]["ts_ms"]
+    )
+    return raw.select(
+        F.lit(TYPE_DML).alias("type"),
+        v["source"]["db"].alias("database"),
+        v["source"]["collection"].alias("table"),
+        v["source"]["rs"].alias("host"),
+        op.alias("op"),
+        F.timestamp_millis(v["source"]["ts_ms"]).alias("ts"),
+        data.alias("data"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("old"),
+        F.create_map(F.lit("_id"), id_str).alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.lit("mongooplog").alias("stream_key"),
+        seq.alias("seq"),
+    )
+
+
+_TIDB_BINLOG_VALUE = T.StructType(
+    [
+        T.StructField("type", T.StringType(), True),        # DML / DDL
+        T.StructField("commit_ts", T.LongType(), True),     # TiDB TSO
+        T.StructField(
+            "ddl_data",
+            T.StructType([T.StructField("ddl_query", T.StringType(), True)]),
+            True,
+        ),
+        T.StructField(
+            "dml_data",
+            T.StructType(
+                [
+                    T.StructField(
+                        "tables",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("schema_name", T.StringType(), True),
+                                    T.StructField("table_name", T.StringType(), True),
+                                    T.StructField(
+                                        "column_info",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType(), True),
+                                                    T.StructField("mysql_type", T.StringType(), True),
+                                                    T.StructField("is_primary_key", T.BooleanType(), True),
+                                                ]
+                                            )
+                                        ),
+                                        True,
+                                    ),
+                                    T.StructField(
+                                        "mutations",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("type", T.StringType(), True),
+                                                    T.StructField(
+                                                        "row",
+                                                        T.StructType(
+                                                            [T.StructField("columns", T.ArrayType(T.StringType()), True)]
+                                                        ),
+                                                        True,
+                                                    ),
+                                                    T.StructField(
+                                                        "change_row",
+                                                        T.StructType(
+                                                            [T.StructField("columns", T.ArrayType(T.StringType()), True)]
+                                                        ),
+                                                        True,
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                        True,
+                                    ),
+                                ]
+                            )
+                        ),
+                        True,
+                    )
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def from_tidb_binlog_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode the TiDB binlog-slave format (JSON projection of the
+    public slave_binlog.proto) into the envelope — the tidb_kafka input
+    (pkg/inputs/tidb_kafka/binlog_tailer.go:125-222):
+
+    - one Binlog message carries N tables × M mutations → exploded to
+      one envelope row each, positional columns zipped with column_info
+      names; update mutations carry change_row as the old image
+    - pks = is_primary_key columns of the NEW row
+    - event time = TSO physical time, (commit_ts >> 18)/1000 seconds
+      (utils.go:3-7)
+    - DDL binlogs surface the raw ddl_query (the reference logs & skips
+      applying them; here downstream decides)
+
+    Everything is one from_json + two posexplodes — no Python in the
+    row path, so the decode scales like any narrow projection.
+    """
+    v = F.from_json(F.col(value_col).cast("string"), _TIDB_BINLOG_VALUE)
+    seq0 = F.col("offset").cast("long") if "offset" in raw.columns else v["commit_ts"]
+    ts = F.timestamp_seconds(F.floor(F.shiftright(v["commit_ts"], 18) / 1000))
+
+    base = raw.select(v.alias("v"), seq0.alias("seq0"), ts.alias("ts"))
+
+    ddl = base.filter(F.col("v.type") == "DDL").select(
+        F.lit(TYPE_DDL).alias("type"),
+        F.lit(None).cast("string").alias("database"),
+        F.lit(None).cast("string").alias("table"),
+        F.lit(None).cast("string").alias("host"),
+        F.lit(None).cast("string").alias("op"),
+        F.col("ts"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("data"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("old"),
+        F.lit(None).cast(T.MapType(T.StringType(), T.StringType())).alias("pks"),
+        F.col("v.ddl_data.ddl_query").alias("ddl_statement"),
+        F.lit("tidb-kafka").alias("stream_key"),
+        (F.col("seq0") * F.lit(1 << 20)).alias("seq"),
+    )
+
+    tables = base.filter(F.col("v.type") == "DML").select(
+        "seq0", "ts",
+        F.posexplode(F.coalesce(F.col("v.dml_data.tables"), F.array())).alias("ti", "t"),
+    )
+    muts = tables.select(
+        "seq0", "ts", "ti",
+        F.col("t.schema_name").alias("database"),
+        F.col("t.table_name").alias("table"),
+        F.col("t.column_info").alias("cols"),
+        F.posexplode(F.coalesce(F.col("t.mutations"), F.array())).alias("mi", "m"),
+    )
+    names = F.transform(F.col("cols"), lambda c: c["name"])
+    data = F.map_from_arrays(names, F.col("m.row.columns"))
+    old = F.when(
+        F.col("m.change_row").isNotNull() & F.col("m.change_row.columns").isNotNull(),
+        F.map_from_arrays(names, F.col("m.change_row.columns")),
+    )
+    pk_entries = F.filter(
+        F.arrays_zip(F.col("cols"), F.col("m.row.columns").alias("val")),
+        lambda e: F.coalesce(e["cols"]["is_primary_key"], F.lit(False)),
+    )
+    pks = F.map_from_entries(
+        F.transform(pk_entries, lambda e: F.struct(e["cols"]["name"], e["val"]))
+    )
+    op = (
+        F.when(F.col("m.type") == "Insert", F.lit(OP_INSERT))
+        .when(F.col("m.type") == "Update", F.lit(OP_UPDATE))
+        .when(F.col("m.type") == "Delete", F.lit(OP_DELETE))
+        .otherwise(F.lit(None))
+    )
+    dml = muts.select(
+        F.lit(TYPE_DML).alias("type"),
+        "database",
+        "table",
+        F.lit(None).cast("string").alias("host"),
+        op.alias("op"),
+        "ts",
+        data.alias("data"),
+        old.alias("old"),
+        pks.alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.lit("tidb-kafka").alias("stream_key"),
+        (
+            F.col("seq0") * F.lit(1 << 20)
+            + F.col("ti") * F.lit(1 << 10)
+            + F.col("mi")
+        ).alias("seq"),
+    )
+    return dml.unionByName(ddl)
+
+
 def decompose_pk_updates(changes: DataFrame) -> DataFrame:
     """Split primary-key-changing updates into DELETE(old) + INSERT(new).
 

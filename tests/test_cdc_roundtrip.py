@@ -244,3 +244,148 @@ def test_debezium_to_merge_sink_epochs(spark, tmp_path):
     # redelivery of epoch 2 must be a no-op (exactly-once via idempotence)
     t.apply_batch(batch2, epoch_id=2)
     assert {r.id: r.name for r in t.read().collect()} == {9: "b"}
+
+
+# --- Debezium-MongoDB (oplog tailer parity) ------------------------------
+
+def test_debezium_mongo_decode_and_apply(spark):
+    """oplog_tailer.go:188-208 semantics: insert→doc, update→full row,
+    delete→EMPTY data, pks always {_id}; nested sub-documents ride as
+    JSON text in the string map."""
+    from gravity_spark.core.envelope import from_debezium_mongo_json
+
+    def mongo(op, after=None, filt=None, ts=1700000000000):
+        return json.dumps(
+            {
+                "after": after,
+                "patch": None,
+                "filter": filt,
+                "source": {"db": "shop", "rs": "rs0", "collection": "carts",
+                           "ts_ms": ts},
+                "op": op,
+                "ts_ms": ts + 3,
+            }
+        )
+
+    captures = [
+        mongo("c", after='{"_id": {"$oid": "aaa111"}, "user": "ada", '
+                         '"items": [{"sku": "x", "qty": 2}]}'),
+        mongo("u", after='{"_id": {"$oid": "aaa111"}, "user": "ada", '
+                         '"items": [{"sku": "x", "qty": 5}]}'),
+        mongo("c", after='{"_id": 7, "user": "bob"}'),
+        mongo("d", filt='{"_id": 7}'),
+    ]
+    raw = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(captures)], "value string, offset long"
+    )
+    rows = sorted(from_debezium_mongo_json(raw).collect(), key=lambda r: r.seq)
+
+    assert [r.op for r in rows] == ["insert", "update", "insert", "delete"]
+    assert rows[0].database == "shop" and rows[0].table == "carts"
+    assert rows[0].host == "rs0"
+    assert rows[0].pks == {"_id": '{"$oid":"aaa111"}'}
+    assert rows[1].pks == {"_id": '{"$oid":"aaa111"}'}
+    # nested array survives as JSON text inside the string map
+    assert json.loads(rows[1].data["items"]) == [{"sku": "x", "qty": 5}]
+    # delete: empty data map, id recovered from the filter
+    assert rows[3].data == {}
+    assert rows[3].pks == {"_id": "7"}
+    assert all(r.stream_key == "mongooplog" for r in rows)
+
+    # final state through the replace engine, keyed by _id
+    typed = from_debezium_mongo_json(raw).select(
+        F.col("pks")["_id"].alias("_id"),
+        F.col("data")["user"].alias("user"),
+        "op", "seq",
+    )
+    from gravity_spark.operators.upsert import merge_changes
+
+    empty = spark.createDataFrame([], "_id string, user string")
+    state = {r._id: r.user for r in merge_changes(empty, typed, ["_id"]).collect()}
+    assert state == {'{"$oid":"aaa111"}': "ada"}
+
+
+# --- TiDB binlog-slave format (tidb_kafka input parity) ------------------
+
+def test_tidb_binlog_decode_and_apply(spark):
+    """binlog_tailer.go:125-222: one Binlog → N tables × M mutations
+    exploded, positional columns zipped to column_info names, change_row
+    as the old image, PKs from is_primary_key, TSO → seconds."""
+    from gravity_spark.core.envelope import from_tidb_binlog_json
+
+    tso = 1700000000000 << 18  # physical ms part = 1700000000000
+    dml = json.dumps(
+        {
+            "type": "DML",
+            "commit_ts": tso,
+            "dml_data": {
+                "tables": [
+                    {
+                        "schema_name": "demo",
+                        "table_name": "users",
+                        "column_info": [
+                            {"name": "id", "mysql_type": "bigint", "is_primary_key": True},
+                            {"name": "name", "mysql_type": "varchar", "is_primary_key": False},
+                        ],
+                        "mutations": [
+                            {"type": "Insert", "row": {"columns": ["1", "ada"]}},
+                            {"type": "Update",
+                             "row": {"columns": ["1", "ada2"]},
+                             "change_row": {"columns": ["1", "ada"]}},
+                        ],
+                    },
+                    {
+                        "schema_name": "demo",
+                        "table_name": "tags",
+                        "column_info": [
+                            {"name": "tid", "mysql_type": "int", "is_primary_key": True},
+                        ],
+                        "mutations": [
+                            {"type": "Insert", "row": {"columns": ["9"]}},
+                            {"type": "Delete", "row": {"columns": ["9"]}},
+                        ],
+                    },
+                ]
+            },
+        }
+    )
+    ddl = json.dumps(
+        {
+            "type": "DDL",
+            "commit_ts": tso + (1 << 18),
+            "ddl_data": {"ddl_query": "ALTER TABLE demo.users ADD COLUMN x INT"},
+        }
+    )
+    raw = spark.createDataFrame([(dml, 0), (ddl, 1)], "value string, offset long")
+    rows = sorted(from_tidb_binlog_json(raw).collect(), key=lambda r: r.seq)
+
+    assert [(r.type, r.op) for r in rows] == [
+        ("dml", "insert"), ("dml", "update"),
+        ("dml", "insert"), ("dml", "delete"),
+        ("ddl", None),
+    ]
+    assert rows[0].database == "demo" and rows[0].table == "users"
+    assert rows[0].data == {"id": "1", "name": "ada"}
+    assert rows[0].pks == {"id": "1"}
+    assert rows[1].old == {"id": "1", "name": "ada"}
+    assert rows[1].data == {"id": "1", "name": "ada2"}
+    assert rows[2].table == "tags" and rows[2].pks == {"tid": "9"}
+    assert rows[4].ddl_statement.startswith("ALTER TABLE demo.users")
+    # TSO physical time: (tso >> 18)/1000 seconds = 1700000000
+    assert int(rows[0].ts.timestamp()) == 1700000000
+
+    # mutation order within one binlog is preserved by seq
+    assert [r.seq for r in rows] == sorted(r.seq for r in rows)
+
+    # final state: users has ada2, tags empty
+    from gravity_spark.operators.upsert import merge_changes
+
+    users = from_tidb_binlog_json(raw).filter(
+        (F.col("type") == "dml") & (F.col("table") == "users")
+    )
+    typed = typed_view(
+        users, spark.createDataFrame([], "id long, name string").schema, ["id"]
+    )
+    empty = spark.createDataFrame([], "id long, name string")
+    state = {r.id: r.name for r in merge_changes(empty, typed, ["id"]).collect()}
+    assert state == {1: "ada2"}
