@@ -1401,6 +1401,163 @@ def cdc_debezium_roundtrip(spark, sf_dir):
 
 
 @register(
+    "cdc_tidb_binlog_roundtrip",
+    """
+    -- final-state truth of the synthesized TiDB binlog-slave stream:
+    -- per order one binlog message [insert, %3→update, elif %5→delete]
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'O' END AS status,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+    """,
+)
+def cdc_tidb_binlog_roundtrip(spark, sf_dir):
+    """tidb_kafka input end-to-end: synthesize binlog-slave messages
+    (one per order, multi-mutation) from `orders`, decode with
+    from_tidb_binlog_json, merge to final state
+    (pkg/inputs/tidb_kafka/binlog_tailer.go:125-222). All JVM-side:
+    to_json/from_json + posexplode, one collapse shuffle."""
+    from gravity_spark.core.envelope import from_tidb_binlog_json, typed_view
+    from gravity_spark.operators.upsert import merge_changes
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string")
+
+    def row(status):
+        return F.struct(
+            F.array(k.cast("string"), F.lit(status), cents).alias("columns")
+        )
+
+    null_row = F.lit(None).cast("struct<columns:array<string>>")
+
+    def mut(typ, r, change):
+        return F.struct(
+            F.lit(typ).alias("type"), r.alias("row"), change.alias("change_row")
+        )
+
+    muts = F.filter(
+        F.array(
+            mut("Insert", row("O"), null_row),
+            F.when(k % 3 == 0, mut("Update", row("U"), row("O"))).when(
+                k % 5 == 0, mut("Delete", row("O"), null_row)
+            ),
+        ),
+        lambda m: m.isNotNull(),
+    )
+    col_info = F.array(
+        F.struct(F.lit("id").alias("name"), F.lit("bigint").alias("mysql_type"),
+                 F.lit(True).alias("is_primary_key")),
+        F.struct(F.lit("status").alias("name"), F.lit("varchar").alias("mysql_type"),
+                 F.lit(False).alias("is_primary_key")),
+        F.struct(F.lit("total_cents").alias("name"), F.lit("bigint").alias("mysql_type"),
+                 F.lit(False).alias("is_primary_key")),
+    )
+    value = F.to_json(
+        F.struct(
+            F.lit("DML").alias("type"),
+            (F.lit(1700000000000) + k).alias("commit_ts"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit("demo").alias("schema_name"),
+                        F.lit("orders").alias("table_name"),
+                        col_info.alias("column_info"),
+                        muts.alias("mutations"),
+                    )
+                ).alias("tables")
+            ).alias("dml_data"),
+        )
+    )
+    raw = o.select(value.alias("value"), k.alias("offset"))
+    changes = from_tidb_binlog_json(raw).filter(F.col("type") == "dml")
+    typed = typed_view(
+        changes,
+        spark.createDataFrame([], "id long, status string, total_cents long").schema,
+        ["id"],
+    )
+    empty = spark.createDataFrame([], "id long, status string, total_cents long")
+    return merge_changes(empty, typed, ["id"])
+
+
+@register(
+    "cdc_mongo_oplog_roundtrip",
+    """
+    -- final-state truth of the synthesized Debezium-Mongo stream,
+    -- keyed by _id (stringified), same per-key script as the others
+    SELECT CAST(o_orderkey AS VARCHAR) AS _id,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'O' END AS status,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderkey < 2000
+      AND NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+    """,
+)
+def cdc_mongo_oplog_roundtrip(spark, sf_dir):
+    """mongo-stream oplog end-to-end: synthesize Debezium-MongoDB
+    messages (after = extended-JSON STRING, delete identified only by
+    the filter selector) from `orders`, decode with
+    from_debezium_mongo_json, merge by _id
+    (pkg/inputs/mongostream/oplog_tailer.go:150-216)."""
+    from gravity_spark.core.envelope import from_debezium_mongo_json
+    from gravity_spark.operators.upsert import merge_changes
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def doc(status):
+        # the after field is a STRING containing JSON — nested to_json
+        return F.to_json(
+            F.struct(
+                k.alias("_id"), F.lit(status).alias("status"), cents.alias("total_cents")
+            )
+        )
+
+    src = F.struct(
+        F.lit("shop").alias("db"), F.lit("rs0").alias("rs"),
+        F.lit("orders").alias("collection"),
+        (F.lit(1700000000000) + k).alias("ts_ms"),
+    )
+    nul = F.lit(None).cast("string")
+
+    def msg(op, after, filt, seq):
+        return F.struct(
+            F.to_json(
+                F.struct(
+                    after.alias("after"), nul.alias("patch"), filt.alias("filter"),
+                    src.alias("source"), F.lit(op).alias("op"),
+                    (F.lit(1700000000005) + seq).alias("ts_ms"),
+                )
+            ).alias("value"),
+            seq.alias("offset"),
+        )
+
+    events = F.filter(
+        F.array(
+            msg("c", doc("O"), nul, k * 2),
+            F.when(k % 3 == 0, msg("u", doc("U"), nul, k * 2 + 1)).when(
+                k % 5 == 0,
+                msg("d", nul, F.to_json(F.struct(k.alias("_id"))), k * 2 + 1),
+            ),
+        ),
+        lambda e: e.isNotNull(),
+    )
+    raw = o.select(F.explode(events).alias("e")).select("e.value", "e.offset")
+    changes = from_debezium_mongo_json(raw)
+    typed = changes.select(
+        F.col("pks")["_id"].alias("_id"),
+        F.col("data")["status"].alias("status"),
+        F.col("data")["total_cents"].cast("long").alias("total_cents"),
+        "op", "seq",
+    )
+    empty = spark.createDataFrame([], "_id string, status string, total_cents long")
+    return merge_changes(empty, typed, ["_id"])
+
+
+@register(
     "cdc_insert_ignore",
     f"""
     -- sequential INSERT IGNORE + DELETE truth: final value per key is
