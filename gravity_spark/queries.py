@@ -1558,6 +1558,100 @@ def cdc_mongo_oplog_roundtrip(spark, sf_dir):
 
 
 @register(
+    "cdc_kafka_transport_roundtrip",
+    """
+    -- final-state truth after the full loopback-Kafka transport path:
+    -- wave 1 = inserts, wave 2 = %3→update elif %5→delete, consumed in
+    -- two polls with a position commit between them
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'O' END AS status,
+           CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderkey < 1500
+      AND NOT (o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0)
+    """,
+)
+def cdc_kafka_transport_roundtrip(spark, sf_dir):
+    """The whole transport, not just the decoder: Debezium-JSON values
+    are PRODUCED through the file-backed Kafka loopback (keyed
+    partitioning = dep_hash % partitions,
+    pkg/outputs/async_kafka/async_kafka.go:187-205), CONSUMED in two
+    polls of a consumer group whose offsets commit to a PositionStore
+    between waves (pkg/inputs/tidb_kafka/position_value.go:20-108), then
+    decoded and merged. Per-key order survives because same key → same
+    partition → monotonic offsets = InputSequence.
+
+    Scale shape: the loopback reader is a partition-pruned JSON file
+    scan standing in for spark.readStream.format("kafka"); everything
+    from the wire columns down is the production plan. Producing is a
+    bounded driver-side fixture (≤1500 keys regardless of sf)."""
+    import json as _json
+    import tempfile
+
+    from gravity_spark.core.envelope import (
+        decompose_pk_updates,
+        from_debezium_json,
+        typed_view,
+    )
+    from gravity_spark.core.positions import PositionStore
+    from gravity_spark.operators.upsert import merge_changes
+    from gravity_spark.sources.filekafka import FileKafkaBroker, FileKafkaConsumer
+
+    rows = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1500)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .collect()  # bounded fixture: ≤1500 rows at any sf
+    )
+
+    def dbz(op, before, after, ts):
+        return _json.dumps(
+            {
+                "before": before,
+                "after": after,
+                "source": {"db": "demo", "table": "orders", "ts_ms": ts, "server_id": 1},
+                "op": op,
+                "ts_ms": ts + 5,
+            }
+        )
+
+    def img(r, status):
+        return {"id": str(r.k), "status": status, "total_cents": str(r.cents)}
+
+    tmp = tempfile.mkdtemp(prefix="filekafka_q_")
+    broker = FileKafkaBroker(f"{tmp}/broker")
+    broker.create_topic("demo.orders", partitions=4)
+    store = PositionStore(f"{tmp}/positions.json", flush_interval_s=0)
+    consumer = FileKafkaConsumer(broker, "gravity", "demo.orders", store)
+
+    broker.produce(
+        "demo.orders",
+        [(str(r.k), dbz("c", None, img(r, "O"), 1700000000000 + r.k)) for r in rows],
+    )
+    batch1, next1 = consumer.poll(spark)
+    consumer.commit(next1)
+
+    wave2 = []
+    for r in rows:
+        if r.k % 3 == 0:
+            wave2.append((str(r.k), dbz("u", img(r, "O"), img(r, "U"), 1700000001000 + r.k)))
+        elif r.k % 5 == 0:
+            wave2.append((str(r.k), dbz("d", img(r, "O"), None, 1700000001000 + r.k)))
+    broker.produce("demo.orders", wave2)
+    batch2, next2 = consumer.poll(spark)
+    consumer.commit(next2)
+
+    changes = decompose_pk_updates(from_debezium_json(batch1.unionByName(batch2)))
+    schema = spark.createDataFrame([], "id long, status string, total_cents long").schema
+    typed = typed_view(changes, schema, ["id"])
+    empty = spark.createDataFrame([], "id long, status string, total_cents long")
+    return merge_changes(empty, typed, ["id"])
+
+
+@register(
     "cdc_insert_ignore",
     f"""
     -- sequential INSERT IGNORE + DELETE truth: final value per key is
