@@ -23,6 +23,7 @@ client.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Mapping, Sequence
 
 from pyspark.sql import DataFrame
@@ -252,11 +253,104 @@ class EsModelTarget:
 
 
 def bulk_index(docs: DataFrame, hosts: str, index: str) -> None:
-    """Gated ES transport — the harness image has no ES libs/cluster."""
+    """Client-lib ES transport — optional; the default transport is
+    http_bulk_index below (stdlib, no client dependency)."""
     try:
         import elasticsearch  # noqa: F401
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(
             "elasticsearch client not available in this environment; "
-            "use to_docs() output with any bulk HTTP client"
+            "use http_bulk_index (stdlib HTTP transport)"
         ) from e
+
+
+def http_bulk_index(
+    docs: DataFrame,
+    url: str,
+    index: str,
+    batch_size: int = 500,
+    timeout_s: float = 30.0,
+    max_retries: int = 3,
+) -> None:
+    """REAL bulk transport over plain HTTP — ES's `_bulk` endpoint is
+    NDJSON over POST, which stdlib urllib speaks fine; no client lib.
+
+    Mirrors pkg/outputs/elasticsearch/elasticsearch.go:116-200: action
+    line `{"index": {"_index": ..., "_id": pk}}` followed by the source
+    doc (or a bare `{"delete": ...}` action for deletes), chunked at
+    `batch_size` actions per request, HTTP 429/503 retried with
+    exponential backoff (the reference relies on the client's bulk
+    retrier for the same cases).
+
+    Scale shape: foreachPartition — every executor posts its own
+    partitions concurrently, so indexing throughput scales with
+    executors up to the ES cluster's ingest capacity; nothing funnels
+    through the driver. Input rows: (doc_id, doc[, op]) from to_docs /
+    EsModelTarget.docs(); op 'delete' (or NULL doc) maps to a delete
+    action.
+    """
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    endpoint = url.rstrip("/") + "/_bulk"
+    has_op = "op" in docs.columns
+    cols = ["doc_id", "doc"] + (["op"] if has_op else [])
+    rows = docs.select(*cols)
+
+    def _post(lines: list[str]) -> None:
+        body = ("\n".join(lines) + "\n").encode("utf-8")
+        req = urllib.request.Request(
+            endpoint,
+            data=body,
+            headers={"Content-Type": "application/x-ndjson"},
+            method="POST",
+        )
+        delay = 0.5
+        for attempt in range(max_retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+                if payload.get("errors"):
+                    failed = [
+                        item
+                        for item in payload.get("items", [])
+                        for action in item.values()
+                        if action.get("status", 200) >= 300
+                        # 404 on delete = already gone: idempotent no-op
+                        and not (
+                            "delete" in item and action.get("status") == 404
+                        )
+                    ]
+                    if failed:
+                        raise RuntimeError(f"bulk rejected {len(failed)} actions: {failed[:3]}")
+                return
+            except urllib.error.HTTPError as e:
+                if e.code in (429, 503) and attempt < max_retries:
+                    _time.sleep(delay)
+                    delay *= 2
+                    continue
+                raise
+
+    def _send_partition(it) -> None:
+        lines: list[str] = []
+        actions = 0
+        for row in it:
+            is_delete = (has_op and row.op == "delete") or row.doc is None
+            if is_delete:
+                lines.append(
+                    json.dumps({"delete": {"_index": index, "_id": row.doc_id}})
+                )
+            else:
+                lines.append(
+                    json.dumps({"index": {"_index": index, "_id": row.doc_id}})
+                )
+                lines.append(row.doc)
+            actions += 1
+            if actions >= batch_size:
+                _post(lines)
+                lines, actions = [], 0
+        if lines:
+            _post(lines)
+
+    rows.foreachPartition(_send_partition)
