@@ -199,3 +199,148 @@ def embedding_near_dup_pairs(
         cand.select("id_a", "id_b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+
+
+# --- SemDeDup: k-means clustering + within-cluster cosine prune ----------
+
+
+def scale_embedding(vec: Column, scale: int = 1_000_000) -> Column:
+    """Embedding as exact scaled integers — distributed float sums are
+    order-dependent; integer sums are exact in any order (the
+    embedding_centroids discipline)."""
+    return F.transform(
+        vec.cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Integer squared distance; |x|<=2e6 scaled, dim 64 → ≤2.6e14, well
+    inside BIGINT."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(scaled: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
+    """Nearest centroid per vector (ties → smaller cluster id).
+    Centroids are broadcast — the corpus never shuffles for assignment."""
+    j = scaled.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist", _sq_dist(F.col("xi"), F.col("cxi"))
+    )
+    w = Window.partitionBy(id_col).orderBy("__dist", "cluster")
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "xi", "cluster")
+    )
+
+
+def _update_centroids(assigned: DataFrame) -> DataFrame:
+    """Element-wise integer mean per cluster. The sum is exact; the mean
+    uses a portable floor-div (numerator made exactly divisible first)
+    so Spark and any SQL oracle compute identical centroids."""
+    pos = assigned.select("cluster", F.posexplode("xi").alias("dim", "v"))
+    agg = pos.groupBy("cluster", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt")
+    )
+    s, cnt = F.col("s"), F.col("cnt")
+    cv = ((s - ((s % cnt + cnt) % cnt)) / cnt).cast("long")
+    return (
+        agg.select("cluster", "dim", cv.alias("cv"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda e: e["cv"]
+            ).alias("cxi")
+        )
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bounded-rounds Lloyd k-means → (id, cluster).
+
+    Deterministic end to end: seeds are the k smallest-id vectors,
+    arithmetic is exact scaled-integer, ties break on cluster id — so a
+    SQL oracle reproduces the clustering bit-for-bit. Rounds are fixed
+    (no convergence collect) the way graph_pagerank_purchases fixes its
+    iteration count.
+
+    Scale shape: per round one broadcast-join assignment (corpus does
+    not shuffle) + one (cluster, dim)-keyed aggregation whose shuffle
+    volume is k × dim rows of partial sums per mapper — independent of
+    corpus size. At 100 TB grow k (k ≈ n / target cluster size) and
+    seed via a sample, keeping clusters bounded for the prune stage.
+    The seed-selection window sorts only the k smallest ids (bounded)."""
+    scaled = corpus.select(
+        F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi")
+    )
+    w = Window.orderBy(id_col)
+    centroids = (
+        scaled.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select((F.col("__rn") - 1).cast("long").alias("cluster"), F.col("xi").alias("cxi"))
+    )
+    for _ in range(rounds):
+        assigned = _assign(scaled, centroids, id_col)
+        centroids = _update_centroids(assigned)
+    return _assign(scaled, centroids, id_col).select(id_col, "cluster")
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then drop a
+    document when a smaller-id neighbor in the SAME cluster has cosine
+    ≥ threshold — semantic dedup at O(Σ cluster²) instead of O(n²),
+    with k chosen so clusters stay bounded.
+
+    Returns (id, cluster, kept). The reference has no counterpart (it
+    replicates rows); this is the LLM-corpus extension mandated by the
+    brief, composing the kmeans_assign step with the cosine-verify
+    discipline of embedding_near_dup_pairs."""
+    assigned = kmeans_assign(corpus, k, rounds, id_col, vec_col)
+    vecs = corpus.select(F.col(id_col), F.col(vec_col))
+    av = assigned.join(vecs, id_col)
+    a = av.select(
+        F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("__va")
+    )
+    b = av.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster").alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    sim = F.round(
+        cosine_similarity(
+            F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
+        ),
+        6,
+    )
+    dups = (
+        a.join(b, (a["cluster"] == b["__cb"]) & (F.col("id_a") < F.col("id_b")))
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
+        .select(F.col("id_b").alias("__dup"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups, assigned[id_col] == dups["__dup"], "left")
+        .select(
+            id_col,
+            "cluster",
+            F.col("__dup").isNull().alias("kept"),
+        )
+    )

@@ -3246,6 +3246,70 @@ def dedup_embedding_near(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.2)
 
 
+def _semdedup_sql(k: int, rounds: int, threshold: float) -> str:
+    """DuckDB replica of similarity.semdedup_prune: seeded integer-exact
+    Lloyd rounds unrolled as CTEs, then the within-cluster prune."""
+    assign = (
+        "SELECT vec_id, xi, cluster FROM ("
+        " SELECT e.vec_id, e.xi, c.cluster,"
+        " row_number() OVER (PARTITION BY e.vec_id ORDER BY"
+        " list_sum(list_transform(list_zip(e.xi, c.cxi), s -> (s[1]-s[2])*(s[1]-s[2]))),"
+        " c.cluster) AS rn"
+        " FROM e, {cent} c) WHERE rn = 1"
+    )
+    update = (
+        "SELECT cluster, list(CAST((s - ((s % cnt + cnt) % cnt)) / cnt AS BIGINT)"
+        " ORDER BY dim) AS cxi FROM ("
+        " SELECT cluster, dim, sum(v) AS s, count(*) AS cnt FROM ("
+        "  SELECT cluster, unnest(xi) AS v, generate_subscripts(xi, 1) AS dim"
+        "  FROM {assigned})"
+        " GROUP BY cluster, dim) GROUP BY cluster"
+    )
+    ctes = [
+        "e AS (SELECT vec_id,"
+        " list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(round(x * 1000000) AS BIGINT)) AS xi FROM embeddings)",
+        f"c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)"
+        f" AS cluster, xi AS cxi FROM e"
+        f" QUALIFY row_number() OVER (ORDER BY vec_id) <= {k})",
+    ]
+    for r in range(rounds):
+        ctes.append(f"a{r + 1} AS ({assign.format(cent=f'c{r}')})")
+        ctes.append(f"c{r + 1} AS ({update.format(assigned=f'a{r + 1}')})")
+    ctes.append(f"af AS ({assign.format(cent=f'c{rounds}')})")
+    cos = _COS_SQL.replace("a.embedding", "ea.embedding").replace(
+        "b.embedding", "eb.embedding"
+    )
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    dup AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {cos} >= {threshold}
+    )
+    SELECT af.vec_id, af.cluster,
+           af.vec_id NOT IN (SELECT dup_id FROM dup) AS kept
+    FROM af
+    """
+
+
+@register("semdedup_prune", _semdedup_sql(8, 2, 0.2))
+def semdedup_prune(spark, sf_dir):
+    """SemDeDup (cluster-then-prune semantic dedup): deterministic
+    integer-exact k-means (k=8, 2 Lloyd rounds, smallest-id seeds) over
+    the embedding table, then drop any vector whose cluster holds a
+    smaller-id neighbor at cosine ≥ 0.2. Quadratic work is confined to
+    within-cluster groups — at 100 TB, k grows with the corpus so
+    cluster sizes stay bounded (see functions/similarity.py)."""
+    from gravity_spark.functions.similarity import semdedup_prune as _prune
+
+    emb = T(spark, sf_dir, "embeddings")
+    return _prune(emb, k=8, rounds=2, threshold=0.2)
+
+
 @register(
     "cdc_ddl_matcher",
     """

@@ -259,3 +259,52 @@ def test_embedding_near_dup_banded_lsh(spark):
     one = spark.createDataFrame([(1, [1.0] * 64)], "vec_id long, embedding array<float>")
     val = one.select(sign_bucket(F.col("embedding"), bands[0]).alias("b")).collect()[0]["b"]
     assert val == 255
+
+
+def test_kmeans_assign_deterministic_and_complete(spark, sf_dir):
+    from gravity_spark.functions.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a1 = kmeans_assign(emb, k=8, rounds=2)
+    a2 = kmeans_assign(emb, k=8, rounds=2)
+    rows1 = {r.vec_id: r.cluster for r in a1.collect()}
+    rows2 = {r.vec_id: r.cluster for r in a2.collect()}
+    assert rows1 == rows2  # bit-identical across runs
+    assert len(rows1) == emb.count()  # every vector assigned exactly once
+    assert set(rows1.values()) <= set(range(8))
+
+
+def test_semdedup_keeps_cluster_minimum(spark, sf_dir):
+    """The smallest id in a cluster can never be pruned (only
+    smaller-id neighbors prune), and every pruned vector has a kept or
+    smaller-id near neighbor in its own cluster."""
+    from gravity_spark.functions.similarity import semdedup_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup_prune(emb, k=8, rounds=2, threshold=0.2).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for rows in by_cluster.values():
+        smallest = min(rows, key=lambda r: r.vec_id)
+        assert smallest.kept
+
+
+def test_semdedup_prunes_crafted_duplicate(spark):
+    from gravity_spark.functions.similarity import semdedup_prune
+
+    # 10 orthogonal-ish vectors + one near-copy of vec 0
+    rows = []
+    for i in range(10):
+        v = [0.0] * 16
+        v[i] = 1.0
+        rows.append((i, v))
+    dup = [0.0] * 16
+    dup[0] = 0.99
+    dup[1] = 0.01
+    rows.append((100, dup))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semdedup_prune(emb, k=2, rounds=1, threshold=0.9).collect()}
+    assert not out[100].kept  # near-copy of 0 pruned
+    assert out[0].kept
+    assert out[100].cluster == out[0].cluster
