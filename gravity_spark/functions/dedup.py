@@ -459,3 +459,66 @@ def prefix_filter_pairs(
     return verified.filter(t_den * F.col("inter") >= t_num * union).select(
         "id_a", "id_b", jac.alias("jaccard")
     )
+
+
+# --- repeated-substring span dedup (suffix-array family) -----------------
+
+
+def substring_dedup_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated token spans, the distributed stand-in for
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): any k-token run that
+    occurs ≥ min_count times corpus-wide (across documents OR repeated
+    inside one) marks its positions; overlapping/adjacent marks merge
+    into maximal spans per document — the text a trainer would excise.
+
+    Returns (doc_id, span_start, span_end, span_tokens), token
+    positions 1-based inclusive.
+
+    Scale shape vs a true suffix array (which needs a global sort of
+    every suffix): one explode to (doc, pos, gram-hash) — O(total
+    tokens) rows of ~50 B — a count aggregation keyed by gram hash
+    (map-side combine collapses per-task repeats), an equi-join back,
+    and one per-doc window. Every stage is linear; the shuffle key is
+    the gram hash, so hot grams ("the the the") concentrate — AQE skew
+    handling or pre-salting the count covers that; positions of a hot
+    gram still route to their own docs for the merge.
+    """
+    from gravity_spark.functions import text as tx
+
+    toks = tx.tokenize(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= k
+    )
+    n = F.size("__toks") - (k - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.array_join(F.slice("__toks", i, k), " ")).alias("h"),
+        ),
+    )
+    g = base.select(id_col, F.explode(grams).alias("e")).select(
+        id_col, F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    )
+    dup = g.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
+    marks = g.join(dup, "h").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w).isNull() | (F.col("pos") - F.lag("pos").over(w) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = marks.withColumn("__brk", brk).withColumn(
+        "__island", F.sum("__brk").over(w)
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+    ).select(id_col, "span_start", "span_end", "span_tokens")

@@ -2462,6 +2462,56 @@ def doc_winnowing(spark, sf_dir):
     return with_h.select("doc_id", fp.alias("fp"))
 
 
+_SPAN_K = 8
+
+
+@register(
+    "substring_dedup_spans",
+    f"""
+    -- maximal duplicated {_SPAN_K}-token spans (suffix-array-style
+    -- substring dedup): positions of k-grams seen >= 2x corpus-wide,
+    -- merged into islands per doc
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    g0 AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+               i -> {{'pos': i,
+                     'h': md5(array_to_string(list_slice(toks, i, i + {_SPAN_K} - 1), ' '))}}) AS gs
+      FROM t WHERE len(toks) >= {_SPAN_K}
+    ),
+    g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+    d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+    m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+    i AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {_SPAN_K} THEN 1 ELSE 0 END AS brk
+      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    s AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM i
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_K} - 1 AS BIGINT) AS span_end,
+           CAST(max(pos) - min(pos) + {_SPAN_K} AS BIGINT) AS span_tokens
+    FROM s GROUP BY doc_id, island
+    """,
+)
+def substring_dedup_spans(spark, sf_dir):
+    """Suffix-array-family exact substring dedup, distributed: mark
+    every 8-token run occurring ≥2× corpus-wide, merge marks into
+    maximal per-doc spans (see functions/dedup.py::substring_dedup_spans
+    for the 100 TB shape — all linear stages, shuffle keyed on gram
+    hash)."""
+    from gravity_spark.functions.dedup import substring_dedup_spans as _spans
+
+    docs = T(spark, sf_dir, "documents")
+    return _spans(docs, k=_SPAN_K)
+
+
 @register(
     "salted_skew_agg",
     """

@@ -308,3 +308,47 @@ def test_semdedup_prunes_crafted_duplicate(spark):
     assert not out[100].kept  # near-copy of 0 pruned
     assert out[0].kept
     assert out[100].cluster == out[0].cluster
+
+
+def test_substring_dedup_span_boundaries(spark):
+    from gravity_spark.functions.dedup import substring_dedup_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-token shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota kappa xyz"),
+            (3, "totally unique words nine eight seven six five four three"),
+            # internal repetition: the same 8-token run twice in one doc
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 mid1 mid2 mid3 mid4 mid5 mid6 mid7 mid8 mid9 r1 r2 r3 r4 r5 r6 r7 r8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.span_start, r.span_end): r.span_tokens
+           for r in substring_dedup_spans(docs, k=8).collect()}
+    # doc 1: shared run occupies tokens 3..14 → one maximal span
+    assert out[(1, 3, 14)] == 12
+    # doc 2: same run at tokens 1..12
+    assert out[(2, 1, 12)] == 12
+    # doc 3: nothing duplicated
+    assert not any(d == 3 for d, _, _ in out)
+    # doc 4: both copies of the internal run marked (1..8 and 18..25)
+    assert out[(4, 1, 8)] == 8
+    assert out[(4, 18, 25)] == 8
+
+
+def test_substring_dedup_adjacent_marks_merge(spark):
+    from gravity_spark.functions.dedup import substring_dedup_spans
+
+    # two docs sharing one long 20-token run: every k-gram inside is
+    # duplicated → marks must merge into ONE span, not 13 overlapping ones
+    run = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, f"{run} tail1 tail2"), (2, f"head1 head2 {run}")],
+        "doc_id long, text string",
+    )
+    spans = substring_dedup_spans(docs, k=8).collect()
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in spans) == [
+        (1, 1, 20),
+        (2, 3, 22),
+    ]
