@@ -91,3 +91,103 @@ def fingerprint(text: Column) -> Column:
     variants of the same content to one key — the exact-dedup and
     near-dup pipelines both key on it."""
     return F.md5(F.array_join(tokenize(text), " "))
+
+
+def feature_bucket(tok: Column, n_buckets: int = 4096) -> Column:
+    """Hashed feature id (the fasttext hashing trick): first 8 hex
+    digits of md5 → integer, mod the bucket count. Portable — any SQL
+    engine reproduces it from md5."""
+    return (F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % n_buckets)
+
+
+def hashed_linear_classifier(
+    docs,
+    label_col: str = "lang",
+    positive: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    train_mod: int = 5,
+):
+    """Train-and-score a hashed-feature linear classifier (fasttext-
+    style architecture, Naive-Bayes log-odds training) entirely inside
+    the engine — the quality/language-classifier stage of an LLM data
+    pipeline, with REAL learned weights rather than a shipped model.
+
+    Train split = docs with id % train_mod == 0: per hashed token
+    bucket, Laplace-smoothed log-odds of positive vs rest, in integer
+    micro-logs (each ln() rounded to 6dp first — the perplexity_filter
+    determinism discipline, so a SQL oracle reproduces every weight).
+    Held-out docs score as the exact integer sum of their tokens'
+    weights; prediction = score > 0.
+
+    Returns (id, score_micro, pred, correct).
+
+    Scale shape: training is one aggregation keyed by bucket id (≤
+    n_buckets reducer rows after map-side combine); the learned weight
+    table is ≤ n_buckets rows → broadcast; scoring is a map-side join +
+    one per-doc sum. No stage depends on corpus size beyond the linear
+    token scan. Swap the NB closed form for logistic SGD at deployment
+    and only the weight-table producer changes.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("__label"),
+        F.explode(tokenize(F.col(text_col))).alias("__tok"),
+    ).withColumn("__b", feature_bucket(F.col("__tok"), n_buckets))
+
+    train = toks.filter((F.col(id_col) % train_mod) == 0)
+    is_pos = (F.col("__label") == positive).cast("long")
+    cnt = train.groupBy("__b").agg(
+        F.sum(is_pos).alias("n_pos"),
+        F.sum(F.lit(1) - is_pos).alias("n_neg"),
+    )
+    tot = train.agg(
+        F.sum(is_pos).alias("t_pos"),
+        F.sum(F.lit(1) - is_pos).alias("t_neg"),
+    )
+
+    def _ln6(x):
+        return F.round(F.log(x.cast("double")), 6)
+
+    def _w_micro(n_pos, n_neg):
+        return F.round(
+            (
+                _ln6(n_pos + F.lit(1))
+                - _ln6(F.col("t_pos") + F.lit(n_buckets))
+                - _ln6(n_neg + F.lit(1))
+                + _ln6(F.col("t_neg") + F.lit(n_buckets))
+            )
+            * 1000000,
+            0,
+        ).cast("long")
+
+    weights = cnt.crossJoin(F.broadcast(tot)).select(
+        "__b", _w_micro(F.col("n_pos"), F.col("n_neg")).alias("__w")
+    )
+    default_w = tot.select(
+        _w_micro(F.lit(0), F.lit(0)).alias("__dw")
+    )
+
+    held = toks.filter((F.col(id_col) % train_mod) != 0)
+    scored = (
+        held.join(F.broadcast(weights), "__b", "left")
+        .crossJoin(F.broadcast(default_w))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__w"), F.col("__dw"))).alias("score_micro"),
+            F.any_value(F.col("__label")).alias("__actual"),
+        )
+    )
+    pred = F.when(F.col("score_micro") > 0, F.lit(positive)).otherwise(F.lit("other"))
+    actual = F.when(F.col("__actual") == positive, F.lit(positive)).otherwise(
+        F.lit("other")
+    )
+    return scored.select(
+        id_col,
+        "score_micro",
+        pred.alias("pred"),
+        (pred == actual).alias("correct"),
+    )

@@ -4460,6 +4460,65 @@ def perplexity_filter(spark, sf_dir):
 
 
 @register(
+    "classifier_hashed_linear",
+    f"""
+    -- fasttext-style hashed linear classifier: NB log-odds weights
+    -- learned on the doc_id%5=0 split, integer micro-log scoring on the
+    -- held-out split (each ln() rounded to 6dp first — cross-engine)
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ), f AS (
+      SELECT doc_id, lang, ({_hex8_to_int_sql('tok')}) % 4096 AS b FROM toks
+    ), tr AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+    cnt AS (
+      SELECT b,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      FROM tr GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_pos,
+             CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS t_neg
+      FROM tr
+    ), w AS (
+      SELECT b,
+             CAST(round((round(ln(CAST(n_pos + 1 AS DOUBLE)), 6)
+                       - round(ln(CAST(t_pos + 4096 AS DOUBLE)), 6)
+                       - round(ln(CAST(n_neg + 1 AS DOUBLE)), 6)
+                       + round(ln(CAST(t_neg + 4096 AS DOUBLE)), 6)) * 1000000)
+                  AS BIGINT) AS w
+      FROM cnt, tot
+    ), dw AS (
+      SELECT CAST(round((- round(ln(CAST(t_pos + 4096 AS DOUBLE)), 6)
+                         + round(ln(CAST(t_neg + 4096 AS DOUBLE)), 6)) * 1000000)
+                  AS BIGINT) AS dwv
+      FROM tot
+    ), held AS (SELECT * FROM f WHERE doc_id % 5 <> 0),
+    scored AS (
+      SELECT held.doc_id,
+             CAST(sum(coalesce(w.w, dw.dwv)) AS BIGINT) AS score_micro,
+             any_value(held.lang) AS actual
+      FROM held LEFT JOIN w ON held.b = w.b CROSS JOIN dw
+      GROUP BY held.doc_id
+    )
+    SELECT doc_id, score_micro,
+           CASE WHEN score_micro > 0 THEN 'en' ELSE 'other' END AS pred,
+           (CASE WHEN score_micro > 0 THEN 'en' ELSE 'other' END)
+             = (CASE WHEN actual = 'en' THEN 'en' ELSE 'other' END) AS correct
+    FROM scored
+    """,
+)
+def classifier_hashed_linear(spark, sf_dir):
+    """Trainable quality/language classifier with hashed features —
+    weights LEARNED in-engine (NB log-odds over the doc_id%5=0 split),
+    scored on held-out docs as an exact integer micro-log sum. See
+    functions/text.py::hashed_linear_classifier for the 100 TB shape
+    (bucket-keyed training agg, broadcast weight table, map-side
+    scoring)."""
+    docs = T(spark, sf_dir, "documents")
+    return tx.hashed_linear_classifier(docs)
+
+
+@register(
     "decontaminate_ngram_overlap",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
