@@ -4519,6 +4519,87 @@ def classifier_hashed_linear(spark, sf_dir):
 
 
 @register(
+    "bloom_prefilter_blocklist",
+    f"""
+    -- Bloom prefilter for a contamination blocklist: bitmap over the
+    -- fingerprints of banned docs (doc_id %% 17 = 0), every doc probed
+    -- by fingerprint; the exact verify counts the false positives the
+    -- deliberately small bitmap (m=4096) admits
+    WITH d AS (
+      SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents
+    ),
+    bl AS (SELECT DISTINCT fp FROM d WHERE doc_id % 17 = 0),
+    pos AS (
+      SELECT ({_hex8_to_int_sql("'s0:' || fp")}) % 4096 AS p FROM bl
+      UNION ALL SELECT ({_hex8_to_int_sql("'s1:' || fp")}) % 4096 FROM bl
+      UNION ALL SELECT ({_hex8_to_int_sql("'s2:' || fp")}) % 4096 FROM bl
+    ),
+    bm AS (
+      SELECT p // 63 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    pp AS (
+      SELECT doc_id, ({_hex8_to_int_sql("'s0:' || fp")}) % 4096 AS p FROM d
+      UNION ALL SELECT doc_id, ({_hex8_to_int_sql("'s1:' || fp")}) % 4096 FROM d
+      UNION ALL SELECT doc_id, ({_hex8_to_int_sql("'s2:' || fp")}) % 4096 FROM d
+    ),
+    chk AS (
+      SELECT pp.doc_id,
+             CASE WHEN bm.bits IS NOT NULL
+                   AND ((bm.bits >> CAST(pp.p % 63 AS INTEGER)) & 1) = 1
+                  THEN 1 ELSE 0 END AS ok
+      FROM pp LEFT JOIN bm ON pp.p // 63 = bm.word_idx
+    ),
+    v AS (SELECT doc_id, min(ok) = 1 AS bloom_hit FROM chk GROUP BY 1),
+    j AS (
+      SELECT d.doc_id, v.bloom_hit,
+             d.fp IN (SELECT fp FROM bl) AS exact_hit
+      FROM d JOIN v USING (doc_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM j
+    """,
+)
+def bloom_prefilter_blocklist(spark, sf_dir):
+    """Bloom-filter contamination prefilter: portable bitmap (salted-md5
+    positions, 63-bit BIGINT words) built over the fingerprints of a
+    banned-document set, broadcast, probed by every document's
+    fingerprint, then exact-verified — the prefilter that keeps a
+    100 TB scan from shuffling into an exact semi-join (only
+    might-contain rows proceed). m=4096 deliberately small so false
+    positives exist and are counted — identically in both engines
+    (note: exact dups of banned docs share their fingerprint, so
+    n_exact ≥ the banned count by design). See functions/bloom.py."""
+    from gravity_spark.functions.bloom import bloom_build, bloom_might_contain
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", tx.fingerprint(F.col("text")).alias("fp")
+    )
+    bl = docs.filter(F.col("doc_id") % 17 == 0).select("fp").distinct()
+    bloom = bloom_build(bl, "fp", m=4096, k=3)
+    probed = bloom_might_contain(
+        docs, "fp", bloom, m=4096, k=3, id_col="doc_id"
+    )
+    exact = probed.join(
+        bl.withColumnRenamed("fp", "__blf"),
+        probed["fp"] == F.col("__blf"),
+        "left",
+    ).select("doc_id", "bloom_hit", F.col("__blf").isNotNull().alias("exact_hit"))
+    return exact.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("exact_hit").cast("long")).alias("n_exact"),
+        F.sum((F.col("bloom_hit") & ~F.col("exact_hit")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )
+
+
+@register(
     "decontaminate_ngram_overlap",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
