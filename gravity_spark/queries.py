@@ -5146,6 +5146,131 @@ def streaming_sessionize_stateful(spark, sf_dir):
     return spark.table(name).select("user_id", "n_sessions", "n_events")
 
 
+def _gate_sql() -> str:
+    """Sequential truth of the streaming minhash gate: a doc is new iff
+    no smaller-id doc shares any LSH band bucket."""
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
+    ]
+    long_form = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bh{b} AS bh FROM banded" for b in range(bands)
+    )
+    return f"""
+    WITH {_SIG_CTE},
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
+    bl AS ({long_form}),
+    dup AS (
+      SELECT DISTINCT b.doc_id
+      FROM bl a JOIN bl b ON a.band = b.band AND a.bh = b.bh
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id, doc_id NOT IN (SELECT doc_id FROM dup) AS is_new
+    FROM documents
+    """
+
+
+def _banded_row_local(docs):
+    """(doc_id, band, bh) via pure row-local expressions — the streaming
+    twin of _banded_df: no groupBy, so it composes with a stream without
+    becoming a stateful aggregation. Values identical to _sig_df (same
+    md5-rotation hash family, same lexicographic array_min)."""
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+
+    def rot(h, i):
+        if i == 0:
+            return h
+        return F.concat(F.substring(h, 2 * i + 1, 32), F.substring(h, 1, 2 * i))
+
+    hs = F.transform(
+        F.array_distinct(tx.tokenize(F.col("text"))), lambda t: F.md5(t)
+    )
+    ms = [F.array_min(F.transform(hs, lambda h: rot(h, i))) for i in range(_NUM_MINHASH)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*ms[b * width : (b + 1) * width])).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        docs.filter(F.size(F.array_distinct(tx.tokenize(F.col("text")))) > 0)
+        .select("doc_id", F.explode(band_structs).alias("e"))
+        .select("doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh"))
+    )
+
+
+@register("streaming_minhash_dedup_gate", _gate_sql())
+def streaming_minhash_dedup_gate(spark, sf_dir):
+    """Streaming INCREMENTAL near-dup admission: documents arrive in two
+    id-ordered micro-batches; a custom stateful operator
+    (streaming/windows.py::minhash_bucket_gate) tracks the smallest doc
+    id per LSH band bucket across batches and admits a doc only if none
+    of its buckets was claimed earlier. Verdicts from the second epoch
+    depend on state built in the first — the incremental-corpus-growth
+    path batch dedup can't express. Graded against the sequential batch
+    truth (_gate_sql)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from gravity_spark.streaming.windows import minhash_bucket_gate
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="mh_gate_")
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    for idx, pred in enumerate(
+        [F.col("doc_id") <= mid, F.col("doc_id") > mid]
+    ):
+        part_dir = f"{tmp}/w{idx}"
+        docs.filter(pred).coalesce(1).write.mode("overwrite").json(part_dir)
+        src = glob.glob(f"{part_dir}/part-*.json")[0]
+        dst = f"{stream_dir}/{idx:03d}.json"
+        shutil.move(src, dst)
+        os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(stream_dir)
+    )
+    gate = minhash_bucket_gate(_banded_row_local(stream))
+    verdict_dir = f"{tmp}/verdict"
+
+    def handle(df, epoch_id):
+        (
+            df.groupBy("doc_id")
+            .agg(F.min("owner").alias("own"))
+            .select("doc_id", (F.col("own") == F.col("doc_id")).alias("is_new"))
+            .write.mode("append")
+            .parquet(verdict_dir)
+        )
+
+    with _stream_conf(spark):
+        q = (
+            gate.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("minhash gate stream timed out")
+    verdict = spark.read.parquet(verdict_dir)
+    return (
+        docs.select("doc_id")
+        .join(verdict, "doc_id", "left")
+        .select("doc_id", F.coalesce("is_new", F.lit(True)).alias("is_new"))
+    )
+
+
 @register(
     "fk_integrity_audit",
     """

@@ -148,3 +148,51 @@ def running_counts_stateful(events: DataFrame, key_col: str = "user_id") -> Data
         outputMode="Update",
         timeMode="None",
     )
+
+
+def minhash_bucket_gate(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Streaming incremental near-dup gate, stage 1: stateful LSH-bucket
+    ownership via applyInPandasWithState keyed by (band, bh).
+
+    State per bucket = the smallest doc id ever seen in it. Each
+    incoming (doc, band, bucket) row emits (doc_id, owner) where owner
+    is the smallest id in that bucket up to and including this doc
+    (in-batch rows are processed in id order; the stream contract is
+    id-ascending arrival, which CDC/ingest streams satisfy). Stage 2
+    (per-doc verdict) is a per-batch aggregation in foreachBatch:
+    is_new = min(owner over the doc's bands) == doc_id.
+
+    Scale shape: state is one long per occupied bucket — O(distinct
+    buckets) ≈ O(corpus/near-dup-rate), hash-partitioned across state
+    stores; each micro-batch shuffles only (band, bh, id) triples.
+    This is the streaming twin of dedup_minhash_pairs' batch join
+    (functions/dedup.py), filling the reference's arbitrary-stateful-
+    plugin slot (SURVEY §2.2 gRPC sidecar)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("owner", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("min_id", T.LongType())])
+
+    def fn(key, pdf_iter, state: GroupState):
+        cur = state.get[0] if state.exists else None
+        ids, owners = [], []
+        for pdf in pdf_iter:
+            for did in sorted(pdf[id_col].tolist()):
+                owner = did if cur is None else min(cur, did)
+                ids.append(did)
+                owners.append(owner)
+                cur = owner
+        state.update((cur,))
+        yield pd.DataFrame({"doc_id": ids, "owner": owners})
+
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

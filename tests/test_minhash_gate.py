@@ -1,0 +1,59 @@
+"""Streaming minhash dedup gate: verdicts in epoch 2 must depend on
+bucket state built in epoch 1 (the incremental-corpus path)."""
+
+import glob
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from gravity_spark.queries import _banded_row_local
+from gravity_spark.streaming.windows import minhash_bucket_gate
+
+
+def test_gate_rejects_cross_batch_near_dup(spark, tmp_path):
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    text_c = "completely different content about spark structured streaming state"
+    batch1 = [(1, text_a), (2, text_c)]
+    # doc 10 = exact copy of doc 1 (same buckets), doc 11 = novel
+    batch2 = [(10, text_a), (11, "novel words that appear nowhere else at all")]
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for idx, rows in enumerate([batch1, batch2]):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        part = str(tmp_path / f"w{idx}")
+        df.coalesce(1).write.mode("overwrite").json(part)
+        dst = str(stream_dir / f"{idx:03d}.json")
+        shutil.move(glob.glob(f"{part}/part-*.json")[0], dst)
+        os.utime(dst, (1700000000 + idx * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(stream_dir))
+    )
+    gate = minhash_bucket_gate(_banded_row_local(stream))
+    verdicts = {}
+
+    def handle(df, epoch_id):
+        for r in (
+            df.groupBy("doc_id").agg(F.min("owner").alias("own")).collect()
+        ):
+            verdicts[r.doc_id] = (r.own == r.doc_id, epoch_id)
+
+    q = (
+        gate.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    assert verdicts[1][0] and verdicts[2][0]  # first batch all new
+    is_new_10, epoch_10 = verdicts[10]
+    is_new_11, _ = verdicts[11]
+    assert not is_new_10  # duplicate of doc 1, seen one epoch earlier
+    assert is_new_11
+    assert epoch_10 > verdicts[1][1]  # decided in a LATER epoch than doc 1
