@@ -3234,6 +3234,37 @@ def semi_anti_joins(spark, sf_dir):
 
 
 @register(
+    "unpivot_battery",
+    """
+    -- native UNPIVOT (wide → long), the inverse of pivot_event_counts;
+    -- table_profile's stack() is the expression-level cousin
+    WITH base AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total,
+             CAST(length(o_orderpriority) AS DOUBLE) AS pri_len,
+             CAST(o_orderkey % 7 AS DOUBLE) AS bucket7
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT o_orderkey, metric, val
+    FROM base UNPIVOT (val FOR metric IN (total, pri_len, bucket7))
+    """,
+)
+def unpivot_battery(spark, sf_dir):
+    """Native DataFrame unpivot/melt (wide → long). Map-only: each input
+    row expands to 3 rows inside one projection — no exchange, scan
+    pruned to the unpivoted columns."""
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total"),
+        F.length("o_orderpriority").cast("double").alias("pri_len"),
+        (F.col("o_orderkey") % 7).cast("double").alias("bucket7"),
+    )
+    return base.unpivot(
+        ["o_orderkey"], ["total", "pri_len", "bucket7"], "metric", "val"
+    )
+
+
+@register(
     "cube_events",
     """
     SELECT coalesce(event_type, '<all>') AS event_type,
