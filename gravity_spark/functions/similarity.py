@@ -224,18 +224,28 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _assign(scaled: DataFrame, centroids: DataFrame, id_col: str) -> DataFrame:
-    """Nearest centroid per vector (ties → smaller cluster id).
-    Centroids are broadcast — the corpus never shuffles for assignment."""
-    j = scaled.crossJoin(F.broadcast(centroids)).withColumn(
-        "__dist", _sq_dist(F.col("xi"), F.col("cxi"))
+def _assign_literal(
+    scaled: DataFrame, cents: list[tuple[int, list[int]]], id_col: str
+) -> DataFrame:
+    """Nearest centroid per vector (ties → smaller cluster id), with the
+    centroids inlined as literals — a pure projection: no join, no
+    shuffle, no window. `array_min` over (dist, cluster) structs is a
+    lexicographic min, which reproduces ORDER BY dist, cluster exactly."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(
+                        F.col("xi"),
+                        F.array(*[F.lit(int(v)).cast("long") for v in cxi]),
+                    ).alias("d"),
+                    F.lit(int(cid)).cast("long").alias("cluster"),
+                )
+                for cid, cxi in cents
+            ]
+        )
     )
-    w = Window.partitionBy(id_col).orderBy("__dist", "cluster")
-    return (
-        j.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "xi", "cluster")
-    )
+    return scaled.withColumn("cluster", best["cluster"])
 
 
 def _update_centroids(assigned: DataFrame) -> DataFrame:
@@ -274,25 +284,31 @@ def kmeans_assign(
     (no convergence collect) the way graph_pagerank_purchases fixes its
     iteration count.
 
-    Scale shape: per round one broadcast-join assignment (corpus does
-    not shuffle) + one (cluster, dim)-keyed aggregation whose shuffle
-    volume is k × dim rows of partial sums per mapper — independent of
-    corpus size. At 100 TB grow k (k ≈ n / target cluster size) and
-    seed via a sample, keeping clusters bounded for the prune stage.
-    The seed-selection window sorts only the k smallest ids (bounded)."""
+    Scale shape (the MLlib KMeans discipline): centroids live on the
+    driver — k × dim integers, independent of corpus size — and each
+    round is (a) a map-only assignment with the centroids inlined as
+    literals (no join, no shuffle of the corpus) + (b) one
+    (cluster, dim)-keyed aggregation whose shuffle volume is k × dim
+    partial sums per mapper, collected back to the driver. Lineage
+    depth stays constant per round (each round starts from literals),
+    so no checkpointing is needed. At 100 TB grow k (k ≈ n / target
+    cluster size) and seed via a sample, keeping clusters bounded for
+    the prune stage; the seed selection is a distributed top-k
+    (TakeOrdered), never a global sort."""
     scaled = corpus.select(
         F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi")
     )
-    w = Window.orderBy(id_col)
-    centroids = (
-        scaled.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select((F.col("__rn") - 1).cast("long").alias("cluster"), F.col("xi").alias("cxi"))
-    )
+    cents = [
+        (i, list(r["xi"]))
+        for i, r in enumerate(scaled.orderBy(id_col).limit(k).collect())
+    ]
     for _ in range(rounds):
-        assigned = _assign(scaled, centroids, id_col)
-        centroids = _update_centroids(assigned)
-    return _assign(scaled, centroids, id_col).select(id_col, "cluster")
+        assigned = _assign_literal(scaled, cents, id_col)
+        cents = sorted(
+            (int(r["cluster"]), list(r["cxi"]))
+            for r in _update_centroids(assigned).collect()
+        )
+    return _assign_literal(scaled, cents, id_col).select(id_col, "cluster")
 
 
 def semdedup_prune(
