@@ -100,6 +100,12 @@ def _build_source(spark: SparkSession, spec: Mapping[str, Any]):
             ),
             True,
         )
+    if kind == "jdbc-batch":
+        # reference mysql/mongo batch mode: partitioned keyset read
+        # (pkg/inputs/mysqlbatch); requires a JDBC driver jar at runtime
+        from gravity_spark.sources.batch import jdbc_partitioned_reader
+
+        return (lambda: jdbc_partitioned_reader(spark, **cfg)), False
     if kind == "memory-batch":  # tests: envelope rows provided inline
         from gravity_spark.core.envelope import memory_changes
 
@@ -126,6 +132,9 @@ def _default_typed(pk: list[str], schema_ddl: str) -> Callable[[DataFrame], Data
 
 
 def build_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Pipeline:
+    from gravity_spark.plans.config import normalize_pipeline_config
+
+    config = normalize_pipeline_config(config)
     source, streaming = _build_source(spark, config["input"])
     filters = list(config.get("filters", ()))
     routes = list(config.get("output", {}).get("routes", ()))

@@ -6327,6 +6327,60 @@ def fuzzy_edit_distance(spark, sf_dir):
     )
 
 
+@register(
+    "verifier_range_counts",
+    """
+    -- cmd/verifier semantics: per-leaf-range COUNT compare between the
+    -- source table and a deterministically-corrupted target (dropped
+    -- rows where key % 1009 = 7, injected rows where key % 1013 = 11)
+    WITH src AS (SELECT o_orderkey AS k FROM orders),
+    tgt AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 1009 <> 7
+      UNION ALL
+      SELECT o_orderkey + 8388608 FROM orders WHERE o_orderkey % 1013 = 11
+    ),
+    sc AS (SELECT CAST((k * 1024) // 16777216 AS BIGINT) AS bucket,
+                  count(*) AS source_cnt
+           FROM src WHERE k BETWEEN 0 AND 16777215 GROUP BY 1),
+    tc AS (SELECT CAST((k * 1024) // 16777216 AS BIGINT) AS bucket,
+                  count(*) AS target_cnt
+           FROM tgt WHERE k BETWEEN 0 AND 16777215 GROUP BY 1)
+    SELECT coalesce(sc.bucket, tc.bucket) AS bucket,
+           CAST((coalesce(sc.bucket, tc.bucket) * 16777216) // 1024
+                AS BIGINT) AS range_lo,
+           CAST(((coalesce(sc.bucket, tc.bucket) + 1) * 16777216) // 1024 - 1
+                AS BIGINT) AS range_hi,
+           CAST(coalesce(source_cnt, 0) AS BIGINT) AS source_cnt,
+           CAST(coalesce(target_cnt, 0) AS BIGINT) AS target_cnt,
+           CAST(coalesce(target_cnt, 0) - coalesce(source_cnt, 0)
+                AS BIGINT) AS diff
+    FROM sc FULL OUTER JOIN tc ON sc.bucket = tc.bucket
+    WHERE coalesce(target_cnt, 0) <> coalesce(source_cnt, 0)
+    ORDER BY range_lo
+    """,
+)
+def verifier_range_counts(spark, sf_dir):
+    """cmd/verifier (main.go:300-347) re-expressed Spark-first: instead
+    of a recursive bisection task queue issuing sequential COUNT(*)
+    round trips per range, ONE scan per side computes every leaf-range
+    count at once and a full-outer join localizes all mismatches
+    simultaneously (operators/verifier.py). The target here simulates
+    replication loss + stray writes with deterministic key filters so
+    both engines see identical corruption."""
+    from gravity_spark.operators.verifier import range_count_compare
+
+    orders = T(spark, sf_dir, "orders")
+    src = orders.select(F.col("o_orderkey").alias("k"))
+    tgt = orders.filter(F.col("o_orderkey") % 1009 != 7).select(
+        F.col("o_orderkey").alias("k")
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 1013 == 11).select(
+            (F.col("o_orderkey") + 8388608).alias("k")
+        )
+    )
+    return range_count_compare(src, tgt, "k", 0, 16777215, depth=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
