@@ -37,17 +37,11 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
-def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
-    """Bit-identical to dot() — same left-to-right fold order, float
-    addition grouped identically — but as a flat arithmetic chain that
-    whole-stage codegen compiles, where the lambda HOF path is
-    interpreted per element (~30× slower measured on a 250k-pair
-    self-join). Use on hot pair-scoring paths when the embedding dim
-    is known."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
+# Measured on a 250k-pair self-join (local[32], 64-dim): the zip_with/
+# aggregate HOF dot runs ~1-5 µs/pair; an unrolled 64-term element_at
+# chain is ~3× SLOWER (giant codegen method), and per-PAIR norm
+# evaluation dominates everything (2 extra HOF aggregates per pair).
+# Moral: precompute norms per vector, keep the HOF dot for pairs.
 
 
 def brute_force_topk(
@@ -251,7 +245,7 @@ def _assign_literal(
         *[
             F.struct(
                 F.lit(int(cid)).cast("long").alias("cluster"),
-                F.array(*[F.lit(int(v)).cast("long") for v in cxi]).alias("cxi"),
+                F.lit([int(v) for v in cxi]).cast("array<long>").alias("cxi"),
             )
             for cid, cxi in cents
         ]
@@ -268,24 +262,28 @@ def _assign_literal(
     return scaled.withColumn("cluster", best["cluster"])
 
 
-def _update_centroids(assigned: DataFrame) -> DataFrame:
-    """Element-wise integer mean per cluster. The sum is exact; the mean
-    uses a portable floor-div (numerator made exactly divisible first)
-    so Spark and any SQL oracle compute identical centroids."""
+def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int]]]:
+    """Element-wise integer mean per cluster, as driver-side state.
+
+    One (cluster, dim)-keyed aggregation — shuffle volume ≤ k × dim
+    partial sums per mapper, independent of corpus size — collected as
+    k × dim rows; the array assembly and the portable floor-div
+    (numerator made exactly divisible first, so Spark, Python and any
+    SQL oracle compute identical centroids) happen on the driver."""
     pos = assigned.select("cluster", F.posexplode("xi").alias("dim", "v"))
     agg = pos.groupBy("cluster", "dim").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("cnt")
     )
-    s, cnt = F.col("s"), F.col("cnt")
-    cv = ((s - ((s % cnt + cnt) % cnt)) / cnt).cast("long")
-    return (
-        agg.select("cluster", "dim", cv.alias("cv"))
-        .groupBy("cluster")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda e: e["cv"]
-            ).alias("cxi")
-        )
+    by_cluster: dict[int, dict[int, int]] = {}
+    for r in agg.collect():
+        s, cnt = int(r["s"]), int(r["cnt"])
+        # identical to SQL ((s - ((s % cnt + cnt) % cnt)) / cnt):
+        # Python % is already non-negative for cnt > 0
+        by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = (
+            s - (s % cnt)
+        ) // cnt
+    return sorted(
+        (cid, [dims[d] for d in sorted(dims)]) for cid, dims in by_cluster.items()
     )
 
 
@@ -324,10 +322,7 @@ def kmeans_assign(
     ]
     for _ in range(rounds):
         assigned = _assign_literal(scaled, cents, id_col)
-        cents = sorted(
-            (int(r["cluster"]), list(r["cxi"]))
-            for r in _update_centroids(assigned).collect()
-        )
+        cents = _update_centroids(assigned)
     return _assign_literal(scaled, cents, id_col).select(id_col, "cluster")
 
 
@@ -352,8 +347,6 @@ def semdedup_prune(
     # both join sides would otherwise re-evaluate (and Catalyst
     # re-optimize) the full assignment expression
     assigned = kmeans_assign(corpus, k, rounds, id_col, vec_col).localCheckpoint()
-    first = corpus.select(vec_col).first()
-    dim = len(first[0]) if first and first[0] is not None else 0
     vecs = corpus.select(F.col(id_col), F.col(vec_col))
     # norms computed once per VECTOR before the join (n evals), not once
     # per PAIR after it (O(Σ cluster²) evals); products are bit-equal
@@ -375,7 +368,7 @@ def semdedup_prune(
     sim = F.round(
         F.when(
             den > 0,
-            dot_unrolled(F.col("__va"), F.col("__vb"), dim) / den,
+            dot(F.col("__va"), F.col("__vb")) / den,
         ).otherwise(F.lit(0.0)),
         6,
     )
