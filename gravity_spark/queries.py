@@ -6381,6 +6381,463 @@ def verifier_range_counts(spark, sf_dir):
     return range_count_compare(src, tgt, "k", 0, 16777215, depth=10)
 
 
+# =====================================================================
+# §R2  Round-2 additions: sketch-accuracy eval, embedding curation,
+#      sparse inverted-index similarity, mixture diagnostics,
+#      streaming trending top-k
+# =====================================================================
+
+
+def _mh_est_sql() -> str:
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
+    ]
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(_NUM_MINHASH)
+    )
+    return f"""
+    WITH {_SIG_CTE},
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b, CAST({agree} AS BIGINT) AS est16
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b
+    ),
+    tok2 AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS nt FROM tok2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, count(*) AS n_inter
+      FROM pairs p
+      JOIN tok2 ta ON ta.doc_id = p.id_a
+      JOIN tok2 tb ON tb.doc_id = p.id_b AND tb.t = ta.t
+      GROUP BY p.id_a, p.id_b
+    )
+    SELECT e.id_a, e.id_b, e.est16,
+           CAST((1000 * i.n_inter) // (za.nt + zb.nt - i.n_inter) AS BIGINT)
+             AS exact_milli,
+           CAST(abs((1000 * e.est16) // 16
+                    - (1000 * i.n_inter) // (za.nt + zb.nt - i.n_inter))
+                AS BIGINT) AS err_milli
+    FROM est e
+    JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes za ON za.doc_id = e.id_a
+    JOIN sizes zb ON zb.doc_id = e.id_b
+    """
+
+
+@register("minhash_estimate_error", _mh_est_sql())
+def minhash_estimate_error(spark, sf_dir):
+    """Sketch-accuracy evaluation: for every LSH candidate pair, the
+    MinHash-estimated Jaccard (fraction of agreeing signature
+    positions, in 16ths) vs the EXACT token-set Jaccard, plus the
+    absolute error in integer milli-units. The eval loop a dedup
+    pipeline runs before trusting a signature config at corpus scale.
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); the exact intersection is a token equi-join confined to
+    candidate pairs; every division is exact integer arithmetic
+    (floor-div in both engines). Signature table is computed once and
+    persisted — three reuses (bands, est join ×2)."""
+    sig = _sig_df(spark, sf_dir).persist()
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"m{i}") for i in range(b * width, (b + 1) * width)])
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(_NUM_MINHASH)
+    )
+    est = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("id_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("id_b"))
+        .select("id_a", "id_b", agree.cast("long").alias("est16"))
+    )
+    docs = T(spark, sf_dir, "documents")
+    tok2 = docs.select(
+        "doc_id", F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias("t")
+    )
+    sizes = tok2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    ta, tb = tok2.alias("ta"), tok2.alias("tb")
+    inter = (
+        pairs.join(ta, F.col("ta.doc_id") == F.col("id_a"))
+        .join(tb, (F.col("tb.doc_id") == F.col("id_b")) & (F.col("tb.t") == F.col("ta.t")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    uni = F.col("za.nt") + F.col("zb.nt") - F.col("n_inter")
+    est_milli = F.expr("(1000 * est16) div 16")
+    exact_milli = (1000 * F.col("n_inter") - (1000 * F.col("n_inter")) % uni) / uni
+    out = (
+        est.join(inter, ["id_a", "id_b"])
+        .join(za, F.col("za.doc_id") == F.col("id_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "est16",
+            exact_milli.cast("long").alias("exact_milli"),
+            F.abs(est_milli - exact_milli.cast("long")).cast("long").alias("err_milli"),
+        )
+    )
+    return out
+
+
+@register(
+    "embedding_outlier_prune",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, label, unnest(q) AS x, generate_subscripts(q, 1) AS dim
+      FROM q
+    ),
+    cent AS (SELECT label, dim, CAST(sum(x) AS BIGINT) AS s
+             FROM pos GROUP BY label, dim),
+    nl AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+    d AS (
+      SELECT p.vec_id, p.label,
+             sum(CAST(p.x * nl.n - c.s AS HUGEINT)
+                 * CAST(p.x * nl.n - c.s AS HUGEINT)) AS sumsq,
+             any_value(nl.n) AS n
+      FROM pos p
+      JOIN cent c ON c.label = p.label AND c.dim = p.dim
+      JOIN nl ON nl.label = p.label
+      GROUP BY p.vec_id, p.label
+    )
+    SELECT label, vec_id,
+           round(CAST(sumsq AS DOUBLE) / (1000000000000.0 * n * n), 6) AS dist2,
+           (row_number() OVER (
+              PARTITION BY label
+              ORDER BY round(CAST(sumsq AS DOUBLE) / (1000000000000.0 * n * n), 6)
+                       DESC, vec_id) <= 5) AS is_outlier
+    FROM d
+    """,
+)
+def embedding_outlier_prune(spark, sf_dir):
+    """Embedding-space curation filter (CLIP-score-style outlier
+    pruning): distance² of every vector to its label centroid, flagging
+    the 5 farthest per label for manual review / drop.
+
+    Scale shape: centroid partial sums are a (label, dim)-keyed agg
+    whose shuffle is labels × dims rows per mapper; the per-vector
+    distance is a BROADCAST join + row-local zip_with/aggregate fold —
+    the corpus itself never shuffles. All accumulation is scaled-integer
+    (exact, order-independent); squares ride DECIMAL(38,0) so they
+    can't overflow BIGINT at large n; the only float ops are the final
+    division + round, identical in both engines."""
+    emb = T(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000000).cast("long")
+        ).alias("q"),
+    )
+    pos = qv.select("label", F.posexplode("q").alias("dim", "x"))
+    cent = (
+        pos.groupBy("label", "dim")
+        .agg(F.sum("x").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s"))), lambda st: st["s"]
+            ).alias("S")
+        )
+    )
+    nl = qv.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    j = qv.join(F.broadcast(cent), "label").join(F.broadcast(nl), "label")
+    diff = F.zip_with(
+        "q",
+        "S",
+        lambda x, s: ((x * F.col("n") - s).cast("decimal(38,0)")
+                      * (x * F.col("n") - s).cast("decimal(38,0)")),
+    )
+    sumsq = F.aggregate(
+        diff, F.lit(0).cast("decimal(38,0)"), lambda acc, v: acc + v
+    )
+    dist2 = F.round(
+        sumsq.cast("double") / (F.lit(1000000000000.0) * F.col("n") * F.col("n")), 6
+    )
+    d = j.select("label", "vec_id", dist2.alias("dist2"))
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(), F.col("vec_id"))
+    return d.select(
+        "label", "vec_id", "dist2", (F.row_number().over(w) <= 5).alias("is_outlier")
+    )
+
+
+def _tfidf_sim_sql() -> str:
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+    dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    g AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT tf.doc_id, tf.t,
+             tf.tf * CAST(round(ln(CAST(g.n + 1 AS DOUBLE) / (dfreq.df + 1))
+                                * 1000000) AS BIGINT) AS w
+      FROM tf, dfreq, g WHERE tf.t = dfreq.t
+    ),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.w * b.w) AS BIGINT) AS dot_w
+      FROM w a JOIN w b ON a.t = b.t AND b.doc_id <> a.doc_id
+      WHERE a.doc_id < 100
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, CAST(rnk AS BIGINT) AS rnk, d2, dot_w
+    FROM (SELECT d1, d2, dot_w,
+                 row_number() OVER (PARTITION BY d1
+                                    ORDER BY dot_w DESC, d2) AS rnk
+          FROM dots)
+    WHERE rnk <= 3
+    """
+
+
+@register("text_tfidf_doc_sim", _tfidf_sim_sql())
+def text_tfidf_doc_sim(spark, sf_dir):
+    """Sparse doc-doc similarity by INVERTED-INDEX join (the classic
+    posting-list MIPS): tf·idf weights in integer micro-units, top-3
+    most-similar docs for each probe doc by exact integer dot product.
+
+    Scale shape: the probe side (doc_id < 100 window) is broadcast, so
+    the corpus-sized posting list never shuffles for the pair join; the
+    per-token candidate work is |posting(t)| × |probe posting(t)| —
+    df-skewed tokens are AQE's detectable case, and on Zipfian corpora
+    an idf floor (drop df > N/2 stopwords) bounds the lists. The
+    uniform ~40-token synthetic vocab is the worst case (every posting
+    ≈ N), so the probe window measures the join machinery, not a
+    quadratic write-out. Weights are BIGINT micro-idf × tf: the dot
+    product is exact and order-independent (ln rounded to 6dp at the
+    scalar, the BM25 discipline)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    g = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "doc_id",
+            "t",
+            (
+                F.col("tf")
+                * F.round(
+                    F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1)) * 1000000
+                ).cast("long")
+            ).alias("w"),
+        )
+    )
+    a = w.filter(F.col("doc_id") < 100).alias("a")
+    b = w.alias("b")
+    dots = (
+        F.broadcast(a)
+        .join(b, (F.col("a.t") == F.col("b.t")) & (F.col("b.doc_id") != F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot_w"))
+    )
+    rw = Window.partitionBy("d1").orderBy(F.col("dot_w").desc(), F.col("d2"))
+    return (
+        dots.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("d1", "rnk", "d2", "dot_w")
+    )
+
+
+@register(
+    "unigram_kl_mixture",
+    f"""
+    WITH toks AS (SELECT source, unnest({_TOKS}) AS t FROM documents),
+    cst AS (SELECT source, t, count(*) AS n_st FROM toks GROUP BY source, t),
+    ns AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM cst GROUP BY source),
+    ct AS (SELECT t, CAST(sum(n_st) AS BIGINT) AS n_t FROM cst GROUP BY t),
+    g AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM cst),
+    terms AS (
+      SELECT cst.source,
+             cst.n_st * CAST(round(ln(CAST(cst.n_st * g.n AS DOUBLE)
+                                      / CAST(ct.n_t * ns.n_s AS DOUBLE))
+                                   * 1000000) AS BIGINT) AS term
+      FROM cst
+      JOIN ct ON ct.t = cst.t
+      JOIN ns ON ns.source = cst.source
+      CROSS JOIN g
+    )
+    SELECT s.source, s.n_s AS n_tokens,
+           CAST(greatest(CAST(x.total AS BIGINT), 0) // s.n_s AS BIGINT) AS kl_micro
+    FROM ns s
+    JOIN (SELECT source, sum(term) AS total FROM terms GROUP BY source) x
+      ON x.source = s.source
+    """,
+)
+def unigram_kl_mixture(spark, sf_dir):
+    """Data-mixture diagnostics: KL(P_source ‖ P_corpus) of the unigram
+    distribution per source, in integer micro-nats — how far each
+    source's token distribution drifts from the corpus blend. The
+    quantity mixture re-weighting (DoReMi-style) monitors per domain.
+
+    Scale shape: everything is counting aggs over the exploded tokens
+    with map-side combine; per-token log-ratios are scalars of exact
+    integer rationals rounded to micro before the per-source weighted
+    sum (BIGINT, order-independent); the final floor-div is exact. The
+    token↔total joins carry (token, count) rows only."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    cst = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n_st"))
+    ns = cst.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    ct = cst.groupBy("t").agg(F.sum("n_st").alias("n_t"))
+    g = cst.agg(F.sum("n_st").alias("n"))
+    lr = F.round(
+        F.log(
+            (F.col("n_st") * F.col("n")).cast("double")
+            / (F.col("n_t") * F.col("n_s")).cast("double")
+        )
+        * 1000000
+    ).cast("long")
+    terms = (
+        cst.join(ct, "t")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(g))
+        .select("source", (F.col("n_st") * lr).alias("term"))
+    )
+    tot = terms.groupBy("source").agg(F.sum("term").alias("total"))
+    out = ns.join(tot, "source").select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.greatest(F.col("total"), F.lit(0)).cast("long").alias("_t"),
+        F.col("n_s").alias("_n"),
+    )
+    # exact floor-div of a non-negative BIGINT by a per-row BIGINT
+    kl = (F.col("_t") - F.col("_t") % F.col("_n")).cast("decimal(38,0)") / F.col("_n")
+    return out.select(
+        "source", "n_tokens", kl.cast("long").alias("kl_micro")
+    )
+
+
+@register(
+    "streaming_topk_trending",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_epoch,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_epoch, CAST(rnk AS BIGINT) AS rnk, event_type, n
+    FROM (SELECT window_epoch, event_type, n,
+                 row_number() OVER (PARTITION BY window_epoch
+                                    ORDER BY n DESC, event_type) AS rnk
+          FROM c)
+    WHERE rnk <= 3
+    """,
+)
+def streaming_topk_trending(spark, sf_dir):
+    """Trending-now: an ACTUAL Structured Streaming run — tumbling 1 h
+    counts per event type (complete-mode agg into a memory sink), then
+    a batch top-3-per-window rank over the streamed state. The oracle
+    is the equivalent batch SQL: stream/batch parity is Structured
+    Streaming's contract.
+
+    Scale shape: the streaming agg state is (window, event_type) keyed
+    — cardinality windows × types, independent of event volume; the
+    rank runs over that already-aggregated state."""
+    import uuid
+
+    from gravity_spark.streaming.windows import streaming_window_counts as swc
+
+    name = f"trend_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    out = swc(stream, window="1 hour")
+    with _stream_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    counts = spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
+        "event_type",
+        "n",
+    )
+    rw = Window.partitionBy("window_epoch").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_epoch", "rnk", "event_type", "n")
+    )
+
+
+@register("sim_pq_topk", None)  # rows-only: iterative codebook training
+def sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the compression half of IVF-PQ, Jégou
+    et al. 2011): 64-dim → 8 subspaces × 16-entry codebooks trained by
+    the deterministic integer Lloyd of kmeans_assign, corpus encoded to
+    8 small codes per row, queries scored by asymmetric distance
+    against a broadcast LUT — a row-local O(m) fold, the corpus never
+    shuffles (functions/similarity.py::pq_*). Non-SQL-expressible
+    (driver-held iterative training state) → rows-only here; recall@5
+    vs exact brute force is asserted in tests/test_pq.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    q_rows = (
+        emb.filter(F.col("vec_id") < 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    query_vecs = [(int(r["vec_id"]), list(r["embedding"])) for r in q_rows]
+    books = sim.pq_train_codebooks(corpus, dim=64, m=16, ksub=16, rounds=2)
+    return sim.pq_topk(corpus, query_vecs, books, dim=64, k=5, rerank=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
