@@ -6838,6 +6838,214 @@ def sim_pq_topk(spark, sf_dir):
     return sim.pq_topk(corpus, query_vecs, books, dim=64, k=5, rerank=50)
 
 
+_CMS_D = 4    # count-min rows (independent hash functions)
+_CMS_W = 256  # buckets per row
+
+
+def _cms_bucket_sql(j: int, tok_expr: str) -> str:
+    salted = "'s%d#' || %s" % (j, tok_expr)
+    return "(" + _hex8_to_int_sql(salted) + " %% %d)" % _CMS_W
+
+
+def _cms_sql() -> str:
+    rows = " UNION ALL ".join(
+        "SELECT %d AS j, %s AS bucket, cnt FROM counts"
+        % (j, _cms_bucket_sql(j, "t").replace("%%", "%"))
+        for j in range(_CMS_D)
+    )
+    probe_case = " ".join(
+        "WHEN %d THEN %s" % (j, _cms_bucket_sql(j, "c.t").replace("%%", "%"))
+        for j in range(_CMS_D)
+    )
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    counts AS (SELECT t, count(*) AS cnt FROM toks GROUP BY t),
+    cells AS (
+      SELECT j, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+      FROM ({rows}) GROUP BY j, bucket
+    ),
+    est AS (
+      SELECT c.t, c.cnt, min(x.cell) AS est
+      FROM counts c
+      JOIN cells x ON x.bucket = CASE x.j {probe_case} END
+      GROUP BY c.t, c.cnt
+    )
+    SELECT t AS token, cnt, est, est - cnt AS overcount
+    FROM est WHERE cnt >= 200
+    """
+
+
+@register("countmin_heavy_hitters", _cms_sql())
+def countmin_heavy_hitters(spark, sf_dir):
+    """Count-min sketch with a PORTABLE hash family (md5 of a salted
+    token, first 8 hex digits mod 256): the sketch cells, the estimates
+    and the overcount are bit-identical across engines — a frequency
+    sketch whose accuracy contract is oracle-checked, unlike native HLL
+    (approx_aggregates stays rows-only for exactly that reason).
+
+    Scale shape: the sketch build is one hash agg into d × w = 1024
+    cells regardless of corpus size (map-side combine reduces each task
+    to ≤1024 partial rows); the probe joins tokens to a BROADCAST
+    sketch. At 100 TB the sketch is the thing you ship to the driver,
+    not the token counts — here the exact counts exist only to grade
+    the estimate (heavy hitters, cnt ≥ 200 at sf0.1)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def bucket(col, j):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"s{j}#"), col)), 1, 8), 16, 10)
+            .cast("long") % _CMS_W
+        )
+
+    cell_entries = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), bucket(F.col("t"), j).alias("bucket"))
+            for j in range(_CMS_D)
+        ]
+    )
+    cells = (
+        counts.select(F.explode(cell_entries).alias("e"), "cnt")
+        .groupBy(F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    probes = counts.select(
+        "t", "cnt", F.explode(cell_entries).alias("e")
+    ).select("t", "cnt", F.col("e.j").alias("j"), F.col("e.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("t", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.filter(F.col("cnt") >= 200).select(
+        F.col("t").alias("token"), "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS tus,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, cents,
+             lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dt
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(sum(cents * dt) AS BIGINT) AS num,
+             CAST(sum(dt) AS BIGINT) AS den
+      FROM seg WHERE dt IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(((2 * num + den) // (2 * den)) AS BIGINT) AS twa_cents,
+           den AS span_us
+    FROM agg WHERE den > 0
+    """,
+)
+def events_time_weighted_avg(spark, sf_dir):
+    """TimescaleDB-style time_weighted_average of `value` per user
+    (locf interpolation): each reading holds until the next one; the
+    average is the integral over the observed span. All integer-exact:
+    cents × microsecond segments summed as BIGINT (order-independent),
+    one half-up division at the end.
+
+    Scale shape: ONE hash exchange on user_id feeds the lead() window
+    and the aggregation (same-partitioning window + agg stack without
+    re-exchange); shuffle rows are (user, cents, dt) triples."""
+    ev = T(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seg = e.select(
+        "user_id", "cents", (F.lead("tus").over(w) - F.col("tus")).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dt")).alias("num"),
+        F.sum("dt").alias("den"),
+    )
+    # half-up division (2num+den) // (2den), all exact integer steps
+    out = agg.filter(F.col("den") > 0).select(
+        "user_id",
+        (
+            (2 * F.col("num") + F.col("den"))
+            - (2 * F.col("num") + F.col("den")) % (2 * F.col("den"))
+        ).cast("decimal(38,0)")
+        .alias("_numed"),
+        (2 * F.col("den")).cast("decimal(38,0)").alias("_dened"),
+        F.col("den").alias("span_us"),
+    )
+    return out.select(
+        "user_id",
+        (F.col("_numed") / F.col("_dened")).cast("long").alias("twa_cents"),
+        "span_us",
+    )
+
+
+@register(
+    "events_ohlc",
+    """
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+             event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(epoch_us(ts) AS HUGEINT) * 10000000 + event_id AS k
+      FROM events
+    )
+    SELECT bucket_epoch, event_type,
+           arg_min(cents, k) AS open_cents,
+           max(cents) AS high_cents,
+           min(cents) AS low_cents,
+           arg_max(cents, k) AS close_cents,
+           count(*) AS n
+    FROM e GROUP BY bucket_epoch, event_type
+    """,
+)
+def events_ohlc(spark, sf_dir):
+    """OHLC candlestick downsampling per (hour, event type): open/close
+    via min_by/max_by on the (timestamp, event_id) struct — the
+    arg-extreme aggregates that make first/last-in-window a single-pass
+    agg instead of two window sorts. Values in integer cents; ties
+    break on event_id so both engines pick the same row.
+
+    Scale shape: one hash agg keyed (bucket, type) with map-side
+    combine — partial state is 5 integers per group per task; no
+    window, no sort, no second pass over the events."""
+    ev = T(spark, sf_dir, "events")
+    e = ev.select(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket_epoch"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        # composite tie-break key (µs epoch, event_id) packed into one
+        # DECIMAL so both engines' arg-extremes compare identically;
+        # 10^7 id-space covers the tested SFs, widen at larger scale
+        (
+            F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 10000000
+            + F.col("event_id")
+        ).alias("k"),
+    )
+    key = F.col("k")
+    return e.groupBy("bucket_epoch", "event_type").agg(
+        F.min_by("cents", key).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", key).alias("close_cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
