@@ -394,14 +394,45 @@ def semdedup_prune(
 # ---------------------------------------------------------------------
 
 
-def _pq_dist_lambda(sub):
-    """1-arg lambda factory: PySpark hands a 2-arg callable (element,
-    index) — a `sub=sub` default would be silently overwritten by the
-    array index. Closing over ``sub`` via a factory keeps the binding."""
-    return lambda c: F.struct(
-        _sq_dist(sub, c["cxi"]).alias("d"),
-        c["cluster"].alias("cluster"),
+def _pq_books_df(spark, books: list[list[tuple[int, list[int]]]]):
+    """Codebooks as a ONE-ROW broadcast DataFrame (column ``__books``:
+    array-by-subspace of arrays of centroid structs). A nested literal
+    expression (array(struct(lit...))) is an ~m·ksub·w-node tree that
+    interpreted evaluation REBUILDS per row — measured 13 s to encode
+    2 000 rows. As a broadcast-row column the structure is materialized
+    once and every reference is an attribute read."""
+    rows = [
+        (
+            [
+                [(int(cid), [int(v) for v in cxi]) for cid, cxi in cents]
+                for cents in books
+            ],
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "__books array<array<struct<cluster:bigint,cxi:array<bigint>>>>"
     )
+
+
+def _pq_codes_col(m: int, w: int):
+    """codes[s] = argmin_c sqdist(xi[s·w+1 : +w], __books[s][c]) as one
+    nested-HOF expression over the broadcast ``__books`` column: the
+    distance lambda appears ONCE — data varies, the tree doesn't."""
+    def per_sub(s):
+        sub = F.slice(F.col("xi"), s * w + 1, w)
+        cents = F.element_at(F.col("__books"), (s + 1).cast("int"))
+        best = F.array_min(
+            F.transform(
+                cents,
+                lambda c: F.struct(
+                    _sq_dist(sub, c["cxi"]).alias("d"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        return best["cluster"]
+
+    return F.transform(F.sequence(F.lit(0), F.lit(m - 1)), per_sub)
 
 
 def pq_train_codebooks(
@@ -432,37 +463,18 @@ def pq_train_codebooks(
         for s in range(m)
     ]
 
-    def assign_cols(books_):
-        cols = []
-        for s, cents in enumerate(books_):
-            cent_lit = F.array(
-                *[
-                    F.struct(
-                        F.lit(int(cid)).cast("long").alias("cluster"),
-                        F.lit([int(v) for v in cxi]).cast("array<long>").alias("cxi"),
-                    )
-                    for cid, cxi in cents
-                ]
-            )
-            sub = F.slice(F.col("xi"), s * w + 1, w)
-            best = F.array_min(
-                F.transform(cent_lit, _pq_dist_lambda(sub))
-            )
-            cols.append(best["cluster"].alias(f"c{s}"))
-        return cols
-
     for _ in range(rounds):
-        assigned = scaled.select("xi", *assign_cols(books))
+        assigned = scaled.crossJoin(
+            F.broadcast(_pq_books_df(corpus.sparkSession, books))
+        ).select("xi", _pq_codes_col(m, w).alias("codes"))
         # one agg for all subspaces: explode (sub, cluster, subvector)
-        parts = F.array(
-            *[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.col(f"c{s}").alias("cluster"),
-                    F.slice("xi", s * w + 1, w).alias("sv"),
-                )
-                for s in range(m)
-            ]
+        parts = F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.alias("sub"),
+                F.element_at(F.col("codes"), (s + 1).cast("int")).alias("cluster"),
+                F.slice(F.col("xi"), s * w + 1, w).alias("sv"),
+            ),
         )
         pos = (
             assigned.select(F.explode(parts).alias("p"))
@@ -508,21 +520,9 @@ def pq_encode(
     m = len(books)
     w = dim // m
     scaled = corpus.select(F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi"))
-    cols = []
-    for s, cents in enumerate(books):
-        cent_lit = F.array(
-            *[
-                F.struct(
-                    F.lit(int(cid)).cast("long").alias("cluster"),
-                    F.lit([int(v) for v in cxi]).cast("array<long>").alias("cxi"),
-                )
-                for cid, cxi in cents
-            ]
-        )
-        sub = F.slice(F.col("xi"), s * w + 1, w)
-        best = F.array_min(F.transform(cent_lit, _pq_dist_lambda(sub)))
-        cols.append(best["cluster"])
-    return scaled.select(F.col(id_col), F.array(*cols).alias("codes"))
+    return scaled.crossJoin(
+        F.broadcast(_pq_books_df(corpus.sparkSession, books))
+    ).select(F.col(id_col), _pq_codes_col(m, w).alias("codes"))
 
 
 def pq_topk(
