@@ -191,3 +191,98 @@ def hashed_linear_classifier(
         pred.alias("pred"),
         (pred == actual).alias("correct"),
     )
+
+
+# ---------------------------------------------------------------------
+# BPE tokenizer trained in-engine (Sennrich et al. 2016)
+# ---------------------------------------------------------------------
+
+
+def train_bpe(word_counts: list[tuple[str, int]], n_merges: int = 40) -> list[tuple[str, str]]:
+    """Learn a byte-pair-encoding merge table from (word, count) pairs.
+
+    Deterministic: ties on pair frequency break to the lexicographically
+    smallest pair, so the merge sequence is a pure function of the
+    counts. Runs driver-side over the AGGREGATED vocabulary (the
+    industry-standard shape — tokenizers train on word counts from a
+    bounded sample, never on the raw corpus; the distributed parts are
+    the count aggregation before and the encode after)."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + ("</w>",): int(c) for w, c in word_counts if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank-first merge loop (the classic encoder)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_map(merges: list[tuple[str, str]], text_col: str = "text"):
+    """mapInPandas factory: per Arrow batch, whitespace-split + lowercase
+    each document, BPE-segment every word with a per-batch word cache
+    (Zipfian corpora hit the cache constantly), emit token counts.
+    The merge table travels in the task closure — a few KB."""
+    import re as _re
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def fn(batches):
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            n_ws, n_bpe = [], []
+            for text in pdf[text_col].fillna(""):
+                words = word_re.findall(text.lower())
+                total = 0
+                for w in words:
+                    k = cache.get(w)
+                    if k is None:
+                        k = len(bpe_segment(w, ranks))
+                        cache[w] = k
+                    total += k
+                n_ws.append(len(words))
+                n_bpe.append(total)
+            out = pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_ws": n_ws, "n_bpe": n_bpe}
+            )
+            yield out
+
+    return fn

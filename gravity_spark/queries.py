@@ -7145,6 +7145,95 @@ def hll_distinct_portable(spark, sf_dir):
     )
 
 
+@register(
+    "graph_triangle_count",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    wedge AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_edges
+    FROM wedge w JOIN e0 e3 ON e3.u = w.a AND e3.v = w.c
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting on the part co-purchase graph (parts sharing
+    at least 2 orders are linked — the market-basket support floor
+    that separates signal edges from one-off co-occurrence and keeps
+    the graph sparse as order volume grows) — the local-clustering
+    primitive community detection and spam-graph analysis start from.
+
+    Id-oriented edges (u < v) make every triangle count exactly once
+    and turn the count into two equi-joins: wedges (b lists its
+    higher-id neighbors of a) closed against the edge list. At 100 TB
+    orient by (degree, id) instead — the standard trick bounding
+    out-degree at O(√m) so Σ outdeg² stays linear-ish under power-law
+    skew; the join shape is unchanged. The co-purchase generator is
+    per-order pairs (quadratic only within an order's line items, ≤7
+    per order in TPC-H shape)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    ).persist()
+    e1, e2, e3 = e0.alias("e1"), e0.alias("e2"), e0.alias("e3")
+    wedge = e1.join(e2, F.col("e2.u") == F.col("e1.v")).select(
+        F.col("e1.u").alias("wa"), F.col("e1.v").alias("wb"), F.col("e2.v").alias("wc")
+    )
+    tri = wedge.join(
+        e3, (F.col("e3.u") == F.col("wa")) & (F.col("e3.v") == F.col("wc"))
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    edges = e0.agg(F.count(F.lit(1)).alias("n_edges"))
+    return tri.crossJoin(F.broadcast(edges))
+
+
+@register("bpe_tokenize", None)  # rows-only: driver-held merge training
+def bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer TRAINED IN-ENGINE (Sennrich et al. 2016) then
+    applied corpus-wide: the distributed parts are the word-count
+    aggregation (bounded top-10k vocabulary by (count, word) — a
+    TakeOrdered, not a global sort) and the Arrow-batched mapInPandas
+    encode with a per-batch word cache; the 40-round merge loop runs
+    driver-side over the aggregated counts, the standard tokenizer-
+    training shape. Deterministic end to end (frequency ties break
+    lexicographically), but the iterative trainer has no SQL oracle →
+    rows-only; segmentation round-trip + merge determinism are asserted
+    in tests/test_bpe.py. Output per doc: whitespace vs BPE token
+    counts and the compression ratio in integer milli."""
+    docs = T(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tx.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(10000)
+        .collect()
+    )
+    merges = tx.train_bpe([(r["w"], r["c"]) for r in counts], n_merges=40)
+    encoded = docs.select("doc_id", "text").mapInPandas(
+        tx.bpe_encode_map(merges), "doc_id bigint, n_ws bigint, n_bpe bigint"
+    )
+    ratio = F.expr("(1000 * n_bpe + n_ws div 2) div n_ws")
+    return encoded.filter(F.col("n_ws") > 0).select(
+        "doc_id", "n_ws", "n_bpe", ratio.alias("ratio_milli")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
