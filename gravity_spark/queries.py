@@ -7234,6 +7234,92 @@ def bpe_tokenize(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_scd2_history",
+    f"""
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             round(value, 2) AS value
+      FROM events
+    )
+    SELECT user_id, seq, op, value,
+           lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq,
+           (lead(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL
+            AND op <> 'delete') AS is_current
+    FROM changes
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build from the CDC change feed:
+    every change becomes a version row with [seq, next-change seq)
+    validity and an is_current flag (deletes stay as closed tombstone
+    versions) — the warehouse-side history table a gravity replication
+    target often feeds.
+
+    Scale shape: ONE hash exchange on the key feeds the lead() window;
+    no join, no second pass — version chaining is frame-local."""
+    changes = events_to_changes(T(spark, sf_dir, "events"))
+    rows = changes.select(
+        F.col("pks")["user_id"].cast("long").alias("user_id"),
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+        F.round(F.col("data")["value"].cast("double"), 2).alias("value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return rows.select(
+        "user_id", "seq", "op", "value",
+        nxt.alias("valid_to_seq"),
+        (nxt.isNull() & (F.col("op") != "delete")).alias("is_current"),
+    )
+
+
+@register(
+    "cdc_snapshot_at",
+    f"""
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             round(value, 2) AS value
+      FROM events
+    ),
+    cut AS (SELECT CAST(max(seq) // 2 AS BIGINT) AS t FROM changes)
+    SELECT user_id, seq AS as_of_seq, value
+    FROM (
+      SELECT c.user_id, c.seq, c.op, c.value,
+             row_number() OVER (PARTITION BY c.user_id ORDER BY c.seq DESC) AS rn
+      FROM changes c, cut WHERE c.seq <= cut.t
+    ) WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_snapshot_at(spark, sf_dir):
+    """Point-in-time reconstruction from the change log: table state AS
+    OF the cut sequence (half the max seq — a deterministic mid-stream
+    point), i.e. LWW per key over changes ≤ T with delete tombstones
+    dropped. The log-replay twin of the merge sink's versioned
+    time-travel (`ParquetMergeTarget.read_version`) — this one needs no
+    materialized versions, just the retained log segment.
+
+    Scale shape: the cut is a 1-row broadcast scalar; the replay is the
+    same single (key)-hash window as the LWW collapse — cost tracks the
+    filtered log size, never the full history × versions."""
+    changes = events_to_changes(T(spark, sf_dir, "events"))
+    rows = changes.select(
+        F.col("pks")["user_id"].cast("long").alias("user_id"),
+        F.col("seq").cast("long").alias("seq"),
+        "op",
+        F.round(F.col("data")["value"].cast("double"), 2).alias("value"),
+    )
+    cut = rows.agg(F.expr("max(seq) div 2").alias("t"))
+    w = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    return (
+        rows.crossJoin(F.broadcast(cut))
+        .filter(F.col("seq") <= F.col("t"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("user_id", F.col("seq").alias("as_of_seq"), "value")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
