@@ -6321,7 +6321,7 @@ def fuzzy_edit_distance(spark, sf_dir):
         F.col("doc_id").alias("id_b"),
         F.substring("text", 1, 40).alias("tb"),
     )
-    dist = F.levenshtein("ta", "tb")
+    dist = F.levenshtein("ta", "tb").cast("long")  # BIGINT like the oracle
     return a.join(b, "id_a").select(
         "id_a", "id_b", dist.alias("dist"), (dist <= 12).alias("near")
     )
@@ -7318,6 +7318,184 @@ def cdc_snapshot_at(spark, sf_dir):
         .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
         .select("user_id", F.col("seq").alias("as_of_seq"), "value")
     )
+
+
+@register(
+    "market_basket_rules",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS m
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    items AS (
+      SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT count(DISTINCT o_orderkey) AS nn FROM orders)
+    SELECT p.u, p.v, p.m,
+           CAST((2000 * p.m + iu.n) // (2 * iu.n) AS BIGINT) AS conf_milli,
+           CAST((1000 * p.m * t.nn) // (iu.n * iv.n) AS BIGINT) AS lift_milli
+    FROM pairs p
+    JOIN items iu ON iu.item = p.u
+    JOIN items iv ON iv.item = p.v
+    CROSS JOIN tot t
+    """,
+)
+def market_basket_rules(spark, sf_dir):
+    """Association rules u→v over order baskets: support count,
+    confidence = m/n(u) (half-up milli), lift = m·N/(n(u)·n(v)) (floor
+    milli) — the affinity layer recommendation and cross-sell pipelines
+    compute after the co-occurrence join. All integer-exact rationals.
+
+    Scale shape: the pair generation is quadratic only within an order
+    (≤7 items); item counts and the order total are one agg each, the
+    total a 1-row broadcast; the support-≥2 floor keeps the rule table
+    sparse as order volume grows."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    items = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    tot = T(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_orderkey").alias("nn")
+    )
+    iu = items.alias("iu")
+    iv = items.alias("iv")
+    j = (
+        pairs.join(iu, F.col("iu.item") == F.col("u"))
+        .join(iv, F.col("iv.item") == F.col("v"))
+        .crossJoin(F.broadcast(tot))
+    )
+    conf_num = 2000 * F.col("m") + F.col("iu.n")
+    conf = (conf_num - conf_num % (2 * F.col("iu.n"))) / (2 * F.col("iu.n"))
+    lift_num = 1000 * F.col("m") * F.col("nn")
+    lift_den = F.col("iu.n") * F.col("iv.n")
+    lift = (lift_num - lift_num % lift_den) / lift_den
+    return j.select(
+        "u", "v", "m",
+        conf.cast("long").alias("conf_milli"),
+        lift.cast("long").alias("lift_milli"),
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             CAST(max(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS last_epoch,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           ntile(5) OVER (ORDER BY last_epoch, custkey) AS r_score,
+           ntile(5) OVER (ORDER BY n_orders, custkey) AS f_score,
+           ntile(5) OVER (ORDER BY cents, custkey) AS m_score
+    FROM base
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM (recency / frequency / monetary) quintile scoring per
+    customer — the standard segmentation marts build on replicated
+    order data. Deterministic: every ntile orders by (metric, custkey)
+    so ties are total-ordered; money is exact integer cents.
+
+    Scale note: ntile is a global-order window — at 100 TB replace it
+    with percentile thresholds computed once and broadcast (the
+    orders_pareto_abc two-level pattern); at mart scale (one row per
+    CUSTOMER, not per order — the agg has already collapsed the fact
+    table) a single-partition window over customers is the accepted
+    shape."""
+    orders = T(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_epoch"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+    )
+    return base.select(
+        "custkey",
+        F.ntile(5).over(Window.orderBy("last_epoch", "custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("n_orders", "custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("cents", "custkey")).cast("long").alias("m_score"),
+    )
+
+
+@register(
+    "orders_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+    cum AS (
+      SELECT part, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, part) AS BIGINT) AS running
+      FROM rev
+    )
+    SELECT part, cents,
+           CASE WHEN 10 * running <= 7 * t.t THEN 'A'
+                WHEN 10 * running <= 9 * t.t THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum, tot t
+    """,
+)
+def orders_pareto_abc(spark, sf_dir):
+    """Pareto / ABC classification of parts by cumulative revenue share
+    (A ≤ 70%, B ≤ 90%, C the tail) — inventory-policy analytics over
+    the replicated fact table. Exact: integer-cents running sums, class
+    boundaries as cross-multiplied integer comparisons (no division).
+
+    Scale shape: the global cumulative sum is a TWO-LEVEL prefix sum —
+    per-band running totals (band = power-of-two revenue bucket, a
+    narrow projection) + band offsets computed from a ≤64-row broadcast
+    — so parallelism is #bands × partitions, never a single global-sort
+    task (the pack_sequences / mongo_bucket_chunks pattern). The oracle
+    uses the plain global window; results are identical because the
+    band order (cents desc) refines the global order."""
+    li = T(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    # band by descending magnitude: higher band = bigger revenue
+    banded = rev.withColumn(
+        "band", F.length(F.bin(F.greatest(F.col("cents"), F.lit(1))))
+    )
+    wband = Window.partitionBy("band").orderBy(F.col("cents").desc(), F.col("part"))
+    within = banded.withColumn("run_in_band", F.sum("cents").over(wband))
+    band_tot = banded.groupBy("band").agg(F.sum("cents").alias("bt"))
+    woff = Window.orderBy(F.col("band").desc())
+    offsets = band_tot.withColumn(
+        "offset", F.coalesce(F.sum("bt").over(woff) - F.col("bt"), F.lit(0))
+    ).select("band", "offset")
+    tot = rev.agg(F.sum("cents").alias("t"))
+    cum = (
+        within.join(F.broadcast(offsets), "band")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("running", F.col("offset") + F.col("run_in_band"))
+    )
+    cls = (
+        F.when(10 * F.col("running") <= 7 * F.col("t"), F.lit("A"))
+        .when(10 * F.col("running") <= 9 * F.col("t"), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return cum.select("part", "cents", cls.alias("abc_class"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
