@@ -7498,6 +7498,102 @@ def orders_pareto_abc(spark, sf_dir):
     return cum.select("part", "cents", cls.alias("abc_class"))
 
 
+def _method_agreement_sql() -> str:
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
+    ]
+    return f"""
+    WITH {_SIG_CTE},
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
+    mhp AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
+       AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
+    ),
+    sh AS (SELECT * FROM ({_simhash_sql()})),
+    shp AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       AND (a.simhash16 % 256 = b.simhash16 % 256
+            OR a.simhash16 // 256 = b.simhash16 // 256)
+       AND bit_count(xor(a.simhash16, b.simhash16)) <= 3
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM mhp) AS n_minhash,
+             (SELECT CAST(count(*) AS BIGINT) FROM shp) AS n_simhash,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM mhp JOIN shp ON shp.id_a = mhp.id_a AND shp.id_b = mhp.id_b)
+               AS n_both
+    )
+    SELECT n_minhash, n_simhash, n_both,
+           CAST((1000 * n_both) // (n_minhash + n_simhash - n_both) AS BIGINT)
+             AS agree_milli
+    FROM counts
+    """
+
+
+@register("dedup_method_agreement", _method_agreement_sql())
+def dedup_method_agreement(spark, sf_dir):
+    """Cross-validation of the two independent near-dup sketches: the
+    Jaccard agreement (integer milli) between the MinHash-LSH candidate
+    pair set and the SimHash-banded pair set (hamming ≤ 3 verify). Two
+    unrelated hash families agreeing on the pair structure is the
+    cheapest corpus-level sanity check a dedup pipeline has before
+    trusting either sketch at 100 TB — and it needs no labeled truth.
+
+    Scale shape: both generators are banded EQUI-joins (never
+    all-pairs); the intersection is a pair-key equi-join; one division
+    at the end, integer floor. Uses the portable md5 variants so the
+    oracle reproduces every pair bit-for-bit."""
+    mhp = (
+        _banded_df(spark, sf_dir)
+        .alias("a")
+        .join(_banded_df(spark, sf_dir).alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sh = dedup_simhash(spark, sf_dir)
+    bandse = F.array(
+        F.struct(F.lit(0).alias("band"), (F.col("simhash16") % 256).alias("bh")),
+        F.struct(
+            F.lit(1).alias("band"),
+            F.expr("simhash16 div 256").alias("bh"),
+        ),
+    )
+    shb = sh.select("doc_id", "simhash16", F.explode(bandse).alias("e")).select(
+        "doc_id", "simhash16", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    sa, sb = shb.alias("sa"), shb.alias("sb")
+    shp = (
+        sa.join(sb, ["band", "bh"])
+        .filter(
+            (F.col("sa.doc_id") < F.col("sb.doc_id"))
+            & (
+                F.bit_count(
+                    F.col("sa.simhash16").bitwiseXOR(F.col("sb.simhash16"))
+                )
+                <= 3
+            )
+        )
+        .select(F.col("sa.doc_id").alias("id_a"), F.col("sb.doc_id").alias("id_b"))
+        .distinct()
+    )
+    mhp = mhp.persist()
+    shp = shp.persist()
+    n_mh = mhp.agg(F.count(F.lit(1)).alias("n_minhash"))
+    n_sh = shp.agg(F.count(F.lit(1)).alias("n_simhash"))
+    n_both = mhp.join(shp, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_both"))
+    c = n_mh.crossJoin(n_sh).crossJoin(n_both)
+    uni = F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")
+    agree = (1000 * F.col("n_both") - (1000 * F.col("n_both")) % uni) / uni
+    return c.select(
+        "n_minhash", "n_simhash", "n_both", agree.cast("long").alias("agree_milli")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
