@@ -7594,6 +7594,82 @@ def dedup_method_agreement(spark, sf_dir):
     )
 
 
+@register(
+    "graph_link_prediction",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY 1),
+    cand AS (
+      SELECT s1.u AS a, s2.v AS b, count(*) AS common
+      FROM sym s1 JOIN sym s2 ON s2.u = s1.v AND s1.u < s2.v
+      WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.u = s1.u AND e0.v = s2.v)
+      GROUP BY 1, 2
+    )
+    SELECT a, b, common,
+           CAST((1000 * common) // (da.d + db.d - common) AS BIGINT)
+             AS jaccard_milli
+    FROM cand
+    JOIN deg da ON da.node = a
+    JOIN deg db ON db.node = b
+    WHERE common >= 2
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction on the co-purchase graph:
+    non-adjacent part pairs scored by neighborhood Jaccard
+    (|N(a)∩N(b)| / |N(a)∪N(b)|, integer milli) — the
+    recommend-what's-missing primitive next to triangle counting.
+
+    Scale shape: candidates come from the wedge equi-join (never
+    all-pairs) on the support-filtered sparse graph; the existing-edge
+    exclusion is an anti-join on the oriented edge key; degrees are one
+    agg broadcast-joined back. The common ≥ 2 floor keeps the output a
+    shortlist as the graph grows."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    ).persist()
+    sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(s2, (F.col("s2.u") == F.col("s1.v"))).filter(
+        F.col("s1.u") < F.col("s2.v")
+    )
+    cand = (
+        wedges.join(
+            e0.alias("ex"),
+            (F.col("ex.u") == F.col("s1.u")) & (F.col("ex.v") == F.col("s2.v")),
+            "left_anti",
+        )
+        .groupBy(F.col("s1.u").alias("a"), F.col("s2.v").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= 2)
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    uni = F.col("da.d") + F.col("db.d") - F.col("common")
+    jm = (1000 * F.col("common") - (1000 * F.col("common")) % uni) / uni
+    return (
+        cand.join(da, F.col("da.node") == F.col("a"))
+        .join(db, F.col("db.node") == F.col("b"))
+        .select("a", "b", "common", jm.cast("long").alias("jaccard_milli"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
