@@ -7547,10 +7547,10 @@ def dedup_method_agreement(spark, sf_dir):
     all-pairs); the intersection is a pair-key equi-join; one division
     at the end, integer floor. Uses the portable md5 variants so the
     oracle reproduces every pair bit-for-bit."""
+    banded = _banded_df(spark, sf_dir).persist()  # one signature agg, both join sides
     mhp = (
-        _banded_df(spark, sf_dir)
-        .alias("a")
-        .join(_banded_df(spark, sf_dir).alias("b"), ["band", "bh"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
