@@ -7670,6 +7670,141 @@ def graph_link_prediction(spark, sf_dir):
     )
 
 
+@register(
+    "text_readability",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_words,
+             CAST(len(array_to_string({_TOKS}, '')) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT)
+               AS n_syl
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_syl,
+           CAST((2000 * n_syl + n_words) // (2 * n_words) AS BIGINT)
+             AS syl_per_word_milli,
+           CAST((2000 * n_chars + n_words) // (2 * n_words) AS BIGINT)
+             AS chars_per_word_milli
+    FROM t WHERE n_words > 0
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Readability proxies per document — vowel-group count as the
+    standard syllable surrogate, plus exact chars-per-word — the
+    complexity heuristics readability-band quality filters (Flesch
+    family) are built from, in half-up integer milli so both engines
+    agree bit-for-bit.
+
+    Scale shape: pure row-local regex/array projection over a 2-column
+    pruned scan — no exchange, one WholeStageCodegen span."""
+    docs = T(spark, sf_dir, "documents")
+    toks = tx.tokenize(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.array_join(toks, "")).cast("long")
+    n_syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiou]+', 0)")
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        n_syl.alias("n_syl"),
+    ).filter(F.col("n_words") > 0)
+    spw_num = 2000 * F.col("n_syl") + F.col("n_words")
+    cpw_num = 2000 * F.col("n_chars") + F.col("n_words")
+    den = 2 * F.col("n_words")
+    return t.select(
+        "doc_id", "n_words", "n_syl",
+        ((spw_num - spw_num % den) / den).cast("long").alias("syl_per_word_milli"),
+        ((cpw_num - cpw_num % den) / den).cast("long").alias("chars_per_word_milli"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS src, next_type AS dst, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    outs AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY 1)
+    SELECT t.src, t.dst, t.n,
+           CAST((2000 * t.n + o.tot) // (2 * o.tot) AS BIGINT) AS p_milli
+    FROM trans t JOIN outs o ON o.src = t.src
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event types — the
+    behavioral fingerprint session-analytics and anomaly models start
+    from. Probabilities in half-up integer milli.
+
+    Scale shape: ONE hash exchange on user_id feeds the lead() window;
+    the transition agg has map-side combine (state = #type² rows); the
+    per-source totals are a broadcast-sized join back."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("next_type").alias("dst")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    outs = trans.groupBy("src").agg(F.sum("n").alias("tot"))
+    j = trans.join(F.broadcast(outs), "src")
+    num = 2000 * F.col("n") + F.col("tot")
+    den = 2 * F.col("tot")
+    return j.select(
+        "src", "dst", "n",
+        ((num - num % den) / den).cast("long").alias("p_milli"),
+    )
+
+
+@register(
+    "docs_length_outliers",
+    """
+    WITH t AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n FROM documents),
+    stats AS (
+      SELECT source, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS s,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM t GROUP BY 1
+    )
+    SELECT t.doc_id, t.source,
+           (t.n * st.cnt - st.s) * (t.n * st.cnt - st.s) * 4
+             > 9 * (st.cnt * st.s2 - st.s * st.s) AS is_outlier
+    FROM t JOIN stats st ON st.source = t.source
+    """,
+)
+def docs_length_outliers(spark, sf_dir):
+    """Per-source document-length outliers (|z| > 1.5 on n_chars) in
+    PURE integer arithmetic: the z-score comparison is cross-multiplied
+    so no square root or float ever appears —
+    (n·cnt − Σn)² · 4 > 9 · (cnt·Σn² − (Σn)²) ⟺ |z| > 3/2.
+    The length-based junk filter every corpus pipeline runs first.
+
+    Scale shape: per-source moment aggregation (3 integers per source)
+    broadcast back over the scan — docs never shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", F.col("n_chars").cast("long").alias("n"))
+    stats = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    j = t.join(F.broadcast(stats), "source")
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_scaled = F.col("cnt") * F.col("s2") - F.col("s") * F.col("s")
+    return j.select(
+        "doc_id", "source", (dev * dev * 4 > 9 * var_scaled).alias("is_outlier")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
