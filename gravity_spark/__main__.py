@@ -24,7 +24,7 @@ import sys
 import threading
 
 from gravity_spark.ops_server import MetricsRegistry, OpsServer
-from gravity_spark.plans.pipeline import load_pipeline
+from gravity_spark.plans.pipeline import build_pipeline, load_pipeline
 from gravity_spark.plans.watch import ConfigWatcher
 from gravity_spark.session import get_spark
 
@@ -71,13 +71,22 @@ def main(argv: list[str] | None = None) -> int:
 
     watcher = None
     if args.watch:
-        def restart(_cfg):
+        def restart(cfg):
+            # Build the replacement pipeline from the ALREADY-validated
+            # cfg (re-reading the file would race a second edit) BEFORE
+            # stopping the running query: a failed build raises into the
+            # watcher, which counts it rejected and leaves the old
+            # pipeline running. state["query"]=None marks the restart
+            # in progress so the main loop keeps waiting instead of
+            # treating the stopped old query as end-of-stream.
+            new_pipe = build_pipeline(spark, cfg)
             q = state.get("query")
+            state["query"] = None
             if q is not None:
                 q.stop()
-            build()
-            if state["pipeline"].is_streaming and not state["stopping"]:
-                state["query"] = state["pipeline"].start_stream()
+            state["pipeline"] = new_pipe
+            if new_pipe.is_streaming and not state["stopping"]:
+                state["query"] = new_pipe.start_stream()
         watcher = ConfigWatcher(args.config, restart).start()
 
     try:
@@ -91,7 +100,10 @@ def main(argv: list[str] | None = None) -> int:
         state["query"] = pipeline.start_stream()
         while not stop_evt.is_set():
             q = state.get("query")
-            if q is not None and not q.isActive:
+            # The restart path nulls state["query"] BEFORE stopping the
+            # old query, so re-checking identity after the isActive read
+            # distinguishes "stream ended" from "restart in progress".
+            if q is not None and not q.isActive and state.get("query") is q:
                 break
             stop_evt.wait(0.5)
         q = state.get("query")

@@ -194,6 +194,11 @@ def build_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Pipeline:
 
         def transform(df: DataFrame, _prev=prev_transform, _wire=wire_fn) -> DataFrame:  # noqa: F811
             return _wire(_prev(df))
+    elif out_spec.get("type") not in (None, "console", "memory"):
+        # the reference validates plugin names at registry-lookup time
+        # (pkg/registry); an unknown output must fail the BUILD so a
+        # hot-reload rejects the config instead of running sink-less
+        raise ValueError(f"unknown output type {out_spec.get('type')!r}")
     return Pipeline(
         spark=spark,
         config=config,

@@ -66,8 +66,17 @@ class ConfigWatcher:
         cfg = self._parse()
         if cfg is None:
             return False
+        try:
+            self.on_change(cfg)
+        except Exception as e:
+            # A parseable config can still fail to BUILD (unknown plugin
+            # type, bad schema). That must not kill the watcher thread —
+            # count it as rejected and keep the last good pipeline
+            # running, same contract as a parse failure.
+            self.rejected += 1
+            self.last_error = str(e)
+            return False
         self.reloads += 1
-        self.on_change(cfg)
         return True
 
     def _loop(self) -> None:
@@ -85,24 +94,35 @@ class ConfigWatcher:
             self._thread.join(timeout=5)
 
 
-def supervise(spark, toml_path: str, poll_interval: float = 0.2):
+def supervise(spark, toml_path: str, poll_interval: float = 0.2,
+              auto_start: bool = False):
     """Run a pipeline under config watch: builds it, and on every valid
-    config change stops the current stream (if any) and rebuilds from
-    the new config — the reference's restart-on-change loop with Spark
-    queries as the restart unit. Returns (get_pipeline, watcher); call
-    ``watcher.stop()`` then stop the pipeline to shut down."""
+    config change rebuilds from the new config — the reference's
+    restart-on-change loop with Spark queries as the restart unit.
+
+    Restart ordering is build-THEN-stop: the replacement pipeline is
+    constructed first, so a config that parses but fails to build
+    (unknown plugin, bad schema) leaves the old pipeline and its stream
+    untouched (ConfigWatcher counts it as rejected). Only after a
+    successful build is the old stream stopped and — when ``auto_start``
+    and the pipeline is streaming — the new stream started and tracked,
+    so the next reload can stop it in turn.
+
+    Returns (get_pipeline, watcher); call ``watcher.stop()`` then stop
+    the pipeline/stream to shut down."""
     from gravity_spark.plans.pipeline import build_pipeline
 
     state: dict[str, Any] = {}
 
     def _start(cfg: Mapping[str, Any]) -> None:
-        old = state.get("pipeline")
-        if old is not None:
-            q = state.get("query")
-            if q is not None:
-                q.stop()
-        state["pipeline"] = build_pipeline(spark, cfg)
+        new_pipe = build_pipeline(spark, cfg)  # may raise → watcher rejects
+        old_q = state.pop("query", None)
+        if old_q is not None:
+            old_q.stop()
+        state["pipeline"] = new_pipe
         state["config"] = cfg
+        if auto_start and new_pipe.is_streaming:
+            state["query"] = new_pipe.start_stream()
 
     with open(toml_path, "rb") as f:
         _start(normalize_pipeline_config(tomllib.load(f)))

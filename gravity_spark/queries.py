@@ -54,6 +54,17 @@ def _stream_conf(spark, partitions: int = 8):
             spark.conf.set(key, old)
 
 
+def _await_stream(q, timeout: int = 120) -> None:
+    """awaitTermination with the timeout CHECKED: a False return means
+    the availableNow run did not finish, so the memory sink would be
+    read partially populated — silent wrong rows. Stop the query and
+    fail loudly instead (the gate retries nothing; a timeout here is a
+    real problem worth surfacing)."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"stream {q.name or q.id} timed out after {timeout}s")
+
+
 @dataclass
 class QueryDef:
     spark: Callable[[SparkSession, str], DataFrame]
@@ -3503,7 +3514,7 @@ def streaming_window_counts(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_stream(q, 120)
     result = spark.table(name).select(
         F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
         "event_type",
@@ -3570,7 +3581,7 @@ def streaming_stream_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_stream(q, 120)
     return spark.table(name).select(
         "click_id",
         F.col("buy_id").alias("buy_id"),
@@ -3631,7 +3642,7 @@ def streaming_cdc_pipeline(spark, sf_dir):
 
     with _stream_conf(spark):
         q = run_stream(changes, target, typed, f"{tmp}/ckpt", trigger_once=True)
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     return target.read()
 
 
@@ -5908,7 +5919,7 @@ def streaming_dedup_watermark(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_stream(q, 120)
     return spark.table(name)
 
 
@@ -6231,7 +6242,7 @@ def streaming_static_join(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_stream(q, 120)
     return spark.table(name)
 
 
@@ -6807,7 +6818,7 @@ def streaming_topk_trending(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await_stream(q, 120)
     counts = spark.table(name).select(
         F.unix_timestamp(F.col("window.start")).alias("window_epoch"),
         "event_type",
@@ -6826,9 +6837,9 @@ def streaming_topk_trending(spark, sf_dir):
 @register("sim_pq_topk", None)  # rows-only: iterative codebook training
 def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN (the compression half of IVF-PQ, Jégou
-    et al. 2011): 64-dim → 8 subspaces × 16-entry codebooks trained by
-    the deterministic integer Lloyd of kmeans_assign, corpus encoded to
-    8 small codes per row, queries scored by asymmetric distance
+    et al. 2011): 64-dim → 16 subspaces (width 4) × 16-entry codebooks
+    trained by the deterministic integer Lloyd of kmeans_assign, corpus
+    encoded to 16 small codes per row, queries scored by asymmetric distance
     against a broadcast LUT — a row-local O(m) fold, the corpus never
     shuffles (functions/similarity.py::pq_*). Non-SQL-expressible
     (driver-held iterative training state) → rows-only here; recall@5

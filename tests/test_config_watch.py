@@ -67,6 +67,50 @@ def test_watcher_rejects_invalid_and_keeps_last_good(tmp_path):
     assert seen[-1]["name"] == "d"
 
 
+def test_watcher_survives_on_change_exception(tmp_path):
+    # A config that PARSES but whose build raises must not kill the
+    # watcher (or the running pipeline): counted rejected, next valid
+    # config still lands.
+    p = tmp_path / "cfg.toml"
+    p.write_text('name = "a"\n')
+    seen = []
+
+    def cb(cfg):
+        if cfg["name"] == "boom":
+            raise RuntimeError("unknown plugin type")
+        seen.append(cfg)
+
+    w = ConfigWatcher(str(p), cb)
+    p.write_text('name = "boom"\n')
+    assert not w.poll_once()
+    assert w.rejected == 1 and w.reloads == 0
+    assert "unknown plugin" in w.last_error
+    p.write_text('name = "ok"\n')
+    assert w.poll_once()
+    assert seen[-1]["name"] == "ok" and w.reloads == 1
+
+
+def test_supervise_build_failure_keeps_old_pipeline(spark, tmp_path):
+    cfg_path = tmp_path / "pipe.toml"
+    cfg_path.write_text(V3_TOML % str(tmp_path / "tgt1"))
+    get_pipeline, watcher = supervise(spark, str(cfg_path), poll_interval=0.05)
+    try:
+        p1 = get_pipeline()
+        # parseable config with an unknown output type → build raises →
+        # watcher rejects, p1 stays current
+        cfg_path.write_text(
+            'name = "bad"\n[input]\ntype = "memory-batch"\nmode = "batch"\n'
+            '[input.config]\nrows = []\n[output]\ntype = "no-such-sink"\n'
+        )
+        deadline = time.time() + 10
+        while watcher.rejected == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert watcher.rejected >= 1
+        assert get_pipeline() is p1
+    finally:
+        watcher.stop()
+
+
 def test_supervise_rebuilds_pipeline_on_change(spark, tmp_path):
     cfg_path = tmp_path / "pipe.toml"
     cfg_path.write_text(V3_TOML % str(tmp_path / "tgt1"))
