@@ -7401,6 +7401,60 @@ def market_basket_rules(spark, sf_dir):
     )
 
 
+def _dist_ntile(df, metric: str, tie: str, out: str, k: int, n_buckets: int = 64):
+    """Exact ntile(k) OVER (ORDER BY metric, tie) WITHOUT a global-order
+    window — the mongo_bucket_chunks two-level pattern, generalized:
+
+      1. value-bucket rows by width_bucket(metric) over broadcast
+         min/max bounds (monotone → bucket order refines metric order);
+      2. row_number within each bucket ordered by (metric, tie) — the
+         only data shuffle, hash-partitioned on the bucket;
+      3. per-bucket counts → cumulative offsets over ≤n_buckets
+         metadata rows, broadcast back;
+      4. global rank = offset + local rank; exact ntile formula (first
+         n%k tiles get ceil(n/k) rows — bit-identical to SQL ntile).
+
+    Parallelism is #populated buckets; a metric with few distinct
+    values degrades to #values partitions (still distributed, never the
+    one-task global sort WindowExec warns about)."""
+    bounds = df.agg(
+        F.min(metric).alias("_lo"), (F.max(metric) + F.lit(1)).alias("_hi")
+    )
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "_b", F.width_bucket(F.col(metric), "_lo", "_hi", F.lit(n_buckets))
+    ).drop("_lo", "_hi")
+    local = bucketed.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_b").orderBy(metric, tie))
+    )
+    # per-bucket counts are ≤n_buckets metadata rows: fold them to
+    # cumulative offsets on the driver (no partition-less WindowExec at
+    # all, not even over metadata) and broadcast back
+    counts = sorted(
+        (r["_b"], r["_c"])
+        for r in bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    rows, acc = [], 0
+    for b_id, c in counts:
+        rows.append((b_id, acc, total))
+        acc += c
+    offsets = df.sparkSession.createDataFrame(
+        rows, "_b long, _off long, _n long"
+    )
+    rk = F.col("_off") + F.col("_lr")
+    q = (F.col("_n") / k).cast("long")
+    r = F.col("_n") % k
+    head = r * (q + 1)
+    tile = F.when(
+        rk <= head, ((rk - 1) / (q + 1)).cast("long") + 1
+    ).otherwise(r + ((rk - head - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+    return (
+        local.join(F.broadcast(offsets), "_b")
+        .withColumn(out, tile.cast("long"))
+        .drop("_b", "_lr", "_off", "_n")
+    )
+
+
 @register(
     "customer_rfm_segments",
     """
@@ -7421,15 +7475,16 @@ def market_basket_rules(spark, sf_dir):
 def customer_rfm_segments(spark, sf_dir):
     """RFM (recency / frequency / monetary) quintile scoring per
     customer — the standard segmentation marts build on replicated
-    order data. Deterministic: every ntile orders by (metric, custkey)
-    so ties are total-ordered; money is exact integer cents.
+    order data. Deterministic: every quintile orders by (metric,
+    custkey) so ties are total-ordered; money is exact integer cents.
 
-    Scale note: ntile is a global-order window — at 100 TB replace it
-    with percentile thresholds computed once and broadcast (the
-    orders_pareto_abc two-level pattern); at mart scale (one row per
-    CUSTOMER, not per order — the agg has already collapsed the fact
-    table) a single-partition window over customers is the accepted
-    shape."""
+    Scale shape: each score is the DISTRIBUTED exact ntile
+    (_dist_ntile — the mongo_bucket_chunks two-level pattern): bucket →
+    local rank → broadcast offsets, no ``WindowExec: No Partition
+    Defined`` global sort anywhere in the plan. The oracle keeps the
+    plain ntile window; results are bit-identical because the bucket
+    order refines the (metric, custkey) total order and the tile
+    formula is SQL ntile's."""
     orders = T(spark, sf_dir, "orders")
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))).alias(
@@ -7438,12 +7493,10 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     )
-    return base.select(
-        "custkey",
-        F.ntile(5).over(Window.orderBy("last_epoch", "custkey")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("n_orders", "custkey")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("cents", "custkey")).cast("long").alias("m_score"),
-    )
+    scored = _dist_ntile(base, "last_epoch", "custkey", "r_score", 5)
+    scored = _dist_ntile(scored, "n_orders", "custkey", "f_score", 5)
+    scored = _dist_ntile(scored, "cents", "custkey", "m_score", 5)
+    return scored.select("custkey", "r_score", "f_score", "m_score")
 
 
 @register(
