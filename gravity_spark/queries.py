@@ -7181,14 +7181,16 @@ def graph_triangle_count(spark, sf_dir):
     the graph sparse as order volume grows) — the local-clustering
     primitive community detection and spam-graph analysis start from.
 
-    Id-oriented edges (u < v) make every triangle count exactly once
-    and turn the count into two equi-joins: wedges (b lists its
-    higher-id neighbors of a) closed against the edge list. At 100 TB
-    orient by (degree, id) instead — the standard trick bounding
-    out-degree at O(√m) so Σ outdeg² stays linear-ish under power-law
-    skew; the join shape is unchanged. The co-purchase generator is
-    per-order pairs (quadratic only within an order's line items, ≤7
-    per order in TPC-H shape)."""
+    DEGREE-oriented wedge closure (functions/graph.py — the
+    Chiba–Nishizeki forward algorithm): every edge is directed from its
+    lower-(degree, id) endpoint, bounding per-vertex out-degree at
+    O(√m) so hub vertices on a power-law co-purchase graph never
+    generate O(d_max²) wedges. The count is orientation-invariant, so
+    the id-oriented SQL oracle agrees bit-for-bit. The co-purchase
+    generator is per-order pairs (quadratic only within an order's line
+    items, ≤7 per order in TPC-H shape)."""
+    from gravity_spark.functions import graph as G
+
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
     e0 = (
@@ -7202,13 +7204,7 @@ def graph_triangle_count(spark, sf_dir):
         .filter(F.col("m") >= 2)
         .select("u", "v")
     ).persist()
-    e1, e2, e3 = e0.alias("e1"), e0.alias("e2"), e0.alias("e3")
-    wedge = e1.join(e2, F.col("e2.u") == F.col("e1.v")).select(
-        F.col("e1.u").alias("wa"), F.col("e1.v").alias("wb"), F.col("e2.v").alias("wc")
-    )
-    tri = wedge.join(
-        e3, (F.col("e3.u") == F.col("wa")) & (F.col("e3.v") == F.col("wc"))
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = G.triangle_count(e0)
     edges = e0.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(edges))
 

@@ -1,0 +1,69 @@
+"""Degree-oriented triangle primitives (functions/graph.py): exact
+counts on known graphs, orientation invariants, and the wedge bound
+that makes the algorithm survive power-law hubs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gravity_spark.functions import graph as G
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(u), int(v)) for u, v in pairs], "u long, v long"
+    )
+
+
+def test_triangle_count_known_graphs(spark):
+    # K4 has C(4,3)=4 triangles
+    k4 = _edges(spark, [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)])
+    assert G.triangle_count(k4).collect()[0]["n_triangles"] == 4
+    # a path has none
+    path = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    assert G.triangle_count(path).collect()[0]["n_triangles"] == 0
+    # two triangles sharing an edge
+    bowtie = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)])
+    assert G.triangle_count(bowtie).collect()[0]["n_triangles"] == 2
+
+
+def test_star_graph_generates_zero_wedges(spark):
+    # hub 0 with 40 leaves: id-orientation at the hub would enumerate
+    # C(40,2)=780 wedges; degree orientation points every edge INTO the
+    # hub (leaves have degree 1), so the wedge count is 0 — and in
+    # general ≤ Σ_edges min(d_u, d_v).
+    star = _edges(spark, [(0, i) for i in range(1, 41)])
+    oriented = G.degree_orient(star)
+    # every edge must point leaf → hub
+    assert all(r["hi"] == 0 for r in oriented.collect())
+    n_wedges = G.oriented_wedges(oriented).count()
+    assert n_wedges == 0
+    deg = {r["x"]: r["d"] for r in G.degrees(star).collect()}
+    bound = sum(min(deg[u], deg[v]) for u, v in [(0, i) for i in range(1, 41)])
+    assert n_wedges <= bound
+    assert G.triangle_count(star).collect()[0]["n_triangles"] == 0
+
+
+def test_wedge_bound_on_hub_plus_clique(spark):
+    # power-law-ish: a K5 clique plus a hub fanned to 30 extra leaves.
+    # Wedges must respect Σ min(d_u, d_v), the forward-algorithm bound.
+    pairs = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    pairs += [(0, i) for i in range(5, 35)]
+    g = _edges(spark, pairs)
+    deg = {r["x"]: r["d"] for r in G.degrees(g).collect()}
+    bound = sum(min(deg[u], deg[v]) for u, v in pairs)
+    n_wedges = G.oriented_wedges(G.degree_orient(g)).count()
+    assert n_wedges <= bound
+    assert G.triangle_count(g).collect()[0]["n_triangles"] == 10  # C(5,3)
+
+
+def test_orientation_is_total_and_unique(spark):
+    g = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    o = G.degree_orient(g)
+    assert o.count() == 4  # one directed edge per undirected edge
+    # no edge appears in both directions
+    o1, o2 = o.alias("o1"), o.alias("o2")
+    both = o1.join(
+        o2,
+        (F.col("o1.lo") == F.col("o2.hi")) & (F.col("o1.hi") == F.col("o2.lo")),
+    )
+    assert both.count() == 0
