@@ -166,6 +166,90 @@ def merge_with_conflict_detect(
     return untouched.unionByName(upserts), conflicts
 
 
+PREVIEW_WOULD_INSERT = "would_insert"
+PREVIEW_WOULD_UPDATE = "would_update"
+PREVIEW_WOULD_DELETE = "would_delete"
+PREVIEW_CONFLICT = "conflict"
+PREVIEW_DELETE_SKIP = "delete_skip"
+
+
+def preview_conflicts(
+    target: DataFrame,
+    changes: DataFrame,
+    pk_cols: Sequence[str],
+    old_prefix: str = "old_",
+    op_col: str = "op",
+    enable_delete: bool = True,
+) -> DataFrame:
+    """Conflict-PREVIEW engine: dry-run classification, no writes.
+
+    Mirrors conflict_preview_engine.go:71-135 (the reference's
+    ErrRowConflict / ErrDeleteRowSkip semantics), which probes the
+    target with count(*) existence queries per change and never
+    mutates it:
+
+      - insert: a target row under the change's unique key exists →
+        ``conflict``; else ``would_insert``.
+      - update: target must hold a row matching the FULL old image
+        (same key, every column null-safe-equal to ``old_<col>``) or it
+        is a ``conflict``; if the target ALREADY matches the full new
+        image the update is also a ``conflict`` (the reference's second
+        count(*) probe); else ``would_update``.
+      - delete: with delete disabled every delete is ``delete_skip``;
+        otherwise the target must match the full data image
+        (``would_delete``) or it is a ``conflict``.
+
+    Each change row is classified independently against the CURRENT
+    target (the reference previews one-message batches). One left join
+    on the PK — the image comparisons are projections on the joined
+    row, since a full-image match must share the unique key. Returns
+    the target's value columns (from the change) + op + ``outcome``;
+    the target DataFrame is untouched.
+    """
+    pk = list(pk_cols)
+    value_cols = list(target.columns)
+    non_pk = [c for c in value_cols if c not in pk]
+
+    t = target.withColumn("__exists", F.lit(True)).alias("t")
+    c = changes.alias("c")
+    joined = c.join(t, on=pk, how="left")
+
+    exists = F.coalesce(F.col("t.__exists"), F.lit(False))
+    old_match = F.lit(True)
+    new_match = F.lit(True)
+    for col in non_pk:
+        old_match = old_match & F.col(f"t.{col}").eqNullSafe(
+            F.col(f"c.{old_prefix}{col}")
+        )
+        new_match = new_match & F.col(f"t.{col}").eqNullSafe(F.col(f"c.{col}"))
+
+    op = F.col(f"c.{op_col}")
+    outcome = (
+        F.when(
+            op == "insert",
+            F.when(exists, PREVIEW_CONFLICT).otherwise(PREVIEW_WOULD_INSERT),
+        )
+        .when(
+            op == "update",
+            F.when(
+                exists & old_match & ~new_match, PREVIEW_WOULD_UPDATE
+            ).otherwise(PREVIEW_CONFLICT),
+        )
+        .otherwise(
+            F.lit(PREVIEW_DELETE_SKIP)
+            if not enable_delete
+            else F.when(exists & new_match, PREVIEW_WOULD_DELETE).otherwise(
+                PREVIEW_CONFLICT
+            )
+        )
+    )
+    return joined.select(
+        *[F.col(f"c.{col}").alias(col) for col in value_cols],
+        op.alias(op_col),
+        outcome.alias("outcome"),
+    )
+
+
 def merge_with_manual_sql(
     target: DataFrame,
     changes: DataFrame,

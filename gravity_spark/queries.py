@@ -2999,6 +2999,103 @@ def cdc_conflict_detect(spark, sf_dir):
 
 
 @register(
+    "cdc_conflict_preview",
+    f"""
+    -- conflict-PREVIEW engine (conflict_preview_engine.go:71-135):
+    -- dry-run classification of each user's first post-cutoff change
+    -- against the (corrupted) target — nothing is written
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY event_id) AS old_value,
+             ts
+      FROM events
+    ),
+    pre_state AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch WHERE ts <= {_CUTOFF}
+      ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    target AS (  -- corruption: stale values for user_id % 7 = 3
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 3 THEN value + 100 ELSE value END AS value
+      FROM pre_state
+    ),
+    first_post AS (
+      SELECT * FROM (
+        SELECT user_id, seq, op, value, old_value,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq) AS rn
+        FROM ch WHERE ts > {_CUTOFF}
+      ) WHERE rn = 1
+    )
+    SELECT c.user_id, round(c.value, 2) AS value, c.op,
+           CASE
+             WHEN c.op = 'insert' THEN
+               CASE WHEN t.user_id IS NOT NULL THEN 'conflict' ELSE 'would_insert' END
+             WHEN c.op = 'update' THEN
+               CASE WHEN t.user_id IS NOT NULL
+                         AND t.value IS NOT DISTINCT FROM c.old_value
+                         AND t.value IS DISTINCT FROM c.value
+                    THEN 'would_update' ELSE 'conflict' END
+             ELSE
+               CASE WHEN t.user_id IS NOT NULL AND t.value IS NOT DISTINCT FROM c.value
+                    THEN 'would_delete' ELSE 'conflict' END
+           END AS outcome
+    FROM first_post c LEFT JOIN target t USING (user_id)
+    """,
+)
+def cdc_conflict_preview(spark, sf_dir):
+    """Dry-run conflict preview over the same corrupted-target scenario
+    as cdc_conflict_detect: classify each first-post-cutoff change as
+    would_insert / would_update / would_delete / conflict WITHOUT
+    writing anything (conflict_preview_engine.go:71-135 — its count(*)
+    existence probes become one PK left join; operators/upsert.py::
+    preview_conflicts). tests/test_conflict_preview.py asserts the
+    no-mutation contract against a materialized parquet target."""
+    from gravity_spark.operators.upsert import preview_conflicts
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.expr(_CUTOFF)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "value",
+        F.lag("value").over(w).alias("old_value"),
+        "ts",
+    )
+    pre = ch.filter(F.col("ts") <= cutoff)
+    w_desc = Window.partitionBy("user_id").orderBy(F.col("seq").desc())
+    pre_state = (
+        pre.withColumn("rn", F.row_number().over(w_desc))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select("user_id", "value")
+    )
+    target = pre_state.select(
+        "user_id",
+        F.when(F.col("user_id") % 7 == 3, F.col("value") + 100)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    w_asc = Window.partitionBy("user_id").orderBy("seq")
+    first_post = (
+        ch.filter(F.col("ts") > cutoff)
+        .withColumn("rn", F.row_number().over(w_asc))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "value", "old_value", "op", "seq")
+    )
+    previewed = preview_conflicts(target, first_post, ["user_id"])
+    return previewed.select(
+        "user_id", F.round("value", 2).alias("value"), "op", "outcome"
+    )
+
+
+@register(
     "cdc_padder_backfill",
     f"""
     -- padder repair diff: target missed the last 10% of the stream;
