@@ -186,10 +186,10 @@ def build_pipeline(spark: SparkSession, config: Mapping[str, Any]) -> Pipeline:
     elif out_spec.get("type") == "kafka-wire":
         # serialize to the configured wire format; caller sinks the
         # (key, value) frame (or writes via sinks.wire.write_kafka)
-        from gravity_spark.sinks.wire import to_wire_v01, to_wire_v20
+        from gravity_spark.sinks.wire import to_wire_pb, to_wire_v01, to_wire_v20
 
         version = out_spec.get("config", {}).get("version", "0.1")
-        wire_fn = to_wire_v01 if version == "0.1" else to_wire_v20
+        wire_fn = {"0.1": to_wire_v01, "pb": to_wire_pb}.get(version, to_wire_v20)
         prev_transform = transform
 
         def transform(df: DataFrame, _prev=prev_transform, _wire=wire_fn) -> DataFrame:  # noqa: F811

@@ -1812,6 +1812,60 @@ def cdc_wire_format(spark, sf_dir):
 
 
 @register(
+    "cdc_wire_format_pb",
+    f"""
+    -- protobuf wire roundtrip (protocol/msgpb/message.proto +
+    -- pkg/core/encoding/pb.go): the Spark side serializes each change
+    -- to msgpb.Msg BYTES and decodes them back in-plan, so equality
+    -- with this direct projection gates the whole codec
+    SELECT event_id,
+           {_OP_SQL} AS op,
+           CAST(user_id AS VARCHAR) AS pk,
+           CAST(round(value, 2) AS VARCHAR) AS value_str
+    FROM events WHERE event_id < 3000
+    """,
+)
+def cdc_wire_format_pb(spark, sf_dir):
+    """Protobuf wire format end-to-end: envelope → encode_msg bytes →
+    decode_msg → fields (sinks/wire.py::to_wire_pb/from_wire_pb; the
+    codec is the dependency-free proto3 implementation in
+    core/pbwire.py, byte-golden-tested in tests/test_pbwire.py). The
+    oracle computes the same projection without the trip, so any
+    encode/decode asymmetry breaks the hash match."""
+    from gravity_spark.sinks.wire import from_wire_pb, to_wire_pb
+
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changes = ev.select(
+        F.lit("dml").alias("type"),
+        F.lit("app").alias("database"),
+        F.lit("events").alias("table"),
+        F.lit(None).cast("string").alias("host"),
+        op.alias("op"),
+        F.col("ts"),
+        F.create_map(
+            F.lit("event_id"), F.col("event_id").cast("string"),
+            F.lit("value"), F.round("value", 2).cast("string"),
+        ).alias("data"),
+        F.lit(None).cast("map<string,string>").alias("old"),
+        F.create_map(F.lit("user_id"), F.col("user_id").cast("string")).alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.col("event_id").alias("seq"),
+    )
+    decoded = from_wire_pb(to_wire_pb(changes))
+    return decoded.select(
+        F.col("data").getItem("event_id").cast("long").alias("event_id"),
+        "op",
+        F.col("pks").getItem("user_id").alias("pk"),
+        F.col("data").getItem("value").alias("value_str"),
+    )
+
+
+@register(
     "cdc_dcp_checker",
     """
     SELECT event_id FROM events

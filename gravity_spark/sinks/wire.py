@@ -87,6 +87,103 @@ def to_wire_v20(changes: DataFrame) -> DataFrame:
     )
 
 
+def to_wire_pb(changes: DataFrame) -> DataFrame:
+    """Protobuf wire format (protocol/msgpb/message.proto +
+    pkg/core/encoding/pb.go DataMapToPB): serialize each envelope row
+    as a msgpb.Msg with map<string, Any> payloads. Returns (key, value)
+    with value BINARY, key the depHash string as for the JSON formats.
+
+    Arrow-batched mapInPandas — the codec is pure Python
+    (core/pbwire.py) but runs per ~10k-row batch, never per-row over
+    the driver. Envelope maps are string-typed, so payload values ride
+    as StringValue Anys (typed projections re-type downstream, the same
+    contract the JSON v0.1 format has)."""
+    import pandas as pd
+
+    from gravity_spark.core.pbwire import encode_msg
+
+    keyed = changes.withColumn("__key", dep_hash(F.col("pks")).cast("string"))
+    cols = ["__key", "type", "version", "database", "table", "op", "ts",
+            "data", "old", "pks", "ddl_statement"]
+    present = [c for c in cols if c in keyed.columns]
+
+    def enc(batches):
+        for pdf in batches:
+            values = []
+            for row in pdf.itertuples(index=False):
+                r = row._asdict()
+                ts = r.get("ts")
+                dml = None
+                ddl = None
+                if r.get("ddl_statement"):
+                    ddl = {"sql": r["ddl_statement"]}
+                else:
+                    dml = {
+                        "op": r.get("op") or "",
+                        "data": r.get("data"),
+                        "old": r.get("old"),
+                        "pks": r.get("pks"),
+                    }
+                values.append(
+                    encode_msg(
+                        {
+                            "version": r.get("version") or VERSION_20,
+                            "database": r.get("database"),
+                            "table": r.get("table"),
+                            "msg_type": r.get("type") or "dml",
+                            "timestamp": None if pd.isnull(ts) else ts,
+                            "dml": dml,
+                            "ddl": ddl,
+                        }
+                    )
+                )
+            yield pd.DataFrame({"key": pdf["__key"], "value": values})
+
+    return keyed.select(*present).mapInPandas(enc, "key string, value binary")
+
+
+def from_wire_pb(frames: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode msgpb.Msg bytes back to envelope columns — the consumer
+    half of the pb transport (PBToDataMap). Map values decode to their
+    Any-typed Python values and are stringified into the envelope's
+    map<string,string> (ints/floats via str(), the v0.1 convention)."""
+    import pandas as pd
+
+    from gravity_spark.core.pbwire import decode_msg
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf[value_col]:
+                m = decode_msg(bytes(raw))
+                dml = m["dml"] or {}
+                strmap = lambda d: {
+                    k: (None if v is None else str(v)) for k, v in (d or {}).items()
+                }  # noqa: E731
+                rows.append(
+                    {
+                        "type": m["msg_type"],
+                        "version": m["version"],
+                        "database": m["database"],
+                        "table": m["table"],
+                        "op": dml.get("op") or None,
+                        "ts": m["timestamp"],
+                        "data": strmap(dml.get("data")),
+                        "old": strmap(dml.get("old")),
+                        "pks": strmap(dml.get("pks")),
+                        "ddl_statement": (m["ddl"] or {}).get("sql"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    schema = (
+        "type string, version string, database string, table string, "
+        "op string, ts timestamp, data map<string,string>, "
+        "old map<string,string>, pks map<string,string>, ddl_statement string"
+    )
+    return frames.mapInPandas(dec, schema)
+
+
 def write_kafka(wire: DataFrame, brokers: str, topic: str, streaming: bool = False):
     """Kafka producer: key drives per-PK partition placement (same
     guarantee as depHash % numPartitions). Requires the Kafka connector
