@@ -160,6 +160,117 @@ class DbPositionStore:
         self._last_flush = time.time()
 
 
+class DocPositionStore:
+    """Document-store-flavor position repo — the third backend,
+    matching pkg/position_repos/mongo_repo.go:84-200: one document per
+    pipeline in a `gravity_positions` collection, shaped
+
+        {version: "1.0", name, stage, value: <json string>,
+         last_update: <RFC3339Nano>}
+
+    upserted by name. In-sandbox the "collection" is a directory with
+    one JSON document per pipeline (atomic file replace — same
+    single-writer whole-document swap the mongo repo's UpdateOne
+    upsert performs); in production the identical document contract
+    runs against any document DB client.
+
+    Reference semantics kept exactly:
+      - Put validates the stage (PositionMeta.Validate) and rejects an
+        empty value (mongo_repo.go:182-185);
+      - Get of a VERSION-LESS document (the deprecated PositionEntity
+        format) falls back to decoding start_position/current_position
+        and re-marshaling them as the value string with sorted keys
+        (mongo_repo.go:139-158, myJson SortMapKeys);
+      - documents carry last_update as RFC3339Nano.
+
+    Interface-compatible with PositionStore/DbPositionStore
+    (get/put/delete/flush) so pipelines swap stores by construction.
+    """
+
+    COLLECTION = "gravity_positions"
+    VERSION = "1.0"
+
+    def __init__(self, root: str, flush_interval_s: float = 5.0) -> None:
+        self.dir = os.path.join(root, self.COLLECTION)
+        os.makedirs(self.dir, exist_ok=True)
+        self.flush_interval_s = flush_interval_s
+        self._cache: dict[str, dict[str, Any]] = {}
+        self._dirty: set[str] = set()
+        self._deleted: set[str] = set()
+        self._last_flush = 0.0
+        for fname in os.listdir(self.dir):
+            if not fname.endswith(".json"):
+                continue
+            with open(os.path.join(self.dir, fname)) as f:
+                doc = json.load(f)
+            name = doc.get("name", fname[:-5])
+            if not doc.get("version"):
+                # deprecated PositionEntity format: inline mongo position
+                value = {
+                    "start_position": doc.get("start_position"),
+                    "current_position": doc.get("current_position"),
+                }
+            else:
+                value = json.loads(doc["value"]) if doc.get("value") else {}
+            value["stage"] = doc.get("stage", "unknown")
+            self._cache[name] = value
+
+    def get(self, pipeline: str) -> dict[str, Any] | None:
+        return self._cache.get(pipeline)
+
+    def put(self, pipeline: str, value: dict[str, Any], flush: bool = False) -> None:
+        stage = value.get("stage", "unknown")
+        if stage not in VALID_STAGES:
+            raise ValueError(f"invalid stage {stage!r} (PositionMeta.Validate)")
+        if not {k: v for k, v in value.items() if k != "stage"}:
+            raise ValueError("empty value")  # mongo_repo.go:182-185
+        self._cache[pipeline] = dict(value, updated_at=time.time())
+        self._dirty.add(pipeline)
+        self._deleted.discard(pipeline)
+        now = time.time()
+        if flush or (now - self._last_flush) >= self.flush_interval_s:
+            self.flush()
+
+    def delete(self, pipeline: str, flush: bool = True) -> None:
+        self._cache.pop(pipeline, None)
+        self._deleted.add(pipeline)
+        self._dirty.discard(pipeline)
+        if flush:
+            self.flush()
+
+    def _doc_path(self, pipeline: str) -> str:
+        return os.path.join(self.dir, f"{pipeline}.json")
+
+    def flush(self) -> None:
+        if not self._dirty and not self._deleted:
+            return
+        from datetime import datetime, timezone
+
+        for name in self._dirty:
+            v = self._cache[name]
+            doc = {
+                "version": self.VERSION,
+                "name": name,
+                "stage": v.get("stage", "unknown"),
+                "value": json.dumps(
+                    {k: v[k] for k in sorted(v) if k != "stage"}
+                ),
+                "last_update": datetime.now(timezone.utc).isoformat(),
+            }
+            tmp = self._doc_path(name) + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(doc, f, indent=2)
+            os.replace(tmp, self._doc_path(name))
+        for name in self._deleted:
+            try:
+                os.remove(self._doc_path(name))
+            except FileNotFoundError:
+                pass
+        self._dirty.clear()
+        self._deleted.clear()
+        self._last_flush = time.time()
+
+
 def batch_scan_position(
     table: str, scan_column: str | None, done_chunks: list[int],
     total_chunks: int, current_key: Any = None,

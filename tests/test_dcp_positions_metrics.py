@@ -175,3 +175,121 @@ def test_db_position_store_resumes_chunked_scan(spark, tmp_path, sf_dir):
     s2.put("snap", batch_scan_position(
         "orders", "o_orderkey", list(range(n_chunks)), n_chunks), flush=True)
     assert DbPositionStore(factory).get("snap")["done"]
+
+
+# ---------------------------------------------------------------------
+# all three position-repo backends (pkg/position_repos/: mysql / mongo /
+# mem ↔ DbPositionStore / DocPositionStore / PositionStore) satisfy the
+# same recovery contract
+# ---------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def _store_factory(kind, tmp_path):
+    if kind == "file":
+        p = str(tmp_path / "pos.json")
+        return lambda **kw: PositionStore(p, **kw)
+    if kind == "db":
+        import sqlite3
+
+        from gravity_spark.core.positions import DbPositionStore
+
+        db = str(tmp_path / "gravity.db")
+        return lambda **kw: DbPositionStore(lambda: sqlite3.connect(db), **kw)
+    if kind == "doc":
+        from gravity_spark.core.positions import DocPositionStore
+
+        return lambda **kw: DocPositionStore(str(tmp_path), **kw)
+    raise AssertionError(kind)
+
+
+@pytest.mark.parametrize("kind", ["file", "db", "doc"])
+def test_position_recovery_all_backends(tmp_path, kind):
+    make = _store_factory(kind, tmp_path)
+    s1 = make(flush_interval_s=999)
+    s1.put("pipe1", batch_scan_position("t1", "id", [0, 1], 4, current_key=123),
+           flush=True)
+    s1.put("pipe2", stream_position("s0", {"file": "binlog.000001", "pos": 4}),
+           flush=True)
+
+    # "restart": a fresh store resumes the positions
+    s2 = make()
+    p = s2.get("pipe1")
+    assert p["stage"] == "batch" and p["done_chunks"] == [0, 1]
+    assert s2.get("pipe2")["offset"] == {"file": "binlog.000001", "pos": 4}
+
+    # progress then crash-before-flush loses only the unflushed delta
+    s2.put("pipe1", batch_scan_position("t1", "id", [0, 1, 2, 3], 4), flush=True)
+    s3 = make()
+    assert s3.get("pipe1")["done"]
+
+    s3.delete("pipe1")
+    s4 = make()
+    assert s4.get("pipe1") is None and s4.get("pipe2") is not None
+
+
+@pytest.mark.parametrize("kind", ["file", "db", "doc"])
+def test_chunked_scan_resume_all_backends(spark, tmp_path, sf_dir, kind):
+    """Restart mid-snapshot on every backend: chunks recorded as done
+    are skipped on resume; both runs cover the table exactly once."""
+    from gravity_spark.sources.batch import chunked_scan
+
+    make = _store_factory(kind, tmp_path)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    chunks = chunked_scan(orders, "o_orderkey", chunk_size=500)
+    n_chunks = chunks.select("chunk_id").distinct().count()
+
+    s1 = make(flush_interval_s=999)
+    done = [0, 1]
+    n1 = chunks.filter(chunks.chunk_id.isin(done)).count()
+    s1.put("snap", batch_scan_position("orders", "o_orderkey", done, n_chunks),
+           flush=True)
+
+    s2 = make()
+    resume = s2.get("snap")
+    assert resume["done_chunks"] == [0, 1] and not resume["done"]
+    n2 = chunks.filter(~chunks.chunk_id.isin(resume["done_chunks"])).count()
+    assert n1 + n2 == orders.count()
+
+
+def test_doc_store_contract_and_old_format(tmp_path):
+    """Mongo-repo document semantics: version/value/last_update fields,
+    empty-value and bad-stage rejection, and backward-compat decode of
+    the deprecated version-less PositionEntity format
+    (mongo_repo.go:139-158)."""
+    import json as _json
+    import os as _os
+
+    from gravity_spark.core.positions import DocPositionStore
+
+    s = DocPositionStore(str(tmp_path), flush_interval_s=999)
+    s.put("p1", stream_position("s0", {"pos": 9}), flush=True)
+    doc_path = _os.path.join(str(tmp_path), "gravity_positions", "p1.json")
+    with open(doc_path) as f:
+        doc = _json.load(f)
+    assert doc["version"] == "1.0" and doc["name"] == "p1"
+    assert doc["stage"] == "stream"
+    assert _json.loads(doc["value"])["offset"] == {"pos": 9}
+    assert "last_update" in doc
+
+    with pytest.raises(ValueError):
+        s.put("bad", {"stage": "bogus", "x": 1})
+    with pytest.raises(ValueError):
+        s.put("empty", {"stage": "stream"})  # mongo_repo.go:182-185
+
+    # deprecated format: no version, inline start/current position
+    old = {
+        "name": "legacy",
+        "stage": "stream",
+        "start_position": {"ts": 1},
+        "current_position": {"ts": 7},
+        "last_update": "2019-01-01T00:00:00Z",
+    }
+    with open(_os.path.join(str(tmp_path), "gravity_positions", "legacy.json"), "w") as f:
+        _json.dump(old, f)
+    s2 = DocPositionStore(str(tmp_path))
+    got = s2.get("legacy")
+    assert got["stage"] == "stream"
+    assert got["current_position"] == {"ts": 7}
+    assert got["start_position"] == {"ts": 1}
