@@ -2151,29 +2151,57 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 
 def _components_sql() -> str:
-    """Connected components over the MinHash-LSH candidate edges via a
-    recursive min-label reachability CTE (oracle-side); the Spark side
-    runs distributed label propagation (functions/dedup.py)."""
+    """Connected components over the MinHash-LSH candidate edges
+    (oracle-side); the Spark side runs distributed label propagation
+    (functions/dedup.py).
+
+    The recursive closure is run on a CONTRACTED graph, not the raw
+    pair edges: every LSH bucket is a clique, so connectivity is fully
+    preserved by (a) replacing each bucket with its min member and (b)
+    star-wiring each doc's overall bucket-min to each of its buckets'
+    mins. The recursive reach CTE then enumerates origin×reachable
+    pairs only over bucket-min representatives — Σ comp² over a
+    contracted vertex set that is tiny for clique-heavy dup clusters —
+    instead of over all documents (which made the old oracle take ~35
+    minutes at sf0.1; this form sweeps in seconds). Docs map back
+    through their bucket-min; bucket-less docs stay singletons. The
+    component label min-over-bucket-mins equals the true min doc id:
+    a component's min doc is itself its bucket's min."""
     bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
     band_hashes = [
         f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
         for b in range(bands)
     ]
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}#' || bh{b} AS bucket FROM banded" for b in range(bands)
+    )
     return f"""
     WITH RECURSIVE {_SIG_CTE},
     banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
-    edges AS (
-      SELECT DISTINCT a.doc_id AS s, b.doc_id AS d
-      FROM banded a JOIN banded b ON a.doc_id < b.doc_id
-       AND ({' OR '.join(f'a.bh{b} = b.bh{b}' for b in range(bands))})
+    memb AS ({bucket_rows}),
+    bmin AS (SELECT bucket, min(doc_id) AS bm FROM memb GROUP BY bucket),
+    dmin AS (
+      SELECT m.doc_id, min(b.bm) AS dm
+      FROM memb m JOIN bmin b USING (bucket) GROUP BY m.doc_id
     ),
-    sym AS (SELECT s, d FROM edges UNION ALL SELECT d, s FROM edges),
+    cedges AS (
+      SELECT DISTINCT d.dm AS s, b.bm AS d2
+      FROM memb m JOIN dmin d USING (doc_id) JOIN bmin b USING (bucket)
+      WHERE d.dm <> b.bm
+    ),
+    csym AS (SELECT s, d2 FROM cedges UNION ALL SELECT d2, s FROM cedges),
     reach(origin, node) AS (
-      SELECT doc_id, doc_id FROM documents
+      SELECT dm, dm FROM (SELECT DISTINCT dm FROM dmin)
       UNION
-      SELECT r.origin, s.d FROM reach r JOIN sym s ON s.s = r.node
+      SELECT r.origin, e.d2 FROM reach r JOIN csym e ON e.s = r.node
     ),
-    comp AS (SELECT origin AS doc_id, min(node) AS component FROM reach GROUP BY origin)
+    ccomp AS (SELECT origin AS dm, min(node) AS component FROM reach GROUP BY origin),
+    comp AS (
+      SELECT doc.doc_id, coalesce(cc.component, doc.doc_id) AS component
+      FROM documents doc
+      LEFT JOIN dmin ON dmin.doc_id = doc.doc_id
+      LEFT JOIN ccomp cc ON cc.dm = dmin.dm
+    )
     SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS csize
     FROM comp
     """
