@@ -31,16 +31,31 @@ def main() -> None:
 
     # two timed runs per query, report the min: first-run JIT/codegen
     # noise (observed 1.6s vs 10.7s for identical plans) would otherwise
-    # dominate the signal
+    # dominate the signal. The host also shows intermittent multi-10s
+    # stalls (same plan measured 3.5s and 86s minutes apart, ~zero
+    # steal/pressure in-guest) — when the two runs disagree by >1.5x the
+    # query gets up to two extra runs so one stall can't poison its min.
     timings: dict[str, float] = {}
     for name, qd in REGISTRY.items():
         best = None
-        for _ in range(2):
+        runs: list[float] = []
+        attempt = 0
+        while attempt < 4:
+            attempt += 1
             t0 = time.time()
             try:
                 qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 elapsed = round(time.time() - t0, 3)
+                runs.append(elapsed)
                 best = elapsed if best is None else min(best, elapsed)
+                # converged when the two BEST runs agree (the first run
+                # legitimately pays JIT/codegen once — judge it by
+                # whether a second-best run corroborates the min)
+                two_best = sorted(runs)[:2]
+                if len(runs) >= 2 and (
+                    best < 0.5 or two_best[1] / max(best, 1e-9) <= 1.5
+                ):
+                    break
             except Exception as e:  # a failing query shows as -1, not a crash
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 best = -1.0
@@ -56,6 +71,10 @@ def main() -> None:
                     if rdd is not None:
                         rdd.unpersist(False)
         timings[name] = best
+        # late-run JVM heap pressure swings iterative queries up to 4×
+        # (BASELINE.md §4); a GC nudge between queries keeps the tail of
+        # a 160+-query run from paying earlier queries' garbage
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf

@@ -313,9 +313,12 @@ def kmeans_assign(
     cluster size) and seed via a sample, keeping clusters bounded for
     the prune stage; the seed selection is a distributed top-k
     (TakeOrdered), never a global sort."""
+    # persist: seeds + each round's aggregation + the final assignment
+    # all start from the scaled projection — without it each of those
+    # rounds+2 jobs rescans the parquet and recomputes the scaling
     scaled = corpus.select(
         F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi")
-    )
+    ).persist()
     cents = [
         (i, list(r["xi"]))
         for i, r in enumerate(scaled.orderBy(id_col).limit(k).collect())
@@ -456,7 +459,12 @@ def pq_train_codebooks(
     restated on Spark. Seeds are the ksub smallest-id vectors per
     subspace (deterministic)."""
     w = dim // m
-    scaled = corpus.select(F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi"))
+    # persist: the seed collect plus one aggregation per round all read
+    # this projection — pinned in memory so the training loop's job
+    # count, not repeated parquet scans, sets its cost
+    scaled = corpus.select(
+        F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi")
+    ).persist()
     seed_rows = scaled.orderBy(id_col).limit(ksub).collect()
     books: list[list[tuple[int, list[int]]]] = [
         [(i, list(r["xi"])[s * w : (s + 1) * w]) for i, r in enumerate(seed_rows)]

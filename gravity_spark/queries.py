@@ -20,6 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import os
+
 import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -52,6 +54,19 @@ def _stream_conf(spark, partitions: int = 8):
     finally:
         if old is not None:
             spark.conf.set(key, old)
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Scratch dir for in-query stream sources/checkpoints/spill.
+    Prefers /dev/shm (tmpfs): stream checkpoint commits fsync per
+    epoch, and on a disk-backed /tmp that fixed cost dominates the
+    small streaming queries' wall time. These dirs are bench scratch —
+    real deployments point checkpoints at durable shared storage; the
+    tmpfs substrate changes no semantics, only where the fsyncs land."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
 
 
 def _await_stream(q, timeout: int = 120) -> None:
@@ -1632,7 +1647,7 @@ def cdc_kafka_transport_roundtrip(spark, sf_dir):
     def img(r, status):
         return {"id": str(r.k), "status": status, "total_cents": str(r.cents)}
 
-    tmp = tempfile.mkdtemp(prefix="filekafka_q_")
+    tmp = _scratch_dir("filekafka_q_")
     broker = FileKafkaBroker(f"{tmp}/broker")
     broker.create_topic("demo.orders", partitions=4)
     store = PositionStore(f"{tmp}/positions.json", flush_interval_s=0)
@@ -2827,6 +2842,72 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "dedup_containment",
+    f"""
+    -- asymmetric CONTAINMENT dedup: |A∩B| / min(|A|,|B|) — catches a
+    -- short doc embedded in a longer one, which symmetric Jaccard
+    -- misses (|A∩B|/|A∪B| shrinks as |B| grows). Same source blocking
+    -- as dedup_ngram_jaccard, but no length-ratio prefilter: unequal
+    -- sizes are exactly the pairs containment exists for.
+    WITH g AS (
+      SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks)) AS inter,
+             least(len(a.toks), len(b.toks)) AS msize
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST((1000 * inter - ((1000 * inter) % msize)) / msize AS BIGINT) AS cont_milli
+    FROM pairs
+    WHERE msize > 0 AND 5 * inter >= 4 * msize  -- containment >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Containment-based near-dup detection (Broder's containment
+    coefficient): score = |A∩B| / min(|A|,|B|) over source-blocked
+    pairs, integer-milli exact. The asymmetric complement to
+    dedup_ngram_jaccard for doc-inside-doc duplication — an LLM-corpus
+    case (quoted articles, boilerplate-wrapped reposts) where Jaccard
+    stays low. Same sub-blocked self-join shape as the Jaccard query
+    (8 sub-blocks for schedulable parallelism); threshold applied in
+    integer space before any division."""
+    docs = T(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
+    )
+    nsub = 8
+    a = (
+        g.withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(nsub - 1))))
+        .repartition(64, "source", "sb")
+        .alias("a")
+    )
+    b = (
+        g.withColumn("sb", (F.col("doc_id") % nsub).cast("int"))
+        .repartition(64, "source", "sb")
+        .alias("b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.sb") == F.col("b.sb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).alias("inter"),
+        F.least(F.size(F.col("a.toks")), F.size(F.col("b.toks"))).alias("msize"),
+    )
+    return (
+        pairs.filter((F.col("msize") > 0) & (5 * F.col("inter") >= 4 * F.col("msize")))
+        .select(
+            "id_a", "id_b", F.expr("(1000 * inter) div msize").alias("cont_milli")
+        )
+    )
+
+
+@register(
     "dedup_prefix_filter",
     f"""
     -- Jaccard >= 0.9 WITHOUT a blocking key over a 1000-doc window:
@@ -3808,7 +3889,7 @@ def streaming_cdc_pipeline(spark, sf_dir):
     stream = _normalize_ts(stream)
     changes = events_to_changes(stream)
 
-    tmp = tempfile.mkdtemp(prefix="cdc_pipe_")
+    tmp = _scratch_dir("cdc_pipe_")
     target = ParquetMergeTarget(spark, f"{tmp}/target", ["user_id"], "user_id long, value double")
 
     def typed(df):
@@ -4017,7 +4098,7 @@ def esmodel_incremental_docs(spark, sf_dir):
     )
     t = EsModelTarget(
         spark,
-        tempfile.mkdtemp(prefix="esmodel_q_"),
+        _scratch_dir("esmodel_q_"),
         parent_table="customer",
         parent_key="c_custkey",
         parent_schema_ddl="c_custkey long, c_name string",
@@ -5267,7 +5348,7 @@ def streaming_incremental_rollup(spark, sf_dir):
     from gravity_spark.sinks.parquet_merge import AggregateRollupTarget
 
     ev = T(spark, sf_dir, "events").select("event_type", "ts", "value")
-    tmp = tempfile.mkdtemp(prefix="rollup_")
+    tmp = _scratch_dir("rollup_")
     try:
         src = f"{tmp}/src"
         ev.repartition(4).write.mode("overwrite").parquet(src)
@@ -5442,7 +5523,7 @@ def streaming_minhash_dedup_gate(spark, sf_dir):
     from gravity_spark.streaming.windows import minhash_bucket_gate
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="mh_gate_")
+    tmp = _scratch_dir("mh_gate_")
     stream_dir = f"{tmp}/stream"
     os.makedirs(stream_dir)
     mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
@@ -6025,7 +6106,7 @@ def dpp_partition_pruned(spark, sf_dir):
     orders = T(spark, sf_dir, "orders").withColumn(
         "o_ym", F.date_format("o_orderdate", "yyyy-MM")
     )
-    tmp = tempfile.mkdtemp(prefix="dpp_orders_")
+    tmp = _scratch_dir("dpp_orders_")
     # repartition by the partition column first: one file per month dir
     # instead of (#tasks × #months) tiny files — at 100 TB this is the
     # difference between 80 well-sized files and hundreds of thousands
@@ -7388,6 +7469,92 @@ def graph_triangle_count(spark, sf_dir):
     return tri.crossJoin(F.broadcast(edges))
 
 
+_KCORE_K, _KCORE_ROUNDS = 3, 4
+
+
+def _kcore_sql() -> str:
+    """Bounded-round k-core peel, unrolled: both engines compute the
+    identical fixed number of peel rounds, so the oracle needs no
+    recursion (and no fixpoint detection)."""
+    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    parts = [
+        """e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS (
+      SELECT x, count(*) AS c FROM (
+        SELECT u AS x FROM e{r} UNION ALL SELECT v AS x FROM e{r}
+      ) GROUP BY x
+    ),
+    k{r} AS (SELECT x FROM d{r} WHERE c >= {k}),
+    e{r + 1} AS (
+      SELECT u, v FROM e{r}
+      WHERE u IN (SELECT x FROM k{r}) AND v IN (SELECT x FROM k{r})
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT x AS node, count(*) AS degree FROM (
+      SELECT u AS x FROM e{rounds} UNION ALL SELECT v AS x FROM e{rounds}
+    ) GROUP BY x"""
+    )
+
+
+@register("graph_kcore_peel", _kcore_sql())
+def graph_kcore_peel(spark, sf_dir):
+    """Bounded-round k-core peeling of the co-purchase graph: each
+    round drops vertices of degree < k and the edges touching them —
+    the standard graph-hygiene pass (spam/hub pruning, community
+    pre-filter) before heavier graph analytics. Fixed round count, so
+    results are deterministic and the oracle is plain unrolled SQL; a
+    production run would peel to fixpoint (the per-round shape is
+    identical, only the loop guard changes).
+
+    Scale shape: every round is one (vertex, count) aggregation — the
+    shuffle carries vertex ids only — plus two LEFT SEMI joins pruning
+    the edge list; the edge list only ever shrinks, and persisting each
+    round keeps lineage flat. Degree-k filtering never materializes
+    neighborhoods, so power-law hubs cost nothing beyond their edge
+    rows (contrast the wedge join, which graph.py degree-orients for
+    the same reason)."""
+    from gravity_spark.functions import graph as G
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    ).localCheckpoint()  # eager: truncates lineage — each round's plan
+    # references the edge list twice (degrees + semi-join probe), so an
+    # un-truncated chain doubles the optimizer's tree per round
+    for _ in range(_KCORE_ROUNDS):
+        keep = G.degrees(edges).filter(F.col("d") >= _KCORE_K).select("x")
+        edges = (
+            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return G.degrees(edges).select(
+        F.col("x").alias("node"), F.col("d").alias("degree")
+    )
+
+
 @register("bpe_tokenize", None)  # rows-only: driver-held merge training
 def bpe_tokenize(spark, sf_dir):
     """BPE tokenizer TRAINED IN-ENGINE (Sennrich et al. 2016) then
@@ -7661,15 +7828,18 @@ def customer_rfm_segments(spark, sf_dir):
     order refines the (metric, custkey) total order and the tile
     formula is SQL ntile's."""
     orders = T(spark, sf_dir, "orders")
+    # persist: each _dist_ntile pass runs a count aggregation plus the
+    # ranked join over this dim — without pinning, pass 3 would rescan
+    # the orders fact 3× through the growing lineage
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))).alias(
             "last_epoch"
         ),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
-    )
-    scored = _dist_ntile(base, "last_epoch", "custkey", "r_score", 5)
-    scored = _dist_ntile(scored, "n_orders", "custkey", "f_score", 5)
+    ).persist()
+    scored = _dist_ntile(base, "last_epoch", "custkey", "r_score", 5).persist()
+    scored = _dist_ntile(scored, "n_orders", "custkey", "f_score", 5).persist()
     scored = _dist_ntile(scored, "cents", "custkey", "m_score", 5)
     return scored.select("custkey", "r_score", "f_score", "m_score")
 

@@ -38,6 +38,13 @@ def get_spark(app_name: str = "gravity_spark", cpus: int | None = None) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.path.isdir("/dev/shm"):
+        # local harness: shuffle/spill blocks and implicit stream
+        # checkpoints on tmpfs — /tmp here is disk-backed and the
+        # per-epoch fsyncs otherwise dominate small streaming queries.
+        # On a real cluster spark.local.dir is node-local NVMe and
+        # checkpoints point at durable shared storage instead.
+        builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_local")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
