@@ -81,7 +81,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     wb ≺ wc by construction, so one equi-join suffices). Returns a
     single row (n_triangles). The count is orientation-invariant —
     id-oriented SQL oracles agree."""
-    oriented = degree_orient(edges)
+    # persist: the oriented edge list is read three times (both wedge
+    # sides + the closing probe) — without it each reference recomputes
+    # the degree joins
+    oriented = degree_orient(edges).persist()
     w = oriented_wedges(oriented)
     e3 = oriented.alias("e3")
     return w.join(
