@@ -4514,6 +4514,74 @@ def multimodal_features(spark, sf_dir):
 
 
 @register(
+    "attribution_touchpoints",
+    """
+    -- first/last-touch attribution per purchase: last touch = most
+    -- recent click/view before the purchase; first touch = earliest
+    -- click/view since the user's PREVIOUS purchase (campaign credit
+    -- resets per conversion). Total-ordered by (ts, event_id).
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp,
+             last_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch_id,
+             ts
+      FROM events
+    ),
+    firsts AS (
+      SELECT *,
+             first_value(CASE WHEN event_type IN ('click','view') THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id, grp ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch_id
+      FROM base
+    )
+    SELECT event_id, user_id, first_touch_id, last_touch_id
+    FROM firsts WHERE event_type = 'purchase'
+    """,
+)
+def attribution_touchpoints(spark, sf_dir):
+    """Marketing attribution: for every purchase, the LAST touchpoint
+    (most recent click/view before it) and the FIRST touchpoint since
+    the user's previous purchase — the two standard credit models,
+    computed together.
+
+    Scale shape: two per-user window passes. The first shuffles on
+    user_id and emits both the running purchase count (the credit-reset
+    group) and the running last-touch via IGNORE NULLS navigation; the
+    second repartitions on (user_id, grp) — strictly finer keys, same
+    data volume — for the in-group first touch. No self-join of events
+    to events (the naive attribution query), so cost is two sorts of
+    the events stream, not touches × purchases."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    touch_id = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_id")
+    )
+    base = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(prev),
+            F.lit(0),
+        ).alias("grp"),
+        F.last(touch_id, ignorenulls=True).over(prev).alias("last_touch_id"),
+    )
+    w2 = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    firsts = base.withColumn(
+        "first_touch_id",
+        F.first(touch_id, ignorenulls=True).over(
+            w2.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    return firsts.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "first_touch_id", "last_touch_id"
+    )
+
+
+@register(
     "funnel_conversion",
     """
     WITH w1 AS (
@@ -4758,6 +4826,94 @@ def perplexity_filter(spark, sf_dir):
         "doc_id",
         avg.alias("avg_surprisal_micro"),
         F.when(avg <= 3800000, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+@register(
+    "text_bigram_lm",
+    f"""
+    -- bigram LM quality filter (the conditional upgrade of
+    -- perplexity_filter's unigram model): per-doc mean surprisal of
+    -- P(next | prev) = (c(prev,next) + 1) / (c(prev·) + V), add-one
+    -- smoothed over the corpus vocabulary
+    WITH tl AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS p,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS nx
+      FROM tl WHERE len(toks) >= 2
+    ),
+    cb AS (SELECT p, nx, count(*) AS cb FROM bg GROUP BY p, nx),
+    cp AS (SELECT p, sum(cb) AS cp FROM cb GROUP BY p),
+    v AS (
+      SELECT count(DISTINCT t) AS v
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             sum(-CAST(round(round(ln(CAST(cb.cb + 1 AS DOUBLE) / (cp.cp + v.v)), 6)
+                             * 1000000) AS BIGINT)) AS sp,
+             count(*) AS n
+      FROM bg JOIN cb USING (p, nx) JOIN cp USING (p) CROSS JOIN v
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, CAST(sp // n AS BIGINT) AS avg_bigram_surprisal_micro,
+           CASE WHEN sp // n <= 3450000 THEN 1 ELSE 0 END AS keep
+    FROM scored
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram-LM quality filter: mean conditional surprisal
+    -ln P(next | prev) per doc under the corpus's own add-one-smoothed
+    bigram model — the conditional upgrade of perplexity_filter that
+    catches ungrammatical token salads a unigram model scores as fine.
+
+    Scale shape: bigram/head-count tables are vocab-sized dims
+    (broadcast here; at web scale the bigram table outgrows broadcast
+    and the join degrades gracefully to a shuffle on the bigram key —
+    the plan shape is unchanged). One pass explodes (prev, next) pairs
+    via a single indexed transform (no self-join of positions); float
+    determinism is perplexity_filter's discipline: ln rounded to 6dp at
+    the source, micro-integer surprisals summed exactly, integer
+    division at the end."""
+    docs = T(spark, sf_dir, "documents")
+    tl = docs.select(
+        "doc_id", tx.tokenize(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = tl.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS p, element_at(toks, i + 1) AS nx))"
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.p", "e.nx")
+    cb = bg.groupBy("p", "nx").agg(F.count(F.lit(1)).alias("cb"))
+    cp = cb.groupBy("p").agg(F.sum("cb").alias("cp"))
+    v = (
+        docs.select(F.explode(tx.tokenize(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t").alias("v"))
+    )
+    sp_micro = -F.round(
+        F.round(
+            F.log((F.col("cb") + 1).cast("double") / (F.col("cp") + F.col("v"))), 6
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    scored = (
+        bg.join(F.broadcast(cb), ["p", "nx"])
+        .join(F.broadcast(cp), "p")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(F.sum(sp_micro).alias("sp"), F.count(F.lit(1)).alias("n"))
+    )
+    avg = F.expr("sp div n")
+    return scored.select(
+        "doc_id",
+        avg.alias("avg_bigram_surprisal_micro"),
+        F.when(avg <= 3450000, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
 
 
