@@ -7784,6 +7784,75 @@ def cdc_scd2_history(spark, sf_dir):
 
 
 @register(
+    "cdc_scd2_lookup",
+    f"""
+    -- temporal (AS OF) lookup: each purchase fact joined to the SCD2
+    -- dimension version valid strictly before it — the warehouse-side
+    -- consumer of cdc_scd2_history's version chain
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, {_OP_SQL} AS op,
+             round(value, 2) AS value
+      FROM events
+    ),
+    dim AS (
+      SELECT user_id, event_id AS vseq, op, value
+      FROM ev WHERE event_type <> 'purchase'
+    ),
+    p AS (SELECT event_id, user_id FROM ev WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, d.vseq AS version_seq,
+           CASE WHEN d.op <> 'delete' THEN d.value END AS value_at
+    FROM p LEFT JOIN LATERAL (
+      SELECT vseq, op, value FROM dim
+      WHERE dim.user_id = p.user_id AND dim.vseq < p.event_id
+      ORDER BY vseq DESC LIMIT 1
+    ) d ON true
+    """,
+)
+def cdc_scd2_lookup(spark, sf_dir):
+    """Temporal dimension lookup: every purchase fact picks up the
+    user's dimension version valid AS OF the fact (strictly preceding
+    change; a delete tombstone version yields NULL value but keeps the
+    version row). This is the consuming half of SCD2 — fact enrichment
+    against a versioned dim.
+
+    Scale shape: the as-of union-sort (operators/asof.py) — facts and
+    versions union into ONE shuffle on the key and a single ordered
+    window pass, linear in rows; never the per-fact LATERAL probe the
+    oracle spells (quadratic in the worst case). The strict < is the
+    inclusive backward join shifted one integer seq down."""
+    from gravity_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    dim = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        F.col("event_id").alias("vseq"),
+        op.alias("op"),
+        F.round("value", 2).alias("value"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", (F.col("event_id") - 1).alias("lookup_seq")
+    )
+    matched = asof_join(
+        facts, dim, on="user_id", left_ts="lookup_seq", right_ts="vseq",
+        right_id="vseq",
+    )
+    return (
+        matched.join(dim, ["user_id", "vseq"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("vseq").alias("version_seq"),
+            F.when(F.col("op") != "delete", F.col("value")).alias("value_at"),
+        )
+    )
+
+
+@register(
     "cdc_snapshot_at",
     f"""
     WITH changes AS (
