@@ -125,3 +125,62 @@ def test_preview_never_mutates_target(spark, tmp_path):
     # and the classified frame carries the audit schema: values + op + outcome
     cols = preview_conflicts(target, ch, ["id"]).columns
     assert cols == ["id", "name", "qty", "op", "outcome"]
+
+
+def test_randomized_preview_matches_reference(spark):
+    """Randomized preview oracle: classification of a random change
+    batch against a random target must equal a sequential Python
+    restatement of conflict_preview_engine.go's probe logic."""
+    import random
+
+    rng = random.Random(11)
+    target_rows = [
+        (k, rng.choice(["a", "b", None]), rng.randrange(5))
+        for k in rng.sample(range(30), 18)
+    ]
+    tstate = {k: (n, q) for k, n, q in target_rows}
+    target = spark.createDataFrame(target_rows, "id long, name string, qty long")
+
+    changes = []
+    for seq in range(120):
+        k = rng.randrange(30)
+        op = rng.choice(["insert", "update", "delete"])
+        new = (rng.choice(["a", "b", "x", None]), rng.randrange(5))
+        # old image: sometimes the true target image, sometimes junk
+        if rng.random() < 0.5 and k in tstate:
+            old = tstate[k]
+        else:
+            old = (rng.choice(["a", "b", None]), rng.randrange(5))
+        changes.append((k, new[0], new[1], old[0], old[1], op))
+
+    def ref(k, name, qty, old_name, old_qty, op):
+        exists = k in tstate
+        if op == "insert":
+            return PREVIEW_CONFLICT if exists else PREVIEW_WOULD_INSERT
+        if op == "update":
+            if not exists or tstate[k] != (old_name, old_qty):
+                return PREVIEW_CONFLICT
+            return (
+                PREVIEW_CONFLICT
+                if tstate[k] == (name, qty)
+                else PREVIEW_WOULD_UPDATE
+            )
+        return (
+            PREVIEW_WOULD_DELETE
+            if exists and tstate[k] == (name, qty)
+            else PREVIEW_CONFLICT
+        )
+
+    df = spark.createDataFrame(
+        changes, "id long, name string, qty long, old_name string, old_qty long, op string"
+    )
+    got = [
+        (r["id"], r["name"], r["qty"], r["op"], r["outcome"])
+        for r in preview_conflicts(target, df, ["id"]).collect()
+    ]
+    want = [
+        (k, n, q, op, ref(k, n, q, on, oq, op))
+        for k, n, q, on, oq, op in changes
+    ]
+    key = lambda t: tuple("" if x is None else str(x) for x in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
