@@ -39,12 +39,20 @@ def get_spark(app_name: str = "gravity_spark", cpus: int | None = None) -> Spark
         .config("spark.ui.enabled", "false")
     )
     if os.path.isdir("/dev/shm"):
-        # local harness: shuffle/spill blocks and implicit stream
-        # checkpoints on tmpfs — /tmp here is disk-backed and the
-        # per-epoch fsyncs otherwise dominate small streaming queries.
-        # On a real cluster spark.local.dir is node-local NVMe and
-        # checkpoints point at durable shared storage instead.
-        builder = builder.config("spark.local.dir", "/dev/shm/spark_graft_local")
+        # local harness: shuffle/spill blocks and implicit (temporary)
+        # stream checkpoints on tmpfs — /tmp here is disk-backed and
+        # the per-epoch fsyncs otherwise dominate small streaming
+        # queries. java.io.tmpdir covers the memory-sink streams'
+        # auto-created temp checkpoints. On a real cluster
+        # spark.local.dir is node-local NVMe and checkpoints point at
+        # durable shared storage instead.
+        os.makedirs("/dev/shm/spark_graft_tmp", exist_ok=True)
+        builder = builder.config(
+            "spark.local.dir", "/dev/shm/spark_graft_local"
+        ).config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/dev/shm/spark_graft_tmp",
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
