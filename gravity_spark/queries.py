@@ -63,10 +63,16 @@ def _scratch_dir(prefix: str) -> str:
     small streaming queries' wall time. These dirs are bench scratch —
     real deployments point checkpoints at durable shared storage; the
     tmpfs substrate changes no semantics, only where the fsyncs land."""
+    import atexit
+    import shutil
     import tempfile
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    return tempfile.mkdtemp(prefix=prefix, dir=base)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    # tmpfs is RAM — reclaim scratch when the process exits (a gate run
+    # allocates one dir per streaming-query execution)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def _await_stream(q, timeout: int = 120) -> None:

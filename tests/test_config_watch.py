@@ -131,3 +131,87 @@ def test_supervise_rebuilds_pipeline_on_change(spark, tmp_path):
         assert str(tmp_path / "tgt2") in str(p2.target.path)
     finally:
         watcher.stop()
+
+
+STREAM_TOML = """
+name = "watchstream"
+
+[input]
+type = "file-cdc"
+mode = "stream"
+
+[input.config]
+path = "%s"
+
+[output]
+type = "parquet-merge"
+
+[output.config]
+path = "%s"
+pk = ["id"]
+schema = "id string, v string"
+checkpoint = "%s"
+"""
+
+
+def test_supervise_auto_start_restarts_stream(spark, tmp_path):
+    """Streaming supervise: the running query is tracked, stopped on a
+    valid reload, and the replacement stream started — build-then-stop
+    ordering (cmd/gravity/main.go:149-173 restart loop)."""
+    import json
+    import time as _t
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    with open(src / "p0.json", "w") as f:
+        f.write(json.dumps({
+            "type": "dml", "database": "app", "table": "t", "op": "insert",
+            "data": {"id": "1", "v": "a"}, "pks": {"id": "1"}, "seq": 1,
+        }) + "\n")
+
+    def cfg_text(n):
+        return STREAM_TOML % (str(src), str(tmp_path / f"tgt{n}"),
+                              str(tmp_path / f"ckpt{n}"))
+
+    cfg_path = tmp_path / "pipe.toml"
+    cfg_path.write_text(cfg_text(1))
+    from gravity_spark.plans.watch import supervise
+
+    get_pipeline, watcher = supervise(
+        spark, str(cfg_path), poll_interval=0.05, auto_start=True
+    )
+    q1 = None
+    try:
+        p1 = get_pipeline()
+        assert p1.is_streaming
+        # the initial stream was auto-started; wait for it to apply
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            try:
+                if p1.target.read().count() == 1:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.2)
+        assert p1.target.read().count() == 1
+
+        # reload with a new target: old stream stopped, new one started
+        cfg_path.write_text(cfg_text(2))
+        deadline = _t.time() + 15
+        while get_pipeline() is p1 and _t.time() < deadline:
+            _t.sleep(0.05)
+        p2 = get_pipeline()
+        assert p2 is not p1
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            try:
+                if p2.target.read().count() == 1:
+                    break
+            except Exception:
+                pass
+            _t.sleep(0.2)
+        assert p2.target.read().count() == 1
+    finally:
+        watcher.stop()
+        for q in spark.streams.active:
+            q.stop()
