@@ -87,6 +87,46 @@ def to_wire_v20(changes: DataFrame) -> DataFrame:
     )
 
 
+def to_wire_mongo(changes: DataFrame, version: str = VERSION_20) -> DataFrame:
+    """Mongo-flavor JSON wire format (pkg/core/encoding/mongo_json.go):
+    v2.0-alpha = {version, database, collection, data, row};
+    v0.1 embeds an oplog-shaped object ({ns, op i/u/d, o, ts} — the
+    public gtm.Op field layout) plus unique_source_name. Same (key,
+    value) contract as the RDB formats; key = depHash string."""
+    if version == VERSION_01:
+        oplog = F.struct(
+            F.concat_ws(".", F.col("database"), F.col("table")).alias("ns"),
+            F.when(F.col("op") == "insert", F.lit("i"))
+            .when(F.col("op") == "delete", F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            F.col("data").alias("o"),
+            F.unix_timestamp("ts").alias("ts"),
+        )
+        value = F.to_json(
+            F.struct(
+                F.lit(VERSION_01).alias("version"),
+                F.col("database").alias("database"),
+                F.col("table").alias("collection"),
+                F.coalesce(F.col("host"), F.lit("")).alias("unique_source_name"),
+                oplog.alias("oplog"),
+            )
+        )
+    else:
+        value = F.to_json(
+            F.struct(
+                F.lit(VERSION_20).alias("version"),
+                F.col("database").alias("database"),
+                F.col("table").alias("collection"),
+                F.col("data").alias("data"),
+                F.col("pks").alias("row"),
+            )
+        )
+    return changes.select(
+        dep_hash(F.col("pks")).cast("string").alias("key"), value.alias("value")
+    )
+
+
 def to_wire_pb(changes: DataFrame) -> DataFrame:
     """Protobuf wire format (protocol/msgpb/message.proto +
     pkg/core/encoding/pb.go DataMapToPB): serialize each envelope row

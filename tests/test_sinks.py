@@ -4,7 +4,7 @@ from pyspark.sql import functions as F
 
 from gravity_spark.core.envelope import memory_changes
 from gravity_spark.sinks.esmodel import assemble_docs, to_docs
-from gravity_spark.sinks.wire import to_wire_v01, to_wire_v20
+from gravity_spark.sinks.wire import to_wire_mongo, to_wire_v01, to_wire_v20
 
 ROWS = [
     {"database": "app", "table": "t", "op": "insert",
@@ -37,6 +37,26 @@ def test_wire_v20_has_seq_and_rfc3339(spark):
     assert p["seq"] == 2
     assert "T" in p["time"]
     assert p["old"] == {"id": "1", "v": "a"}
+
+
+def test_wire_mongo_both_versions(spark):
+    # mongo_json.go parity: v2.0-alpha {version, database, collection,
+    # data, row}; v0.1 embeds the oplog-shaped object + source name
+    wire = to_wire_mongo(memory_changes(spark, ROWS)).collect()
+    p = json.loads(wire[0]["value"])
+    assert p["version"] == "2.0.alpha"
+    assert p["collection"] == "t"
+    assert p["data"] == {"id": "1", "v": "a"}
+    assert p["row"] == {"id": "1"}
+
+    w01 = to_wire_mongo(memory_changes(spark, ROWS), version="0.1").collect()
+    p0 = json.loads(w01[0]["value"])
+    p1 = json.loads(w01[1]["value"])
+    assert p0["version"] == "0.1" and p0["collection"] == "t"
+    assert p0["oplog"]["ns"] == "app.t"
+    assert p0["oplog"]["op"] == "i" and p1["oplog"]["op"] == "u"
+    assert p0["oplog"]["o"] == {"id": "1", "v": "a"}
+    assert w01[0]["key"] == w01[1]["key"]
 
 
 def test_esmodel_assembly(spark):
