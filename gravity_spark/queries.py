@@ -7631,7 +7631,9 @@ def graph_triangle_count(spark, sf_dir):
     return tri.crossJoin(F.broadcast(edges))
 
 
-_KCORE_K, _KCORE_ROUNDS = 3, 4
+# k=2 keeps the peel non-trivial at every harness scale (the sf0.1
+# support-floored graph is sparse: a 3-core empties by round 4)
+_KCORE_K, _KCORE_ROUNDS = 2, 4
 
 
 def _kcore_sql() -> str:
@@ -7639,8 +7641,12 @@ def _kcore_sql() -> str:
     identical fixed number of peel rounds, so the oracle needs no
     recursion (and no fixpoint detection)."""
     k, rounds = _KCORE_K, _KCORE_ROUNDS
+    # MATERIALIZED: every e{r} is referenced five times downstream
+    # (degree union twice, FROM + two IN probes) — without it DuckDB
+    # 1.x inlines CTEs per reference and the unrolled rounds re-evaluate
+    # the base self-join exponentially (observed: sf0.1 oracle hung)
     parts = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -7649,13 +7655,13 @@ def _kcore_sql() -> str:
     ]
     for r in range(rounds):
         parts.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
       SELECT x, count(*) AS c FROM (
         SELECT u AS x FROM e{r} UNION ALL SELECT v AS x FROM e{r}
       ) GROUP BY x
     ),
-    k{r} AS (SELECT x FROM d{r} WHERE c >= {k}),
-    e{r + 1} AS (
+    k{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE c >= {k}),
+    e{r + 1} AS MATERIALIZED (
       SELECT u, v FROM e{r}
       WHERE u IN (SELECT x FROM k{r}) AND v IN (SELECT x FROM k{r})
     )"""
