@@ -2507,6 +2507,78 @@ def embedding_centroids(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    -- scalar int8 quantization of the embedding column: per-dim
+    -- min/max over the corpus, 0..255 codes, integer-exact
+    -- reconstruction error (the memory-compression sibling of PQ)
+    WITH pos AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS v
+      FROM embeddings
+    ),
+    stats AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM pos GROUP BY dim),
+    q AS (
+      SELECT p.vec_id, p.dim, p.v, s.mn, s.mx,
+             ((p.v - s.mn) * 255) // greatest(s.mx - s.mn, 1) AS code
+      FROM pos p JOIN stats s USING (dim)
+    )
+    SELECT vec_id,
+           CAST(sum(code * dim) AS BIGINT) AS code_checksum,
+           CAST(sum((v - (mn + (code * (mx - mn)) // 255))
+                    * (v - (mn + (code * (mx - mn)) // 255))) AS BIGINT) AS sq_err
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of embeddings (min/max per dimension →
+    0..255 codes) with exact integer reconstruction error — the 4×
+    memory-compression baseline every vector store ships alongside PQ.
+
+    Scale shape: the per-dim stats are ONE (dim, partials) aggregation
+    (shuffle carries 64 keys of partial min/max per mapper) folded into
+    two 64-long broadcast arrays; quantize + error are then row-local
+    array expressions over the corpus — the corpus itself never
+    explodes to (row × dim) and never re-shuffles, unlike the oracle's
+    spelled-out positional form. All arithmetic is scaled-integer (the
+    embedding_centroids discipline), so codes and errors are
+    bit-identical cross-engine."""
+    emb = T(spark, sf_dir, "embeddings")
+    scaled = emb.select("vec_id", sim.scale_embedding(F.col("embedding")).alias("xi"))
+    pos = scaled.select(F.posexplode("xi").alias("dim0", "v"))
+    stats = (
+        pos.groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)").alias("mn"),
+            F.expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)").alias("mx"),
+        )
+    )
+    codes = F.expr(
+        "transform(sequence(1, size(xi)), i -> "
+        "((element_at(xi, i) - element_at(mn, i)) * 255)"
+        " div greatest(element_at(mx, i) - element_at(mn, i), 1))"
+    )
+    with_codes = (
+        scaled.join(F.broadcast(stats))
+        .withColumn("codes", codes)
+    )
+    checksum = F.expr(
+        "aggregate(sequence(1, size(codes)), 0L, (a, i) -> a + element_at(codes, i) * i)"
+    )
+    sq_err = F.expr(
+        "aggregate(sequence(1, size(xi)), 0L, (a, i) -> a + "
+        "(element_at(xi, i) - (element_at(mn, i) + "
+        "(element_at(codes, i) * (element_at(mx, i) - element_at(mn, i))) div 255)) * "
+        "(element_at(xi, i) - (element_at(mn, i) + "
+        "(element_at(codes, i) * (element_at(mx, i) - element_at(mn, i))) div 255)))"
+    )
+    return with_codes.select(
+        "vec_id", checksum.alias("code_checksum"), sq_err.alias("sq_err")
+    )
+
+
 def _hex8_to_int_sql(expr: str) -> str:
     """First 8 hex digits of md5 → BIGINT, positionally (DuckDB has no
     base-16 conv; Spark side uses F.conv which computes the same sum)."""
@@ -7861,6 +7933,114 @@ def cdc_scd2_lookup(spark, sf_dir):
             F.col("vseq").alias("version_seq"),
             F.when(F.col("op") != "delete", F.col("value")).alias("value_at"),
         )
+    )
+
+
+@register(
+    "streaming_scd2_maintain",
+    f"""
+    -- the BATCH truth (cdc_scd2_history's build) — the streaming side
+    -- must converge to the same version table after all epochs
+    WITH changes AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             round(value, 2) AS value
+      FROM events
+    )
+    SELECT user_id, seq, op, value,
+           lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS valid_to_seq,
+           (lead(seq) OVER (PARTITION BY user_id ORDER BY seq) IS NULL
+            AND op <> 'delete') AS is_current
+    FROM changes
+    """,
+)
+def streaming_scd2_maintain(spark, sf_dir):
+    """INCREMENTAL SCD2 maintenance: the change stream arrives in two
+    seq-ordered micro-batches and a foreachBatch maintains the
+    warehouse version table — per epoch, open versions of touched keys
+    are closed at the batch's first seq for that key and the batch's
+    changes append as chained versions. After both epochs the table
+    must equal cdc_scd2_history's one-shot batch build (the oracle) —
+    the convergence property that makes the maintenance correct under
+    any epoch split.
+
+    Scale shape: per epoch one key-partitioned window chains the batch,
+    one aggregation finds each touched key's first seq, and the
+    close-open-versions join touches only affected keys; the upsert
+    rides the idempotent merge sink keyed on (user_id, seq), so
+    redelivery is safe."""
+    import glob
+    import shutil
+
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    ev = T(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    changes = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        op.alias("chg_op"),
+        F.round("value", 2).alias("value"),
+    )
+    tmp = _scratch_dir("scd2_stream_")
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    mid = changes.agg(F.max("seq")).collect()[0][0] // 2
+    for idx, pred in enumerate([F.col("seq") <= mid, F.col("seq") > mid]):
+        part_dir = f"{tmp}/w{idx}"
+        changes.filter(pred).coalesce(1).write.mode("overwrite").json(part_dir)
+        src = glob.glob(f"{part_dir}/part-*.json")[0]
+        dst = f"{stream_dir}/{idx:03d}.json"
+        shutil.move(src, dst)
+        os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
+
+    target = ParquetMergeTarget(
+        spark, f"{tmp}/target", ["user_id", "seq"],
+        "user_id long, seq long, chg_op string, value double, valid_to_seq long",
+    )
+
+    def maintain(df, epoch_id):
+        batch = df.select("user_id", "seq", "chg_op", "value")
+        w = Window.partitionBy("user_id").orderBy("seq")
+        chained = batch.withColumn("valid_to_seq", F.lead("seq").over(w))
+        first_new = batch.groupBy("user_id").agg(F.min("seq").alias("__fs"))
+        cur = target.read()
+        closed = (
+            cur.filter(F.col("valid_to_seq").isNull())
+            .join(F.broadcast(first_new), "user_id")
+            .select(
+                "user_id", "seq", "chg_op", "value",
+                F.col("__fs").alias("valid_to_seq"),
+            )
+        )
+        # every upsert is an 'insert' op for the merge sink; the data
+        # column `seq` doubles as the merge order (rows are unique per
+        # (user_id, seq) so ordering is vacuous but well-defined)
+        upserts = closed.unionByName(chained).withColumn("op", F.lit("insert"))
+        target.apply_batch(upserts, epoch_id)
+
+    stream = (
+        spark.readStream.schema("user_id long, seq long, chg_op string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(stream_dir)
+    )
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 300)
+    t = target.read()
+    return t.select(
+        "user_id", "seq", F.col("chg_op").alias("op"), "value", "valid_to_seq",
+        (F.col("valid_to_seq").isNull() & (F.col("chg_op") != "delete")).alias(
+            "is_current"
+        ),
     )
 
 
