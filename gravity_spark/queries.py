@@ -3150,6 +3150,39 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_dedup_exact",
+    """
+    -- exact dedup of opaque media payloads by content hash: one
+    -- representative (min id) per distinct payload, with the dup count
+    SELECT min(doc_id) AS keep_media_id,
+           count(*) AS n_copies,
+           sha256(text) AS payload_sha
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def multimodal_dedup_exact(spark, sf_dir):
+    """Exact dedup over the multimodal payload column: group by the
+    payload's sha256 (the binary column never shuffles — only the
+    64-char digest and the id ride the exchange), keep the min id per
+    distinct payload. The media twin of dedup_exact; at 100 TB of
+    images this hash-project-then-agg shape is the only viable one
+    (shuffling payload bytes would move the corpus)."""
+    from gravity_spark.functions.multimodal import documents_as_media
+
+    media = documents_as_media(T(spark, sf_dir, "documents"))
+    return (
+        media.select("media_id", F.sha2("payload", 256).alias("payload_sha"))
+        .groupBy("payload_sha")
+        .agg(
+            F.min("media_id").alias("keep_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_media_id", "n_copies", "payload_sha")
+    )
+
+
 # =====================================================================
 # §D  Second wave: conflict engine, repair jobs, breadth operators
 # =====================================================================
