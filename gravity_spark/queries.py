@@ -5242,6 +5242,110 @@ def corpus_mixture_weights(spark, sf_dir):
 
 
 @register(
+    "doc_keywords_tfidf",
+    f"""
+    -- per-doc keyword extraction: top-3 terms by exact integer
+    -- tf × micro-idf (ln rounded 6dp at the float boundary)
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM toks GROUP BY doc_id, t),
+    df AS (SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t,
+             tf.tf * CAST(round(round(ln(CAST(nd.n AS DOUBLE) / df.df), 6)
+                                * 1000000) AS BIGINT) AS score
+      FROM tf JOIN df USING (t) CROSS JOIN nd
+    )
+    SELECT doc_id, rank, t AS term, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, t) AS rank
+      FROM scored
+    ) WHERE rank <= 3 AND score > 0
+    """,
+)
+def doc_keywords_tfidf(spark, sf_dir):
+    """Keyword extraction: each document's top-3 terms by tf×idf —
+    the summarization/tagging primitive indexing pipelines run corpus-
+    wide. Exact integers: tf counts × micro-idf (ln rounded 6dp at the
+    source, the perplexity_filter discipline), ties broken on the term.
+
+    Scale shape: tf is one (doc, term) hash agg; df/N are vocab-sized
+    broadcast dims; top-3 is a window partitioned BY DOC (massively
+    parallel — never a global sort). Terms with idf 0 (in every doc)
+    are dropped, which also keeps the output stable as the corpus
+    grows."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    idf_micro = F.round(
+        F.round(F.log(F.col("n").cast("double") / F.col("df")), 6) * 1000000, 0
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .crossJoin(F.broadcast(nd))
+        .select("doc_id", "t", (F.col("tf") * idf_micro).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "t")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") <= 3) & (F.col("score") > 0))
+        .select("doc_id", F.col("rank").cast("long").alias("rank"),
+                F.col("t").alias("term"), "score")
+    )
+
+
+@register(
+    "mixture_temperature_weights",
+    """
+    -- temperature-scaled sampling (the multilingual-pretraining p^(1/T)
+    -- rule, T=2): w_src ∝ sqrt(share) renormalized; deterministic via
+    -- the 6dp-round-at-the-float-boundary discipline
+    WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    g AS (SELECT sum(n) AS total FROM s),
+    r AS (
+      SELECT source, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE) / total) * 1000000) AS BIGINT)
+               AS root_micro
+      FROM s, g
+    ),
+    z AS (SELECT sum(root_micro) AS zsum FROM r)
+    SELECT source, n AS n_docs,
+           round(CAST(root_micro AS DOUBLE) / zsum, 6) AS weight
+    FROM r, z
+    """,
+)
+def mixture_temperature_weights(spark, sf_dir):
+    """Temperature-scaled domain mixture (p_src^(1/T), T=2 — the
+    standard multilingual/pretraining rebalancing between uniform and
+    proportional): per-source share square-rooted and renormalized.
+
+    Determinism: sqrt is the only float op and it is rounded to integer
+    micro-units at the source; the normalizer is then an exact integer
+    sum (order-free) with one double division at the end. One hash agg
+    over sources; both corpus scalars are broadcast one-row frames."""
+    docs = T(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    g = s.agg(F.sum("n").alias("total"))
+    r = s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        F.round(F.sqrt(F.col("n").cast("double") / F.col("total")) * 1000000)
+        .cast("long")
+        .alias("root_micro"),
+    )
+    z = r.agg(F.sum("root_micro").alias("zsum"))
+    return r.crossJoin(F.broadcast(z)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("root_micro").cast("double") / F.col("zsum"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+@register(
     "asof_join_next_purchase",
     """
     WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
