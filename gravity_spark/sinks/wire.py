@@ -87,6 +87,63 @@ def to_wire_v20(changes: DataFrame) -> DataFrame:
     )
 
 
+_WIRE_V20_SCHEMA = (
+    "version string, database string, table string, host string, "
+    "op string, time string, seq long, data map<string,string>, "
+    "old map<string,string>, pks map<string,string>"
+)
+_WIRE_V01_SCHEMA = (
+    "version string, database string, table string, host string, "
+    "type string, time string, data map<string,string>, "
+    "old map<string,string>, pks map<string,string>"
+)
+
+
+def from_wire_v20(frames: DataFrame, value_col: str = "value") -> DataFrame:
+    """Consumer half of the v2.0-alpha JSON wire format: gravity →
+    gravity chaining (the reference's two-cluster bidirectional
+    deployment consumes its own Kafka output; its Deserialize is
+    actually unimplemented — rdb_json.go:183 panics — so this EXCEEDS
+    parity). Returns envelope-schema rows."""
+    parsed = frames.select(
+        F.from_json(F.col(value_col).cast("string"), _WIRE_V20_SCHEMA).alias("m")
+    )
+    return parsed.select(
+        F.lit("dml").alias("type"),
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table"),
+        F.col("m.host").alias("host"),
+        F.col("m.op").alias("op"),
+        F.to_timestamp("m.time", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias("ts"),
+        F.col("m.data").alias("data"),
+        F.col("m.old").alias("old"),
+        F.col("m.pks").alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.col("m.seq").alias("seq"),
+    )
+
+
+def from_wire_v01(frames: DataFrame, value_col: str = "value") -> DataFrame:
+    """Consumer half of the v0.1 format (op rides as `type`, event time
+    is second-precision)."""
+    parsed = frames.select(
+        F.from_json(F.col(value_col).cast("string"), _WIRE_V01_SCHEMA).alias("m")
+    )
+    return parsed.select(
+        F.lit("dml").alias("type"),
+        F.col("m.database").alias("database"),
+        F.col("m.table").alias("table"),
+        F.col("m.host").alias("host"),
+        F.col("m.type").alias("op"),
+        F.to_timestamp("m.time", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.col("m.data").alias("data"),
+        F.col("m.old").alias("old"),
+        F.col("m.pks").alias("pks"),
+        F.lit(None).cast("string").alias("ddl_statement"),
+        F.lit(None).cast("long").alias("seq"),
+    )
+
+
 def to_wire_mongo(changes: DataFrame, version: str = VERSION_20) -> DataFrame:
     """Mongo-flavor JSON wire format (pkg/core/encoding/mongo_json.go):
     v2.0-alpha = {version, database, collection, data, row};

@@ -39,6 +39,26 @@ def test_wire_v20_has_seq_and_rfc3339(spark):
     assert p["old"] == {"id": "1", "v": "a"}
 
 
+def test_wire_roundtrip_v20_and_v01(spark):
+    # gravity → gravity chaining: our own wire output decodes back to
+    # the envelope (the reference's Deserialize panics — this exceeds
+    # parity); v2.0 keeps seq + millis, v0.1 is second-precision
+    from gravity_spark.sinks.wire import from_wire_v01, from_wire_v20
+
+    src = memory_changes(spark, ROWS)
+    back20 = from_wire_v20(to_wire_v20(src)).orderBy("seq").collect()
+    assert [r["op"] for r in back20] == ["insert", "update"]
+    assert back20[1]["old"] == {"id": "1", "v": "a"}
+    assert back20[0]["seq"] == 1 and back20[1]["seq"] == 2
+    assert back20[0]["ts"] == ROWS[0]["ts"]
+    assert back20[0]["database"] == "app" and back20[0]["table"] == "t"
+
+    back01 = from_wire_v01(to_wire_v01(src)).orderBy("ts").collect()
+    assert [r["op"] for r in back01] == ["insert", "update"]
+    assert back01[0]["data"] == {"id": "1", "v": "a"}
+    assert back01[0]["ts"] == ROWS[0]["ts"]  # whole-second source times
+
+
 def test_wire_mongo_both_versions(spark):
     # mongo_json.go parity: v2.0-alpha {version, database, collection,
     # data, row}; v0.1 embeds the oplog-shaped object + source name
