@@ -1887,6 +1887,55 @@ def cdc_wire_format_pb(spark, sf_dir):
 
 
 @register(
+    "cdc_gravity_chain",
+    f"""
+    -- gravity → gravity: the change stream is serialized to the v2.0
+    -- wire format and decoded back BEFORE the LWW collapse — equality
+    -- with the direct collapse gates the full producer+consumer chain
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             CAST(round(value, 2) AS VARCHAR) AS value
+      FROM events
+    )
+    SELECT user_id, value FROM (
+      SELECT user_id, value, op,
+             row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM ch
+    ) WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_gravity_chain(spark, sf_dir):
+    """Two-cluster chaining (the reference's bidirectional deployment):
+    changes ride the v2.0-alpha wire format through a producer→consumer
+    hop (to_wire_v20 → from_wire_v20) and the decoded stream feeds the
+    LWW collapse. The oracle collapses the original events directly, so
+    any serialization loss (seq, op, data map, key hashing) breaks the
+    match. The wire hop is two narrow projections — the chain costs no
+    extra shuffle; the collapse's key hash exchange is the only one."""
+    from gravity_spark.operators.collapse import collapse_last_write_wins
+    from gravity_spark.sinks.wire import from_wire_v20, to_wire_v20
+
+    changes = events_to_changes(T(spark, sf_dir, "events")).withColumn(
+        "data",
+        F.map_from_arrays(
+            F.array(F.lit("user_id"), F.lit("value")),
+            F.array(
+                F.col("pks")["user_id"],
+                F.round(F.col("data")["value"].cast("double"), 2).cast("string"),
+            ),
+        ),
+    )
+    decoded = from_wire_v20(to_wire_v20(changes)).withColumn(
+        "__k", F.col("pks")["user_id"]
+    )
+    last = collapse_last_write_wins(decoded, key_cols=["__k"], order_col="seq")
+    return last.filter(F.col("op") != "delete").select(
+        F.col("__k").cast("long").alias("user_id"),
+        F.col("data")["value"].alias("value"),
+    )
+
+
+@register(
     "cdc_dcp_checker",
     """
     SELECT event_id FROM events
