@@ -5346,6 +5346,52 @@ def doc_keywords_tfidf(spark, sf_dir):
 
 
 @register(
+    "bucketed_join_colocated",
+    """
+    SELECT c_nationkey AS nation, count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_colocated(spark, sf_dir):
+    """Bucketed co-located join: both sides are WRITTEN as 8-bucket
+    sorted tables on the join key, then joined through the bucketed
+    scan — the shuffle-elimination layout big recurring joins are
+    provisioned with at 100 TB (tests/test_bucketing.py asserts the
+    zero-Exchange plan; this graded query proves the bucketed path's
+    RESULTS against the plain-join oracle). Bucket files land in
+    scratch; the bucketing metadata rides the session catalog."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = _scratch_dir("bucketed_")
+    for name, df, key in [
+        ("gs_bkt_orders", orders, "o_custkey"),
+        ("gs_bkt_customer", cust, "c_custkey"),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    o = spark.table("gs_bkt_orders")
+    c = spark.table("gs_bkt_customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+@register(
     "mixture_temperature_weights",
     """
     -- temperature-scaled sampling (the multilingual-pretraining p^(1/T)
