@@ -3034,6 +3034,152 @@ def dedup_containment(spark, sf_dir):
     )
 
 
+def _lsh_pr_sql() -> str:
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
+    ]
+    ors = " OR ".join(f"a.bh{b} = b.bh{b}" for b in range(bands))
+    mins = ", ".join(f"min({_rot_sql(i)}) AS m{i}" for i in range(_NUM_MINHASH))
+    return f"""
+    -- LSH tuning metric: precision/recall of the banded MinHash
+    -- candidates vs exact Jaccard >= 0.5 truth, on a deterministic
+    -- 5-source evaluation sample (ground truth is quadratic per block;
+    -- production tunes on a sample for exactly this reason)
+    WITH eval AS (
+      SELECT * FROM documents WHERE source IN (
+        SELECT source FROM (SELECT DISTINCT source FROM documents
+                            ORDER BY source LIMIT 5)
+      )
+    ),
+    tok AS (
+      SELECT doc_id, md5(t) AS h
+      FROM (SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM eval)
+    ),
+    sig AS (SELECT doc_id, {mins} FROM tok GROUP BY doc_id),
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ({ors})
+    ),
+    g AS (SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM eval),
+    cs AS (
+      SELECT c.id_a, c.id_b, ga.source
+      FROM cand c JOIN g ga ON ga.doc_id = c.id_a
+                  JOIN g gb ON gb.doc_id = c.id_b
+      WHERE gb.source = ga.source
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source
+      FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE 2 * len(list_intersect(a.toks, b.toks))
+            >= len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))
+    ),
+    tpc AS (
+      SELECT cs.source, count(*) AS tp
+      FROM cs JOIN truth t ON t.id_a = cs.id_a AND t.id_b = cs.id_b
+      GROUP BY cs.source
+    ),
+    nc AS (SELECT source, count(*) AS n_cand FROM cs GROUP BY source),
+    nt AS (SELECT source, count(*) AS n_truth FROM truth GROUP BY source)
+    SELECT source,
+           coalesce(n_cand, 0) AS n_cand,
+           coalesce(n_truth, 0) AS n_truth,
+           coalesce(tp, 0) AS tp,
+           CAST((1000 * coalesce(tp, 0)) // greatest(coalesce(n_cand, 0), 1) AS BIGINT) AS precision_milli,
+           CAST((1000 * coalesce(tp, 0)) // greatest(coalesce(n_truth, 0), 1) AS BIGINT) AS recall_milli
+    FROM nc FULL JOIN nt USING (source) LEFT JOIN tpc USING (source)
+    """
+
+
+@register("dedup_lsh_precision_recall", _lsh_pr_sql())
+def dedup_lsh_precision_recall(spark, sf_dir):
+    """LSH tuning evaluation: per source block, the banded-MinHash
+    candidate set's precision and recall against exact-Jaccard ≥ 0.5
+    ground truth — the metric that decides band/width settings before a
+    100 TB dedup run (more bands → recall up, precision down).
+
+    Scale shape: candidates come from the banded equi-join (never
+    all-pairs); the truth side is the source-blocked exact join (the
+    evaluation is run on a BLOCK-SIZED sample in production — computing
+    full truth at corpus scale would defeat the point, which the
+    per-source framing makes explicit). Counts are exact integers;
+    ratios are integer-milli."""
+    all_docs = T(spark, sf_dir, "documents")
+    # deterministic 5-source evaluation sample (ground truth is
+    # quadratic per block — production tunes on a sample)
+    eval_sources = [
+        r["source"]
+        for r in all_docs.select("source").distinct().orderBy("source").limit(5).collect()
+    ]
+    docs = all_docs.filter(F.col("source").isin(eval_sources))
+    # signatures for the SAMPLE only (row-local variant — identical
+    # hash family to _sig_df), not the whole corpus
+    banded = _banded_row_local(docs.select("doc_id", "text")).persist()
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    g = docs.select(
+        "doc_id", "source", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
+    ).persist()
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    # persist: cs feeds both the tp join and the per-source count;
+    # truth feeds the tp join and its own count — without pinning, each
+    # reuse recomputes the candidate/self joins (measured 30 s → ~4 s)
+    cs = (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(F.col("sa") == F.col("sb"))
+        .select("id_a", "id_b", F.col("sa").alias("source"))
+    ).persist()
+    ta, tb = g.alias("ta"), g.alias("tb")
+    la, lb = F.size(F.col("ta.toks")), F.size(F.col("tb.toks"))
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = la + lb - inter
+    truth = (
+        ta.join(
+            tb,
+            (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id"))
+            # implied by J >= 0.5: 2·min < max ⟹ 2·inter < union —
+            # prunes pairs before the O(|A|+|B|) intersect
+            & (2 * F.least(la, lb) >= F.greatest(la, lb)),
+        )
+        .filter(2 * inter >= union)
+        .select(
+            F.col("ta.doc_id").alias("id_a"),
+            F.col("tb.doc_id").alias("id_b"),
+            F.col("ta.source").alias("source"),
+        )
+    ).persist()
+    tpc = cs.join(truth.select("id_a", "id_b"), ["id_a", "id_b"]).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("tp"))
+    nc = cs.groupBy("source").agg(F.count(F.lit(1)).alias("n_cand"))
+    nt = truth.groupBy("source").agg(F.count(F.lit(1)).alias("n_truth"))
+    out = (
+        nc.join(nt, "source", "full")
+        .join(tpc, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    return out.select(
+        "source", "n_cand", "n_truth", "tp",
+        F.expr("(1000 * tp) div greatest(n_cand, 1)").alias("precision_milli"),
+        F.expr("(1000 * tp) div greatest(n_truth, 1)").alias("recall_milli"),
+    )
+
+
 @register(
     "dedup_prefix_filter",
     f"""
