@@ -106,3 +106,68 @@ def test_main_stream_runs_and_stops_on_sigint(spark, tmp_path):
         spark, str(tmp_path / "tgt3"), pk_cols=["id"], schema_ddl="id string, v string"
     )
     assert sorted(r["id"] for r in tgt.read().collect()) == ["0", "1", "2"]
+
+
+def test_main_stream_watch_hot_reload(spark, tmp_path):
+    """Stream mode + --watch: a config edit must HOT-RELOAD the pipeline
+    (build-new-then-stop-old), not exit the process — the restart race
+    where the main loop saw the stopped old query as end-of-stream."""
+    import json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b0.json").write_text(
+        "\n".join(
+            json.dumps(
+                {"type": "dml", "database": "app", "table": "users",
+                 "op": "insert", "data": {"id": str(i), "v": f"v{i}"},
+                 "pks": {"id": str(i)}, "stream_key": "s0", "seq": i}
+            )
+            for i in range(3)
+        )
+    )
+    cfg = tmp_path / "pipe.toml"
+
+    def cfg_text(n):
+        return FILE_STREAM_TOML % (
+            str(src), str(tmp_path / f"wtgt{n}"), str(tmp_path / f"wckpt{n}")
+        )
+
+    cfg.write_text(cfg_text(1))
+
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    def tgt(n):
+        return ParquetMergeTarget(
+            spark, str(tmp_path / f"wtgt{n}"), pk_cols=["id"],
+            schema_ddl="id string, v string",
+        )
+
+    def editor():
+        # wait for target 1 to fill, then hot-swap to target 2, then
+        # wait for target 2 and shut down
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if tgt(1).read().count() == 3:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        cfg.write_text(cfg_text(2))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if tgt(2).read().count() == 3:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+        os.kill(os.getpid(), signal.SIGINT)
+
+    t = threading.Thread(target=editor, daemon=True)
+    t.start()
+    rc = main(["--config", str(cfg), "--watch"])
+    assert rc == 0
+    assert sorted(r["id"] for r in tgt(1).read().collect()) == ["0", "1", "2"]
+    assert sorted(r["id"] for r in tgt(2).read().collect()) == ["0", "1", "2"]
