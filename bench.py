@@ -36,11 +36,14 @@ def main() -> None:
     # steal/pressure in-guest) — when the two runs disagree by >1.5x the
     # query gets up to two extra runs so one stall can't poison its min.
     timings: dict[str, float] = {}
+    retry_budget = 60  # global cap on extra runs: a long stall period
+    # must not quadruple the whole gate's wall time
     for name, qd in REGISTRY.items():
         best = None
         runs: list[float] = []
         attempt = 0
-        while attempt < 4:
+        max_attempts = 4 if retry_budget > 0 else 2
+        while attempt < max_attempts:
             attempt += 1
             t0 = time.time()
             try:
@@ -56,6 +59,8 @@ def main() -> None:
                     best < 0.5 or two_best[1] / max(best, 1e-9) <= 1.5
                 ):
                     break
+                if len(runs) >= 2:
+                    retry_budget -= 1  # an extra (3rd+) run is coming
             except Exception as e:  # a failing query shows as -1, not a crash
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 best = -1.0
