@@ -114,6 +114,52 @@ class ParquetMergeTarget:
             raise FileNotFoundError(f"version {version} not present (vacuumed?)")
         return self.spark.read.parquet(out)
 
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two retained versions (the Delta
+        CDF / `table_changes` equivalent): one full-outer join on the
+        PK classifies every row as insert / update / delete, emitting
+        the pre- and post-images side by side (`old_<col>` /
+        `new_<col>`). Unchanged rows are dropped with a null-safe
+        comparison, so downstream incremental consumers (esmodel-style
+        reassembly, audit diffs) read only the delta.
+
+        Scale shape: one co-keyed join of two versions — at warehouse
+        scale both sides share the merge sink's PK layout, and the diff
+        never materializes unchanged rows past the join filter."""
+        from pyspark.sql import functions as F
+
+        a = self.read_version(v_from)
+        b = self.read_version(v_to)
+        non_pk = [c for c in a.columns if c not in self.pk_cols]
+        old = a.select(
+            *self.pk_cols,
+            F.lit(True).alias("__in_old"),
+            *[F.col(c).alias(f"old_{c}") for c in non_pk],
+        )
+        new = b.select(
+            *self.pk_cols,
+            F.lit(True).alias("__in_new"),
+            *[F.col(c).alias(f"new_{c}") for c in non_pk],
+        )
+        j = old.join(new, on=self.pk_cols, how="full")
+        same = F.lit(True)
+        for c in non_pk:
+            same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        op = (
+            F.when(F.col("__in_old").isNull(), "insert")
+            .when(F.col("__in_new").isNull(), "delete")
+            .otherwise("update")
+        )
+        changed = j.filter(
+            F.col("__in_old").isNull() | F.col("__in_new").isNull() | ~same
+        )
+        return changed.select(
+            *self.pk_cols,
+            op.alias("op"),
+            *[F.col(f"old_{c}") for c in non_pk],
+            *[F.col(f"new_{c}") for c in non_pk],
+        )
+
     def apply_batch(self, changes: DataFrame, epoch_id: int | None = None) -> None:
         """Idempotent batch apply (safe for foreachBatch redelivery):
         merging an already-applied batch yields the same state.

@@ -227,3 +227,42 @@ def test_stream_with_compaction_cadence(spark, tmp_path):
     vdir = str(tmp_path / "tgt" / f"v{cur}")
     n_files = len([e for e in os.listdir(vdir) if e.endswith(".parquet")])
     assert n_files == 1
+
+
+def test_changes_between_versions(spark, tmp_path):
+    """Change data feed between retained versions: insert/update/delete
+    classification with pre/post images, unchanged rows dropped."""
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "cdf"), ["id"], "id long, v string, qty long"
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "id long, v string, qty long, op string, seq long"
+        )
+
+    t.apply_batch(batch([
+        (1, "a", 10, "insert", 1),
+        (2, "b", 20, "insert", 2),
+        (3, "c", 30, "insert", 3),
+    ]))
+    v1 = t._current_version()
+    t.apply_batch(batch([
+        (2, "b2", 21, "update", 4),   # changed
+        (3, "c", 30, "update", 5),    # written but value-identical → not in CDF
+        (4, "d", 40, "insert", 6),    # new
+        (1, "a", 10, "delete", 7),    # gone
+    ]))
+    v2 = t._current_version()
+
+    cdf = {r["id"]: r for r in t.changes_between(v1, v2).collect()}
+    assert set(cdf) == {1, 2, 4}  # id=3 unchanged → absent
+    assert cdf[1]["op"] == "delete" and cdf[1]["old_v"] == "a" and cdf[1]["new_v"] is None
+    assert cdf[2]["op"] == "update" and cdf[2]["old_qty"] == 20 and cdf[2]["new_qty"] == 21
+    assert cdf[4]["op"] == "insert" and cdf[4]["old_v"] is None and cdf[4]["new_v"] == "d"
+
+    # symmetric sanity: reversing the versions flips inserts/deletes
+    rev = {r["id"]: r["op"] for r in t.changes_between(v2, v1).collect()}
+    assert rev[1] == "insert" and rev[4] == "delete" and rev[2] == "update"
