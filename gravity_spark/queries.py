@@ -1887,6 +1887,79 @@ def cdc_wire_format_pb(spark, sf_dir):
 
 
 @register(
+    "cdc_change_data_feed",
+    f"""
+    -- CDF between the mid-stream snapshot and the final state: per
+    -- key, insert/update/delete with pre/post images, unchanged keys
+    -- absent (ParquetMergeTarget.changes_between semantics)
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             round(value, 2) AS value
+      FROM events
+    ),
+    cut AS (SELECT CAST(max(seq) // 2 AS BIGINT) AS t FROM ch),
+    s1 AS (
+      SELECT user_id, value FROM (
+        SELECT c.user_id, c.value, c.op,
+               row_number() OVER (PARTITION BY c.user_id ORDER BY c.seq DESC) AS rn
+        FROM ch c, cut WHERE c.seq <= cut.t
+      ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    s2 AS (
+      SELECT user_id, value FROM (
+        SELECT user_id, value, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT coalesce(s1.user_id, s2.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           s1.value AS old_value, s2.value AS new_value
+    FROM s1 FULL JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.value IS DISTINCT FROM s2.value
+    """,
+)
+def cdc_change_data_feed(spark, sf_dir):
+    """Change data feed through the REAL merge sink: the first half of
+    the change log applies as version 1, the rest as version 2, and
+    ``changes_between`` diffs the two retained versions — the Delta-CDF
+    consumer contract downstream incremental jobs (esmodel reassembly,
+    audit) read instead of rescanning the table. The oracle derives the
+    same feed from LWW states at the cut and at the end."""
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    ev = T(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.round("value", 2).alias("value"),
+    )
+    cut = ch.agg(F.max("seq")).collect()[0][0] // 2
+    target = ParquetMergeTarget(
+        spark, f"{_scratch_dir('cdf_q_')}/t", ["user_id"], "user_id long, value double"
+    )
+    target.apply_batch(ch.filter(F.col("seq") <= cut))
+    v1 = target._current_version()
+    target.apply_batch(ch.filter(F.col("seq") > cut))
+    v2 = target._current_version()
+    feed = target.changes_between(v1, v2)
+    return feed.select(
+        "user_id", "op",
+        F.col("old_value").alias("old_value"),
+        F.col("new_value").alias("new_value"),
+    )
+
+
+@register(
     "cdc_gravity_chain",
     f"""
     -- gravity → gravity: the change stream is serialized to the v2.0
