@@ -8999,6 +8999,61 @@ def text_readability(spark, sf_dir):
 
 
 @register(
+    "events_user_paths",
+    """
+    -- top user-journey trigrams: per-user event sequences folded to
+    -- one ordered array, 3-grams by indexed transform (no positional
+    -- self-joins), global top-10
+    WITH seqs AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS l
+      FROM events GROUP BY user_id
+    ),
+    tri AS (
+      SELECT unnest(list_transform(range(1, len(l) - 1),
+                    i -> l[i] || '>' || l[i + 1] || '>' || l[i + 2])) AS path
+      FROM seqs WHERE len(l) >= 3
+    )
+    SELECT path, count(*) AS n FROM tri
+    GROUP BY path ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def events_user_paths(spark, sf_dir):
+    """Top-10 user-journey trigrams (click>view>purchase …) — the path
+    analysis product teams run over clickstreams. Each user's sequence
+    folds to ONE ordered array (a per-key agg, not a positional
+    self-join), trigrams come from a single indexed transform, and the
+    global top-10 is a TakeOrdered over the trigram counts — at 100 TB
+    the only shuffles are the per-user fold and the (path, count) agg,
+    both carrying narrow keys."""
+    ev = T(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))),"
+            " s -> s.event_type)"
+        ).alias("l")
+    )
+    tri = (
+        seqs.filter(F.size("l") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(l) - 2), i -> concat("
+                    "element_at(l, i), '>', element_at(l, i + 1), '>',"
+                    " element_at(l, i + 2)))"
+                )
+            ).alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )
+
+
+@register(
     "events_markov_transitions",
     """
     WITH seq AS (
