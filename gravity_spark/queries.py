@@ -2293,6 +2293,50 @@ def dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+def _bucket_stats_sql() -> str:
+    bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
+    band_hashes = [
+        f"md5({' || '.join(f'm{i}' for i in range(b * width, (b + 1) * width))}) AS bh{b}"
+        for b in range(bands)
+    ]
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}#' || bh{b} AS bucket FROM banded" for b in range(bands)
+    )
+    return f"""
+    -- LSH bucket-size histogram: the pre-flight skew diagnostic run
+    -- before a corpus-scale dedup — a hot bucket of size s costs
+    -- s·(s-1)/2 candidate pairs in the bucket join
+    WITH {_SIG_CTE},
+    banded AS (SELECT doc_id, {', '.join(band_hashes)} FROM sig),
+    memb AS ({bucket_rows}),
+    sizes AS (SELECT bucket, count(*) AS sz FROM memb GROUP BY bucket)
+    SELECT sz,
+           count(*) AS n_buckets,
+           CAST(count(*) * ((sz * (sz - 1)) // 2) AS BIGINT) AS pair_load
+    FROM sizes GROUP BY sz
+    """
+
+
+@register("dedup_bucket_stats", _bucket_stats_sql())
+def dedup_bucket_stats(spark, sf_dir):
+    """LSH bucket-size histogram + per-size candidate-pair load — the
+    operational pre-flight before running the banded dedup join at
+    corpus scale: a single hot bucket of size s contributes s·(s-1)/2
+    pairs, so this histogram IS the join's cost model (and the signal
+    to add bands or salt a degenerate bucket). Two narrow hash aggs
+    over (bucket) then (size); the documents never ride either
+    shuffle."""
+    sizes = (
+        _banded_df(spark, sf_dir)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.expr("count(*) * ((sz * (sz - 1)) div 2)").cast("long").alias("pair_load"),
+    )
+
+
 def _components_sql() -> str:
     """Connected components over the MinHash-LSH candidate edges
     (oracle-side); the Spark side runs distributed label propagation
