@@ -9043,6 +9043,65 @@ def text_readability(spark, sf_dir):
 
 
 @register(
+    "funnel_time_to_convert",
+    """
+    -- conversion-latency distribution: per user, first signup → first
+    -- later purchase, exact interpolated quantiles over integer-second
+    -- deltas
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+      SELECT s.user_id,
+             min(epoch_us(e.ts) - epoch_us(s.st)) AS d_us
+      FROM s JOIN events e ON e.user_id = s.user_id
+       AND e.event_type = 'purchase' AND e.ts >= s.st
+      GROUP BY s.user_id
+    )
+    SELECT count(*) AS n_converted,
+           CAST(round(quantile_cont(d_us // 1000000, 0.5), 3) AS DOUBLE) AS median_sec,
+           CAST(round(quantile_cont(d_us // 1000000, 0.9), 3) AS DOUBLE) AS p90_sec
+    FROM p
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: per user, seconds from first
+    signup to first subsequent purchase; exact interpolated median and
+    p90 over the integer-second deltas (Spark's exact `percentile` and
+    DuckDB's `quantile_cont` compute the same interpolation on
+    identical integers — no sketch, no approx).
+
+    Scale shape: the signup side is an aggregated per-user dim
+    broadcast into the purchase probe; per-user min is a hash agg; the
+    final quantile runs over one row per CONVERTED user (already
+    collapsed), which is the accepted exact-quantile input size — for
+    quantiles over raw events use the _dist_ntile banding instead."""
+    ev = T(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    e = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    d = (
+        e.join(F.broadcast(s), "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros("ts") - F.unix_micros("st")
+            ).alias("d_us")
+        )
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(d_us div 1000000, 0.5)"), 3).alias("median_sec"),
+        F.round(F.expr("percentile(d_us div 1000000, 0.9)"), 3).alias("p90_sec"),
+    )
+
+
+@register(
     "events_user_paths",
     """
     -- top user-journey trigrams: per-user event sequences folded to
