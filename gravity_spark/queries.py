@@ -9043,6 +9043,67 @@ def text_readability(spark, sf_dir):
 
 
 @register(
+    "discount_quantity_regression",
+    """
+    -- price-elasticity probe: exact-integer least-squares slope of
+    -- quantity on discount (x = discount in integer percent), per
+    -- return flag — closed-form sums, no float accumulation
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_discount * 100) AS BIGINT) AS x,
+             CAST(round(l_quantity) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM b GROUP BY flag
+    )
+    SELECT flag, n,
+           CAST((1000 * (n * sxy - sx * sy)
+                 - ((1000 * (n * sxy - sx * sy)) % (n * sxx - sx * sx)
+                    + (n * sxx - sx * sx)) % (n * sxx - sx * sx))
+                / (n * sxx - sx * sx) AS BIGINT) AS slope_milli
+    FROM s
+    """,
+)
+def discount_quantity_regression(spark, sf_dir):
+    """Price-elasticity probe: least-squares slope of quantity on
+    discount per return flag, computed from the closed-form sums in
+    EXACT integers (x scaled to whole percents, y integral) — the
+    regr_slope the stat battery exposes runs on float accumulators,
+    which are partitioning-dependent; this is the deterministic form.
+    Flooring division follows the repo's exact-integer-division
+    discipline (numerator made exactly divisible first, so Spark's
+    truncating div equals SQL floor on either sign).
+
+    One map-side-combined hash agg per flag; nothing else shuffles."""
+    li = T(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_quantity").cast("long").alias("y"),
+    )
+    s = b.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "flag",
+        "n",
+        F.expr(
+            "CAST((1000 * (n * sxy - sx * sy)"
+            " - ((1000 * (n * sxy - sx * sy)) % (n * sxx - sx * sx)"
+            "    + (n * sxx - sx * sx)) % (n * sxx - sx * sx))"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_milli"),
+    )
+
+
+@register(
     "funnel_time_to_convert",
     """
     -- conversion-latency distribution: per user, first signup → first
