@@ -9043,6 +9043,67 @@ def text_readability(spark, sf_dir):
 
 
 @register(
+    "events_dau_wau",
+    """
+    -- DAU / WAU / stickiness per day: exact distinct users that day vs
+    -- the trailing 7-day window, ratio in integer milli
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM d),
+    dau AS (SELECT day, count(*) AS dau FROM d GROUP BY day),
+    wau AS (
+      SELECT days.day, count(DISTINCT d.user_id) AS wau
+      FROM days JOIN d ON d.day <= days.day AND d.day >= days.day - INTERVAL 6 DAY
+      GROUP BY days.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST((1000 * dau.dau - ((1000 * dau.dau) % wau.wau)) / wau.wau AS BIGINT)
+             AS stickiness_milli
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU / WAU / stickiness (the product-analytics engagement
+    headline): exact distinct actives per day and per trailing 7-day
+    window, ratio in integer milli.
+
+    Scale shape: the (day, user) base is deduplicated FIRST (one hash
+    agg — the raw event volume collapses to actives), then the trailing
+    window is a bounded range join day×≤7 copies of the base — shuffle
+    carries (day, user) pairs only, and the 7× fan-out is on the
+    already-deduplicated relation, never on raw events."""
+    ev = T(spark, sf_dir, "events")
+    d = (
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id")
+        .distinct()
+        .persist()
+    )
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = d.select("day").distinct()
+    wau = (
+        days.alias("w")
+        .join(
+            d.alias("d"),
+            (F.col("d.day") <= F.col("w.day"))
+            & (F.col("d.day") >= F.date_sub(F.col("w.day"), 6)),
+        )
+        .groupBy(F.col("w.day").alias("day"))
+        .agg(F.countDistinct("d.user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.expr(
+                "CAST((1000 * dau - ((1000 * dau) % wau)) div wau AS BIGINT)"
+            ).alias("stickiness_milli"),
+        )
+    )
+
+
+@register(
     "discount_quantity_regression",
     """
     -- price-elasticity probe: exact-integer least-squares slope of
