@@ -9043,6 +9043,56 @@ def text_readability(spark, sf_dir):
 
 
 @register(
+    "supplier_revenue_hhi",
+    """
+    -- market-concentration audit: Herfindahl index of supplier revenue
+    -- shares per nation, in exact milli-share integers
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, sum(cents) AS c FROM rev GROUP BY nation)
+    SELECT r.nation, count(*) AS n_suppliers,
+           CAST(sum(((1000 * r.cents - ((1000 * r.cents) % t.c)) / t.c)
+                  * ((1000 * r.cents - ((1000 * r.cents) % t.c)) / t.c)) AS BIGINT)
+             AS hhi_milli2
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY r.nation
+    """,
+)
+def supplier_revenue_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of supplier revenue per
+    nation (Σ share², shares in exact milli so the index is an integer
+    ≤ 1e6) — the supply-risk audit procurement analytics runs. All
+    arithmetic exact: integer cents, milli shares by floor division
+    (positive operands → floor = truncate cross-engine), squared and
+    summed as BIGINTs.
+
+    Scale shape: revenue collapses to one row per (nation, supplier)
+    before anything else; nation totals are a tiny dim broadcast back;
+    the fact table rides exactly one hash agg."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey").alias("supp"))
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("cents").alias("c"))
+    share = F.expr("(1000 * cents) div c")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(share * share).cast("long").alias("hhi_milli2"),
+        )
+    )
+
+
+@register(
     "events_dau_wau",
     """
     -- DAU / WAU / stickiness per day: exact distinct users that day vs
