@@ -9043,6 +9043,48 @@ def text_readability(spark, sf_dir):
 
 
 @register(
+    "events_hourly_seasonality",
+    """
+    -- hour-of-day seasonality profile per event type: exact counts and
+    -- floor-milli mean values (sign-safe exact division)
+    WITH b AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, hod, count(*) AS n, sum(cents) AS sc
+      FROM b GROUP BY event_type, hod
+    )
+    SELECT event_type, hod, n,
+           CAST((10 * sc - (((10 * sc) % n + n) % n)) / n AS BIGINT) AS mean_value_milli
+    FROM s
+    """,
+)
+def events_hourly_seasonality(spark, sf_dir):
+    """Hour-of-day load/value profile per event type — the seasonality
+    baseline capacity planning and anomaly thresholds are set against.
+    Integer-exact: cents sums, milli means by sign-safe floor division
+    (the repo's exact-divisibility discipline). One map-side-combined
+    hash agg over (type, hour); nothing else moves."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    s = b.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sc")
+    )
+    return s.select(
+        "event_type", "hod", "n",
+        F.expr(
+            "CAST((10 * sc - (((10 * sc) % n + n) % n)) div n AS BIGINT)"
+        ).alias("mean_value_milli"),
+    )
+
+
+@register(
     "supplier_revenue_hhi",
     """
     -- market-concentration audit: Herfindahl index of supplier revenue
