@@ -38,10 +38,21 @@ class DdlResult:
     #: TiDB mode splits one multi-spec ALTER / multi-pair RENAME into one
     #: statement each (mysql.go:316-327,352-377); otherwise == [statement]
     statements: list[str] | None = None
+    #: Structured column actions for sinks that must PHYSICALLY rewrite
+    #: their target for non-additive DDL (the reference applies any
+    #: ALTER via AST rewrite, mysql.go:222-440). Tuples:
+    #:   ("add-col", name, mysql_type)
+    #:   ("drop-col", name)
+    #:   ("modify-col", name, mysql_type)
+    #:   ("rename-col", old_name, new_name, mysql_type)
+    #:   ("truncate",)
+    actions: list[tuple] | None = None
 
     def __post_init__(self) -> None:
         if self.statements is None:
             self.statements = [self.statement]
+        if self.actions is None:
+            self.actions = []
 
 
 def _sub_target(db: str | None, table: str, route) -> tuple[str | None, str]:
@@ -151,7 +162,7 @@ def parse_and_apply(
     if m:
         db = m.group(1) or current_db
         tdb, ttable = _sub_target(db, m.group(2), route)
-        rewritten = _apply_alter_specs(
+        rewritten, actions = _apply_alter_specs(
             catalog, tdb, ttable, _split_top_level(m.group(3))
         )
         prefix = f"ALTER TABLE {_qual(tdb, ttable)} "
@@ -159,7 +170,10 @@ def parse_and_apply(
             stmts = [prefix + s for s in rewritten]
         else:
             stmts = [prefix + ", ".join(rewritten)]
-        return DdlResult(True, "alter-table", stmts[0], tdb, ttable, statements=stmts)
+        return DdlResult(
+            True, "alter-table", stmts[0], tdb, ttable,
+            statements=stmts, actions=actions,
+        )
 
     m = re.match(rf"(?is)^RENAME\s+TABLE\s+(.+)$", stmt)
     if m:
@@ -203,6 +217,7 @@ def parse_and_apply(
         return DdlResult(
             True, "truncate",
             f"TRUNCATE TABLE {f'`{tdb}`.' if tdb else ''}`{ttable}`", tdb, ttable,
+            actions=[("truncate",)],
         )
 
     return DdlResult(False, "unknown", stmt, current_db, None)
@@ -259,8 +274,9 @@ _SPEC_INDEX = re.compile(
 
 def _apply_alter_specs(
     catalog: Catalog, tdb: str | None, ttable: str, specs: list[str]
-) -> list[str]:
-    """Apply each ALTER spec to the catalog; return rewritten specs.
+) -> tuple[list[str], list[tuple]]:
+    """Apply each ALTER spec to the catalog; return (rewritten specs,
+    structured column actions for physical sink rewrite).
 
     Covers the reference's per-spec rewrite surface
     (pkg/outputs/mysql/mysql.go:314-345): column add (with FIRST/AFTER
@@ -291,7 +307,8 @@ def _apply_alter_specs(
                     return
         cols.append(col)
 
-    out = []
+    out: list[str] = []
+    actions: list[tuple] = []
     for spec in specs:
         sm = _SPEC_ADD.match(spec)
         if sm and not _SPEC_INDEX.match(spec):
@@ -303,6 +320,7 @@ def _apply_alter_specs(
                 f"ADD COLUMN `{col.name}` {col.mysql_type}"
                 + (f"{sm.group(3)}" if sm.group(3) else "")
             )
+            actions.append(("add-col", col.name, col.mysql_type))
             continue
         sm = _SPEC_DROP.match(spec)
         if sm and not _SPEC_INDEX.match(spec):
@@ -310,6 +328,7 @@ def _apply_alter_specs(
             if t is not None:
                 t.columns = [c for c in t.columns if c.name != sm.group(1)]
             out.append(f"DROP COLUMN `{sm.group(1)}`")
+            actions.append(("drop-col", sm.group(1)))
             continue
         sm = _SPEC_MODIFY.match(spec)
         if sm:
@@ -322,6 +341,7 @@ def _apply_alter_specs(
                 f"MODIFY COLUMN `{sm.group(1)}` {sm.group(2).strip()}"
                 + (f"{sm.group(3)}" if sm.group(3) else "")
             )
+            actions.append(("modify-col", sm.group(1), sm.group(2).strip()))
             continue
         sm = _SPEC_CHANGE.match(spec)
         if sm:
@@ -334,6 +354,9 @@ def _apply_alter_specs(
             out.append(
                 f"CHANGE COLUMN `{sm.group(1)}` `{sm.group(2)}` {sm.group(3).strip()}"
                 + (f"{sm.group(4)}" if sm.group(4) else "")
+            )
+            actions.append(
+                ("rename-col", sm.group(1), sm.group(2), sm.group(3).strip())
             )
             continue
         sm = _SPEC_RENAME.match(spec)
@@ -350,7 +373,7 @@ def _apply_alter_specs(
             tdb, ttable = new_db, new_name
             continue
         out.append(spec)  # index/constraint/unknown: pass through
-    return out
+    return out, actions
 
 
 def _parse_column_block(block: str) -> tuple[list[ColumnDef], set[str]]:

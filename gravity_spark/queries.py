@@ -1960,6 +1960,80 @@ def cdc_change_data_feed(spark, sf_dir):
 
 
 @register(
+    "cdc_ddl_nonadditive",
+    f"""
+    -- mid-stream non-additive DDL: value→amount RENAME + tag DROP land
+    -- PHYSICALLY on the sink between the two halves of the change log;
+    -- because the rename preserves data, the final state equals a plain
+    -- LWW collapse under the post-DDL names — a rename that lost data
+    -- or a drop that failed would break the hash/schema match
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             round(value, 2) AS amount
+      FROM events
+    )
+    SELECT user_id, amount FROM (
+      SELECT user_id, amount, op,
+             row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM ch
+    ) WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_ddl_nonadditive(spark, sf_dir):
+    """Non-additive mid-stream DDL applied to the REAL merge sink
+    (reference: any ALTER reaches the target by AST rewrite,
+    pkg/outputs/mysql/mysql.go:222-440): the first half of the change
+    log applies under (user_id, value, tag); then
+    `ALTER TABLE ... CHANGE COLUMN value amount, DROP COLUMN tag` is
+    parsed through the DDL grammar, applied to the catalog, and
+    physically rewrites the sink's current version (rename preserves
+    data, drop removes the column, history versions stay readable);
+    the second half applies under the NEW schema. Scale shape: the DDL
+    rewrite is one column projection of the current state — the same
+    cost class as a warehouse physical column drop."""
+    from gravity_spark.core.catalog import Catalog, ColumnDef, TableDef
+    from gravity_spark.operators.ddl import parse_and_apply
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    ev = T(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.round("value", 2).alias("value"),
+        F.col("event_type").alias("tag"),
+    )
+    cut = ch.agg(F.max("seq")).collect()[0][0] // 2
+    catalog = Catalog()
+    catalog.put(TableDef("app", "t", [
+        ColumnDef("user_id", "bigint", is_pk=True),
+        ColumnDef("value", "double"),
+        ColumnDef("tag", "varchar(20)"),
+    ]))
+    target = ParquetMergeTarget(
+        spark, f"{_scratch_dir('ddlq_')}/t", ["user_id"],
+        "user_id long, value double, tag string",
+    )
+    target.apply_batch(ch.filter(F.col("seq") <= cut))
+    res = parse_and_apply(
+        "ALTER TABLE app.t CHANGE COLUMN value amount double, DROP COLUMN tag",
+        catalog, current_db="app",
+    )
+    target.apply_ddl(res.actions)
+    ch2 = (
+        ch.filter(F.col("seq") > cut)
+        .select("user_id", F.col("value").alias("amount"), "op", "seq")
+    )
+    target.apply_batch(ch2)
+    return target.read().select("user_id", "amount")
+
+
+@register(
     "cdc_gravity_chain",
     f"""
     -- gravity → gravity: the change stream is serialized to the v2.0

@@ -54,6 +54,15 @@ class ParquetMergeTarget:
         self.engine = engine
         self.partition_col = partition_col
         os.makedirs(path, exist_ok=True)
+        # restart recovery: the manifest records the LIVE schema (it may
+        # have evolved past the declared one via additive widening or
+        # apply_ddl), so a re-opened target agrees with the catalog
+        # without replaying the DDL history
+        m = self._manifest()
+        if m.get("schema"):
+            self.schema_ddl = m["schema"]
+        if m.get("pk"):
+            self.pk_cols = list(m["pk"])
 
     @property
     def _pointer(self) -> str:
@@ -68,6 +77,8 @@ class ParquetMergeTarget:
         return m
 
     def _write_manifest(self, m: dict) -> None:
+        m["schema"] = self.schema_ddl
+        m["pk"] = self.pk_cols
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
@@ -223,6 +234,136 @@ class ParquetMergeTarget:
             if f.name not in df.columns:
                 df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         return df.select(*[f.name for f in declared.fields])
+
+    def apply_ddl(self, actions: Sequence[tuple]) -> bool:
+        """Physically apply structured DDL actions (from
+        ``operators.ddl.DdlResult.actions``) to the target — the
+        NON-additive half of mid-stream DDL. The reference applies any
+        ALTER to the output by AST rewrite (pkg/outputs/mysql/
+        mysql.go:222-440, rename/modify covered by integration_test/
+        mysql_mysql_test.go DDL cases); here a rename/drop/modify
+        rewrites the current state into a NEW version dir and flips the
+        manifest, so history versions stay readable under their
+        original schema and readers never see a half-rewritten table.
+
+        add-col stays lazy (schema widens, old rows read NULL — no data
+        rewrite, same as additive evolution). truncate writes an empty
+        next version. Returns True if a new version was written.
+
+        Scale shape: one column-projection rewrite of the touched
+        partitions — the same cost class as a Delta/Iceberg physical
+        column drop; nothing funnels through the driver.
+        """
+        from pyspark.sql.types import StructType
+
+        from gravity_spark.core.catalog import mysql_to_spark_type
+
+        if not actions:
+            return False
+        # (visible_name, source_name_or_None, spark_type) per column;
+        # folding the actions over this list yields both the new schema
+        # and the old→new projection in one pass
+        fields = [
+            [f.name, f.name, f.dataType]
+            for f in StructType.fromDDL(self.schema_ddl).fields
+        ]
+        rewrite = truncate = False
+        for act in actions:
+            kind = act[0]
+            if kind == "add-col":
+                _, name, mtype = act
+                if name not in [f[0] for f in fields]:
+                    fields.append([name, None, mysql_to_spark_type(mtype)])
+            elif kind == "drop-col":
+                if act[1] in self.pk_cols:
+                    raise ValueError(
+                        f"cannot DROP primary-key column {act[1]!r} of a merge target"
+                    )
+                before = len(fields)
+                fields = [f for f in fields if f[0] != act[1]]
+                rewrite = rewrite or len(fields) != before
+            elif kind == "modify-col":
+                _, name, mtype = act
+                new_t = mysql_to_spark_type(mtype)
+                for f in fields:
+                    if f[0] == name and f[2] != new_t:
+                        f[2] = new_t
+                        rewrite = True
+            elif kind == "rename-col":
+                _, old, new, mtype = act
+                new_t = mysql_to_spark_type(mtype)
+                for f in fields:
+                    if f[0] == old:
+                        if old != new or f[2] != new_t:
+                            rewrite = True
+                        f[0], f[2] = new, new_t
+                self.pk_cols = [new if c == old else c for c in self.pk_cols]
+                if self.partition_col == old:
+                    self.partition_col = new
+            elif kind == "truncate":
+                truncate = True
+
+        self.schema_ddl = ", ".join(f"{n} {t.simpleString()}" for n, _, t in fields)
+        if truncate:
+            empty = self.spark.createDataFrame([], self.schema_ddl)
+            if self.partition_col is None:
+                m = self._manifest()
+                next_v = (m["version"] or 0) + 1
+                empty.write.mode("overwrite").parquet(
+                    os.path.join(self.path, f"v{next_v}")
+                )
+                self._write_manifest(
+                    {"version": next_v, "epoch": m.get("epoch"), "partitions": {}}
+                )
+            else:
+                m = self._manifest()
+                m["partitions"] = {}
+                m["version"] = (m["version"] or 0) + 1
+                self._write_manifest(m)
+            return True
+        if not rewrite:
+            # additive-only: persist the widened schema so a restarted
+            # target agrees with the catalog without replaying DDL
+            self._write_manifest(self._manifest())
+            return False
+
+        def project(df: DataFrame) -> DataFrame:
+            cols = []
+            present = set(df.columns)
+            for name, src, t in fields:
+                if src is not None and src in present:
+                    cols.append(F.col(src).cast(t).alias(name))
+                else:
+                    cols.append(F.lit(None).cast(t).alias(name))
+            return df.select(*cols)
+
+        m = self._manifest()
+        if self.partition_col is None:
+            if m["version"] is None:
+                self._write_manifest(m)  # schema-only: nothing to rewrite
+                return False
+            current = self.spark.read.parquet(
+                os.path.join(self.path, f"v{m['version']}")
+            )
+            next_v = m["version"] + 1
+            project(current).write.mode("overwrite").parquet(
+                os.path.join(self.path, f"v{next_v}")
+            )
+            self._write_manifest(
+                {"version": next_v, "epoch": m.get("epoch"), "partitions": {}}
+            )
+            return True
+        for val, ver in list(m["partitions"].items()):
+            src_df = self.spark.read.parquet(
+                os.path.join(self.path, f"p={val}", f"v{ver}")
+            )
+            project(src_df).write.mode("overwrite").parquet(
+                os.path.join(self.path, f"p={val}", f"v{ver + 1}")
+            )
+            m["partitions"][val] = ver + 1
+        m["version"] = (m["version"] or 0) + 1
+        self._write_manifest(m)
+        return bool(m["partitions"])
 
     def _apply_partitioned(self, changes: DataFrame, epoch_id: int | None) -> None:
         pcol = self.partition_col

@@ -127,7 +127,15 @@ def run_stream(
             )
             for r in ddl_rows:
                 if r["ddl_statement"]:
-                    parse_and_apply(r["ddl_statement"], catalog, current_db=current_db)
+                    res = parse_and_apply(
+                        r["ddl_statement"], catalog, current_db=current_db
+                    )
+                    # non-additive DDL (rename/drop/modify/truncate) is
+                    # applied to the target PHYSICALLY, between epochs —
+                    # the same barrier the reference gets from flushing
+                    # in-flight DML before the ALTER (mysql.go:222-440)
+                    if res.actions:
+                        target.apply_ddl(res.actions)
             df = df.filter(F.col("type") != "ddl")
         batch = typed(df)
         target.apply_batch(batch, epoch_id)
