@@ -264,6 +264,99 @@ def bulk_index(docs: DataFrame, hosts: str, index: str) -> None:
         ) from e
 
 
+def mapping_properties(
+    one_one: Sequence[Mapping[str, Any]] = (),
+    one_many: Sequence[Mapping[str, Any]] = (),
+    scalar_types: Mapping[str, str] | None = None,
+) -> dict[str, dict]:
+    """Derive the declared ES mapping properties from an esmodel route:
+    one-one object sub-docs map to `{"type": "object"}`, one-many child
+    arrays to `{"type": "nested"}` (pkg/outputs/esmodel/esmodel.go:
+    568-595 — nested is what makes child-array queries correct in ES),
+    plus any explicit scalar column types."""
+    props: dict[str, dict] = {k: {"type": v} for k, v in (scalar_types or {}).items()}
+    for spec in one_one:
+        if spec.get("mode", "object") == "object":
+            props[spec.get("property", spec["table"])] = {"type": "object"}
+    for spec in one_many:
+        props[spec.get("property", spec["table"])] = {"type": "nested"}
+    return props
+
+
+def ensure_index(
+    url: str,
+    index: str,
+    properties: Mapping[str, dict],
+    settings: Mapping[str, Any] | None = None,
+    timeout_s: float = 10.0,
+) -> dict:
+    """Index-mapping bootstrap BEFORE the first `_bulk` — mirror of
+    checkAndSetIndex/createIndex/updateIndex (pkg/outputs/esmodel/
+    esmodel.go:541-660): GET the current mapping; a missing index is
+    created with the declared settings+mappings in one PUT; an existing
+    index gets only the MISSING properties added via `PUT /_mapping`
+    (additive). A declared property whose live type differs is a
+    NON-additive mapping conflict — ES rejects in-place type changes —
+    so it is counted and warned, never raised: the write path proceeds
+    and the caller decides whether a reindex is due.
+
+    Returns {"created": bool, "added": [names], "conflicts": [names]}.
+    Driver-side control-plane call (one tiny HTTP round-trip per
+    stream start), never on the per-batch data path.
+    """
+    import logging
+    import urllib.error
+    import urllib.request
+
+    base = url.rstrip("/")
+
+    def _req(method: str, path: str, payload: dict | None = None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        req = urllib.request.Request(
+            base + path,
+            data=data,
+            headers={"Content-Type": "application/json"},
+            method=method,
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return json.loads(resp.read().decode("utf-8") or "{}")
+
+    live: dict[str, dict] | None
+    try:
+        current = _req("GET", f"/{index}/_mapping")
+        live = (
+            current.get(index, {}).get("mappings", {}).get("properties", {}) or {}
+        )
+    except urllib.error.HTTPError as e:
+        if e.code != 404:
+            raise
+        live = None
+
+    if live is None:
+        body = {
+            "settings": dict(settings or {}),
+            "mappings": {"properties": dict(properties)},
+        }
+        _req("PUT", f"/{index}", body)
+        return {"created": True, "added": sorted(properties), "conflicts": []}
+
+    missing = {k: v for k, v in properties.items() if k not in live}
+    conflicts = [
+        k
+        for k, v in properties.items()
+        if k in live and live[k].get("type") != v.get("type")
+    ]
+    if conflicts:
+        logging.getLogger("gravity_spark.esmodel").warning(
+            "index %s: %d non-additive mapping conflict(s) %s — declared "
+            "types differ from live mapping; reindex required to change",
+            index, len(conflicts), conflicts,
+        )
+    if missing:
+        _req("PUT", f"/{index}/_mapping", {"properties": missing})
+    return {"created": False, "added": sorted(missing), "conflicts": conflicts}
+
+
 def http_bulk_index(
     docs: DataFrame,
     url: str,
@@ -271,6 +364,7 @@ def http_bulk_index(
     batch_size: int = 500,
     timeout_s: float = 30.0,
     max_retries: int = 3,
+    ensure_mappings: Mapping[str, dict] | None = None,
 ) -> None:
     """REAL bulk transport over plain HTTP — ES's `_bulk` endpoint is
     NDJSON over POST, which stdlib urllib speaks fine; no client lib.
@@ -293,6 +387,8 @@ def http_bulk_index(
     import urllib.error
     import urllib.request
 
+    if ensure_mappings is not None:
+        ensure_index(url, index, ensure_mappings, timeout_s=timeout_s)
     endpoint = url.rstrip("/") + "/_bulk"
     has_op = "op" in docs.columns
     cols = ["doc_id", "doc"] + (["op"] if has_op else [])

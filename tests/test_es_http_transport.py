@@ -22,9 +22,62 @@ class _EsStub(BaseHTTPRequestHandler):
     deletes: list[str] = []
     fail_first_with: int | None = None
     _failed_once = False
+    #: live index state: index name -> {"properties": {...}}
+    indices: dict[str, dict] = {}
+    #: ordered log of control/data calls: ("GET"|"PUT"|"BULK", path)
+    call_log: list[tuple[str, str]] = []
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        cls = _EsStub
+        cls.call_log.append(("GET", self.path))
+        m = self.path.strip("/").split("/")
+        if len(m) == 2 and m[1] == "_mapping":
+            idx = m[0]
+            if idx not in cls.indices:
+                self.send_error(404)
+                return
+            self._json(200, {idx: {"mappings": cls.indices[idx]}})
+            return
+        self.send_error(404)
+
+    def do_PUT(self):  # noqa: N802
+        cls = _EsStub
+        cls.call_log.append(("PUT", self.path))
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])).decode() or "{}"
+        )
+        parts = self.path.strip("/").split("/")
+        if len(parts) == 1:  # create index
+            idx = parts[0]
+            if idx in cls.indices:
+                self.send_error(400)
+                return
+            cls.indices[idx] = {
+                "properties": body.get("mappings", {}).get("properties", {})
+            }
+            self._json(200, {"acknowledged": True})
+            return
+        if len(parts) == 2 and parts[1] == "_mapping":  # additive update
+            idx = parts[0]
+            if idx not in cls.indices:
+                self.send_error(404)
+                return
+            cls.indices[idx]["properties"].update(body.get("properties", {}))
+            self._json(200, {"acknowledged": True})
+            return
+        self.send_error(404)
 
     def do_POST(self):  # noqa: N802
         cls = _EsStub
+        cls.call_log.append(("BULK", self.path))
         if self.path != "/_bulk":
             self.send_error(404)
             return
@@ -73,6 +126,8 @@ def es_stub():
     _EsStub.deletes = []
     _EsStub.fail_first_with = None
     _EsStub._failed_once = False
+    _EsStub.indices = {}
+    _EsStub.call_log = []
     server = HTTPServer(("127.0.0.1", 0), _EsStub)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
@@ -116,6 +171,65 @@ def test_retry_on_429(spark, es_stub):
     rows = [("1", json.dumps({"v": 1}), "insert")]
     http_bulk_index(_docs_df(spark, rows).coalesce(1), url, "t")
     assert stub.docs == {"1": json.dumps({"v": 1})}
+
+
+def test_mapping_bootstrap_precedes_first_bulk(spark, es_stub):
+    """Fresh index: the declared mapping is PUT before any _bulk
+    (reference: checkAndSetIndex runs at output start, esmodel.go:
+    541-660) — dynamic mappings never get a chance to win."""
+    from gravity_spark.sinks.esmodel import mapping_properties
+
+    url, stub = es_stub
+    props = mapping_properties(
+        one_one=[{"table": "profile", "mode": "object"}],
+        one_many=[{"table": "orders"}],
+        scalar_types={"name": "keyword"},
+    )
+    assert props == {
+        "profile": {"type": "object"},
+        "orders": {"type": "nested"},
+        "name": {"type": "keyword"},
+    }
+    rows = [("1", json.dumps({"name": "u1"}), "insert")]
+    http_bulk_index(
+        _docs_df(spark, rows).coalesce(1), url, "users", ensure_mappings=props
+    )
+    # index created with the declared properties
+    assert stub.indices["users"]["properties"] == props
+    # ordering: the create PUT strictly precedes the first bulk POST
+    put_i = stub.call_log.index(("PUT", "/users"))
+    bulk_i = stub.call_log.index(("BULK", "/_bulk"))
+    assert put_i < bulk_i
+    assert stub.docs == {"1": json.dumps({"name": "u1"})}
+
+
+def test_mapping_additive_update_and_conflict_warning(spark, es_stub, caplog):
+    """Existing index: missing properties are added via PUT /_mapping;
+    a declared property whose live type differs is a counted warning,
+    not a crash (ES rejects in-place type changes — reindex territory)."""
+    import logging
+
+    from gravity_spark.sinks.esmodel import ensure_index
+
+    url, stub = es_stub
+    stub.indices["users"] = {"properties": {"name": {"type": "text"}}}
+    with caplog.at_level(logging.WARNING, logger="gravity_spark.esmodel"):
+        result = ensure_index(
+            url, "users",
+            {"name": {"type": "keyword"}, "age": {"type": "integer"}},
+        )
+    assert result == {"created": False, "added": ["age"], "conflicts": ["name"]}
+    # additive property landed; conflicting one untouched
+    assert stub.indices["users"]["properties"]["age"] == {"type": "integer"}
+    assert stub.indices["users"]["properties"]["name"] == {"type": "text"}
+    assert any("non-additive mapping conflict" in r.message for r in caplog.records)
+    # idempotent re-run: nothing to add, same conflict count, no PUT
+    puts_before = sum(1 for c in stub.call_log if c[0] == "PUT")
+    result2 = ensure_index(
+        url, "users", {"name": {"type": "keyword"}, "age": {"type": "integer"}}
+    )
+    assert result2["added"] == []
+    assert sum(1 for c in stub.call_log if c[0] == "PUT") == puts_before
 
 
 def test_delete_of_missing_doc_is_idempotent(spark, es_stub):
