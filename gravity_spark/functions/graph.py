@@ -74,6 +74,41 @@ def oriented_wedges(oriented: DataFrame) -> DataFrame:
     )
 
 
+def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> tuple[DataFrame, int]:
+    """Peel an undirected edge list (u, v) to the k-core FIXPOINT:
+    repeatedly drop vertices of degree < k (and their edges) until a
+    round removes nothing, with ``max_rounds`` as a safety cap for
+    adversarial inputs (a path graph needs ~n/2 rounds; real power-law
+    graphs converge in a handful). Returns (core_edges, rounds_run).
+
+    Scale shape per round: one vertex-id-only aggregation + two LEFT
+    SEMI prunes of the (only ever shrinking) edge list; each round is
+    localCheckpoint-ed eagerly, which both truncates the doubling
+    lineage (each round references the prior edge list twice) and makes
+    the convergence count() a near-free metadata read. The fixpoint
+    guard is a scalar per round — nothing corpus-sized ever reaches the
+    driver."""
+    edges = edges.select("u", "v").localCheckpoint()
+    n_prev = edges.count()
+    rounds = 0
+    while rounds < max_rounds:
+        keep = degrees(edges).filter(F.col("d") >= k).select("x")
+        pruned = (
+            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n = pruned.count()
+        rounds += 1
+        if n == n_prev:
+            return pruned, rounds
+        edges, n_prev = pruned, n
+        if n == 0:
+            return edges, rounds
+    return edges, rounds
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle count of an undirected (u < v, deduplicated) edge
     list: degree-orient, form wedges at each ≺-smallest vertex, close

@@ -8277,11 +8277,12 @@ def graph_triangle_count(spark, sf_dir):
 _KCORE_K, _KCORE_ROUNDS = 2, 4
 
 
-def _kcore_sql() -> str:
+def _kcore_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Bounded-round k-core peel, unrolled: both engines compute the
     identical fixed number of peel rounds, so the oracle needs no
-    recursion (and no fixpoint detection)."""
-    k, rounds = _KCORE_K, _KCORE_ROUNDS
+    recursion (and no fixpoint detection). With ``rounds`` ≥ the
+    graph's convergence depth, the same unrolled SQL is also a valid
+    FIXPOINT oracle — peeling past the fixpoint is a no-op."""
     # MATERIALIZED: every e{r} is referenced five times downstream
     # (degree union twice, FROM + two IN probes) — without it DuckDB
     # 1.x inlines CTEs per reference and the unrolled rounds re-evaluate
@@ -8360,6 +8361,50 @@ def graph_kcore_peel(spark, sf_dir):
             .localCheckpoint()
         )
     return G.degrees(edges).select(
+        F.col("x").alias("node"), F.col("d").alias("degree")
+    )
+
+
+# fixpoint-oracle unroll depth: measured convergence is 4 rounds at
+# sf0.01 and 7 at sf0.1 (k=2, support≥2 co-purchase graph); 10 leaves
+# margin, and rounds past the fixpoint are exact no-ops
+_KCORE_FIX_ROUNDS = 10
+
+
+@register("graph_kcore_fixpoint", _kcore_sql(rounds=_KCORE_FIX_ROUNDS))
+def graph_kcore_fixpoint(spark, sf_dir):
+    """k-core peeled to FIXPOINT (functions/graph.py::kcore) — the
+    variant a user actually asks for: rounds run until a peel removes
+    nothing (scalar count per round on the eagerly-checkpointed,
+    only-shrinking edge list), with a safety round cap. At sf0.1 the
+    co-purchase 2-core needs 7 rounds — more than the bounded peel's
+    4 — so this query genuinely exercises the convergence loop. The
+    oracle unrolls 10 rounds: past the fixpoint each extra round is a
+    no-op, so unrolled-SQL and converge-until-stable agree exactly;
+    a chain graph needing >4 rounds is covered in tests/test_graph.py.
+
+    Scale shape identical to the bounded peel (one vertex-id agg + two
+    LEFT SEMI prunes per round, flat lineage via localCheckpoint); the
+    loop guard adds one metadata-cheap count per round."""
+    from gravity_spark.functions import graph as G
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+        .select("u", "v")
+    )
+    # cap == oracle unroll depth: even if a pathological graph hasn't
+    # converged by round 10, both engines have then run the same rounds
+    core, _rounds = G.kcore(edges, _KCORE_K, max_rounds=_KCORE_FIX_ROUNDS)
+    return G.degrees(core).select(
         F.col("x").alias("node"), F.col("d").alias("degree")
     )
 

@@ -67,3 +67,37 @@ def test_orientation_is_total_and_unique(spark):
         (F.col("o1.lo") == F.col("o2.hi")) & (F.col("o1.hi") == F.col("o2.lo")),
     )
     assert both.count() == 0
+
+
+def test_kcore_fixpoint_chain_needs_many_rounds(spark):
+    # a 12-vertex path: every round peels only the two endpoints
+    # (interior degree 2 survives k=2 until its neighbor goes), so the
+    # 2-core fixpoint needs 6 rounds — beyond any fixed-4 peel — and
+    # ends empty (a path has no 2-core)
+    chain = _edges(spark, [(i, i + 1) for i in range(11)])
+    core, rounds = G.kcore(chain, 2)
+    assert rounds > 4
+    assert core.count() == 0
+
+
+def test_kcore_fixpoint_preserves_core_and_stops(spark):
+    # K4 clique (a genuine 2-core AND 3-core) with a pendant path:
+    # fixpoint strips the path, keeps the clique intact, and stops
+    # as soon as a round removes nothing
+    pairs = [(u, v) for u in range(4) for v in range(u + 1, 4)]
+    pairs += [(3, 4), (4, 5), (5, 6)]
+    core, rounds = G.kcore(_edges(spark, pairs), 2)
+    got = {(r["u"], r["v"]) for r in core.collect()}
+    assert got == {(u, v) for u in range(4) for v in range(u + 1, 4)}
+    # already-converged input: one confirming round, no change
+    core2, rounds2 = G.kcore(core, 2)
+    assert rounds2 == 1
+    assert core2.count() == 6
+
+
+def test_kcore_round_cap(spark):
+    # max_rounds caps the loop even when the fixpoint is further out
+    chain = _edges(spark, [(i, i + 1) for i in range(11)])
+    core, rounds = G.kcore(chain, 2, max_rounds=2)
+    assert rounds == 2
+    assert core.count() > 0  # not yet converged — cap stopped it
