@@ -2083,6 +2083,108 @@ def cdc_gravity_chain(spark, sf_dir):
 
 
 @register(
+    "cdc_bidirectional_sync",
+    f"""
+    -- bidirectional A⇄B sync with txn-tag loop suppression: even users
+    -- write locally on A, odd on B; each side applies the other's
+    -- tagged forward stream, then refuses to forward applied rows back.
+    -- Convergence: both sides equal the global LWW. Echo accounting:
+    -- every inbound-applied row is dropped at the return hop
+    -- (echo_dropped_* = the other side's event count) and ZERO rows
+    -- survive the own-traffic filter on the second hop (echo_applied).
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             CAST(round(value, 2) AS VARCHAR) AS amount
+      FROM events
+    ),
+    lww AS (
+      SELECT user_id, amount FROM (
+        SELECT user_id, amount, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    echoes AS (
+      SELECT CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS echo_dropped_a2b,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS echo_dropped_b2a,
+             CAST(0 AS BIGINT) AS echo_applied
+      FROM ch
+    )
+    SELECT l.user_id, l.amount AS amount_a, l.amount AS amount_b,
+           e.echo_dropped_a2b, e.echo_dropped_b2a, e.echo_applied
+    FROM lww l CROSS JOIN echoes e
+    """,
+)
+def cdc_bidirectional_sync(spark, sf_dir):
+    """Bidirectional replication A⇄B with internal-txn loop suppression
+    — the reference's marquee bidirection deployment
+    (integration_test/mysql_mysql_test.go bidirection cases;
+    pkg/sql_execution_engine/internal_txn_tagger.go): each side's
+    outbound pipeline tags rows with its origin; the opposite inbound
+    applies them; the NEXT outbound hop filters applied (tagged) rows,
+    so nothing echoes. Even-user writes originate on A, odd on B; both
+    sides' final states are returned side by side — convergence to the
+    global LWW is the hash gate — together with the per-hop echo
+    accounting (dropped = everything the other side originated,
+    applied = zero).
+
+    Scale shape: tagging/filtering are row-local map-column ops on the
+    stream; each side's state is one PK-hash LWW collapse; the echo
+    counters are one-row aggregates broadcast onto the result — no
+    corpus-sized driver traffic, no extra shuffle beyond the two
+    collapses."""
+    from gravity_spark.operators.collapse import collapse_last_write_wins
+    from gravity_spark.sinks.wire import ORIGIN_KEY, filter_own_traffic, tag_origin
+
+    env = events_to_changes(T(spark, sf_dir, "events")).withColumn(
+        "data",
+        F.map_from_arrays(
+            F.array(F.lit("user_id"), F.lit("amount")),
+            F.array(
+                F.col("pks")["user_id"],
+                F.round(F.col("data")["value"].cast("double"), 2).cast("string"),
+            ),
+        ),
+    )
+    uid = F.col("pks")["user_id"].cast("long")
+    local_a = env.filter(uid % 2 == 0)
+    local_b = env.filter(uid % 2 == 1)
+    # hop 1: each side forwards its OWN fresh writes, origin-tagged
+    out_a = tag_origin(local_a, "A")
+    out_b = tag_origin(local_b, "B")
+    # apply: each side's binlog after the inbound epoch = local writes
+    # plus the applied (tagged) inbound rows
+    binlog_a = local_a.unionByName(out_b)
+    binlog_b = local_b.unionByName(out_a)
+
+    def state(binlog):
+        keyed = binlog.withColumn("__k", F.col("pks")["user_id"].cast("long"))
+        last = collapse_last_write_wins(keyed, key_cols=["__k"], order_col="seq")
+        return last.filter(F.col("op") != "delete").select(
+            F.col("__k").alias("user_id"), F.col("data")["amount"].alias("amount")
+        )
+
+    state_a, state_b = state(binlog_a), state(binlog_b)
+    converged = state_a.withColumnRenamed("amount", "amount_a").join(
+        state_b.withColumnRenamed("amount", "amount_b"), "user_id", "full"
+    )
+    # hop 2 echo accounting: the inbound segment of each binlog is what
+    # the return pipeline would tail next — all of it must be dropped
+    drops = (
+        out_b.agg(F.count(F.lit(1)).alias("echo_dropped_a2b"))
+        .crossJoin(out_a.agg(F.count(F.lit(1)).alias("echo_dropped_b2a")))
+    )
+    echo_applied = (
+        filter_own_traffic(out_b, "B")
+        .unionByName(filter_own_traffic(out_a, "A"))
+        .agg(F.count(F.lit(1)).alias("echo_applied"))
+    )
+    return converged.crossJoin(F.broadcast(drops.crossJoin(echo_applied)))
+
+
+@register(
     "cdc_dcp_checker",
     """
     SELECT event_id FROM events

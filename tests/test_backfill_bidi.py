@@ -96,3 +96,106 @@ def test_two_stage_records_positions(spark, tmp_path):
     assert pos["stage"] == "stream" and pos["offset"] == {"seq": 10}
     state = {r["id"]: r["v"] for r in target.read().collect()}
     assert state == {1: "s1", 9: "z"}
+
+
+def test_bidirectional_pipelines_converge_zero_echo(spark, tmp_path):
+    """Two REAL streaming pipelines A⇄B with origin tagging: each side
+    tails its own binlog dir, applies inbound rows from the other, and
+    forwards only rows not originated by the destination
+    (integration_test/mysql_mysql_test.go bidirection cases). Writes on
+    both sides interleave in seq; sides write disjoint keys (the
+    standard bidirection deployment assumption — same-key cross-site
+    conflicts are the conflict-detect engine's job). After the second
+    forward hop nothing echoes and both targets converge."""
+    import json as _json
+
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+    from gravity_spark.streaming.pipeline import file_cdc_source, run_stream
+
+    binlog = {"A": tmp_path / "binlog_a", "B": tmp_path / "binlog_b"}
+    for d in binlog.values():
+        d.mkdir()
+
+    def append(side, rows):
+        d = binlog[side]
+        with open(d / f"p{len(list(d.iterdir()))}.json", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def row(op, _id, v, seq, origin=None):
+        data = {"id": str(_id), "v": v}
+        if origin:
+            data["_origin"] = origin
+        return {"type": "dml", "database": "app", "table": "t", "op": op,
+                "data": data, "pks": {"id": str(_id)},
+                "stream_key": "s", "seq": seq}
+
+    def typed(df):
+        return df.select(
+            F.col("data")["id"].cast("long").alias("id"),
+            F.col("data")["v"].alias("v"),
+            "op", "seq",
+        )
+
+    targets = {
+        s: ParquetMergeTarget(spark, str(tmp_path / f"tgt_{s}"), ["id"],
+                              "id long, v string")
+        for s in ("A", "B")
+    }
+    queries = {
+        s: run_stream(file_cdc_source(spark, str(binlog[s])), targets[s],
+                      typed, str(tmp_path / f"ck_{s}"))
+        for s in ("A", "B")
+    }
+
+    forwarded_upto = {"A": 0, "B": 0}
+
+    def forward(src, dst):
+        """Tail src's binlog from the last forwarded offset; drop rows
+        originated by dst (loop suppression), tag the rest with src."""
+        rows = []
+        for p in sorted(binlog[src].iterdir()):
+            rows += [_json.loads(ln) for ln in p.read_text().splitlines()]
+        new = rows[forwarded_upto[src]:]
+        forwarded_upto[src] = len(rows)
+        out = [r for r in new if r["data"].get("_origin") != dst]
+        dropped = len(new) - len(out)
+        for r in out:
+            r["data"]["_origin"] = src
+        if out:
+            append(dst, out)
+        return len(out), dropped
+
+    # epoch 1: interleaved-seq local writes — A owns ids 1-2, B ids 3-4
+    append("A", [row("insert", 1, "a1", 1), row("insert", 2, "a2", 3),
+                 row("update", 1, "a1b", 5)])
+    append("B", [row("insert", 3, "b3", 2), row("insert", 4, "b4", 4),
+                 row("delete", 4, None, 6)])
+    for q in queries.values():
+        q.processAllAvailable()
+
+    # hop 1: A forwards its 3 fresh local rows; by the time B's
+    # forwarder runs, B's binlog already holds those 3 A-tagged inbound
+    # rows — the suppression drops them on B's very first hop
+    sent_ab, dropped_ab = forward("A", "B")
+    sent_ba, dropped_ba = forward("B", "A")
+    assert (sent_ab, dropped_ab) == (3, 0)
+    assert (sent_ba, dropped_ba) == (3, 3)
+    for q in queries.values():
+        q.processAllAvailable()
+
+    # hop 2: the remaining inbound segment on A is fully B-tagged →
+    # zero echo anywhere, and the mesh is quiescent
+    sent_ab2, dropped_ab2 = forward("A", "B")
+    sent_ba2, dropped_ba2 = forward("B", "A")
+    assert (sent_ab2, dropped_ab2) == (0, 3)
+    assert (sent_ba2, dropped_ba2) == (0, 0)
+    for q in queries.values():
+        q.processAllAvailable()
+        q.stop()
+
+    state = {
+        s: {r["id"]: r["v"] for r in targets[s].read().collect()}
+        for s in ("A", "B")
+    }
+    assert state["A"] == state["B"] == {1: "a1b", 2: "a2", 3: "b3"}
