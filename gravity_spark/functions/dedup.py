@@ -283,6 +283,7 @@ def connected_components_bipartite(
     id_col: str = "doc_id",
     bucket_col: str = "bucket",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over doc↔bucket membership (bipartite form).
 
@@ -307,7 +308,9 @@ def connected_components_bipartite(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         stale = _persistent_rdd_ids(labels) - base_ids - keep_ids
         bucket_label = m.join(labels, "v").groupBy("bk").agg(F.min("label").alias("bl"))
         neighbor_min = m.join(bucket_label, "bk").groupBy("v").agg(F.min("bl").alias("nl"))
@@ -332,6 +335,8 @@ def connected_components_bipartite(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     _unpersist_rdds(labels, keep_ids)
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 

@@ -7655,6 +7655,11 @@ def minhash_estimate_error(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
+        # pinned: the candidate set feeds BOTH the estimate join and the
+        # exact-intersection join — unpinned, each reference recomputes
+        # the banded self-join + distinct (the dedup_lsh_precision_recall
+        # lesson, PLANS.md)
+        .persist()
     )
     sa = sig.alias("sa")
     sb = sig.alias("sb")
@@ -7670,7 +7675,7 @@ def minhash_estimate_error(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     tok2 = docs.select(
         "doc_id", F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias("t")
-    )
+    ).persist()  # three reads: sizes + both sides of the intersection
     sizes = tok2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
     ta, tb = tok2.alias("ta"), tok2.alias("tb")
     inter = (
@@ -7847,6 +7852,9 @@ def text_tfidf_doc_sim(spark, sf_dir):
                 ).cast("long")
             ).alias("w"),
         )
+        # pinned: both join sides derive from the weighted postings —
+        # unpinned, the probe side recomputes tf+df+idf end to end
+        .persist()
     )
     a = w.filter(F.col("doc_id") < 100).alias("a")
     b = w.alias("b")
