@@ -2034,6 +2034,82 @@ def cdc_ddl_nonadditive(spark, sf_dir):
 
 
 @register(
+    "cdc_partitioned_merge",
+    f"""
+    -- partition-pruned merge sink: per-key LWW under a partition
+    -- column (user_id % 8, immutable per key) applied as two epochs;
+    -- each partition's manifest version counts exactly the epochs that
+    -- touched it — the O(touched partitions) apply contract
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             round(value, 2) AS amount
+      FROM events
+    ),
+    cut AS (SELECT CAST(max(seq) // 2 AS BIGINT) AS t FROM ch),
+    final AS (
+      SELECT user_id, amount FROM (
+        SELECT user_id, amount, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1 AND op <> 'delete'
+    ),
+    pver AS (
+      SELECT user_id % 8 AS pt,
+             count(DISTINCT CASE WHEN seq <= (SELECT t FROM cut)
+                                 THEN 1 ELSE 2 END) AS version
+      FROM ch GROUP BY 1
+    )
+    SELECT f.user_id, f.amount, f.user_id % 8 AS pt,
+           CAST(p.version AS BIGINT) AS partition_version
+    FROM final f JOIN pver p ON p.pt = f.user_id % 8
+    """,
+)
+def cdc_partitioned_merge(spark, sf_dir):
+    """The PARTITIONED merge sink end-to-end: changes keyed by user_id
+    land under an immutable partition column (user_id % 8, the standard
+    created-date-style CDC partitioning assumption) in two epochs; each
+    epoch rewrites ONLY the partitions present in its batch and bumps
+    their per-partition manifest versions. The result joins the final
+    LWW state with each partition's version — a partition untouched by
+    an epoch keeping a lower version is exactly the O(touched
+    partitions) apply cost contract that makes the sink viable at
+    100 TB (epoch cost ∝ batch locality, not table size).
+
+    Reference parity: the batch-table-scheduler applies per-(db,table)
+    slices independently (pkg/scheduler/batch_table_scheduler) — here
+    partition dirs are the slices and the manifest is the atomic flip."""
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    ev = T(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    ch = ev.select(
+        "user_id",
+        (F.col("user_id") % 8).alias("pt"),
+        F.col("event_id").alias("seq"),
+        op.alias("op"),
+        F.round("value", 2).alias("amount"),
+    )
+    cut = ch.agg(F.max("seq")).collect()[0][0] // 2
+    target = ParquetMergeTarget(
+        spark, f"{_scratch_dir('pmrg_')}/t", ["user_id"],
+        "user_id long, pt long, amount double", partition_col="pt",
+    )
+    target.apply_batch(ch.filter(F.col("seq") <= cut), 0)
+    target.apply_batch(ch.filter(F.col("seq") > cut), 1)
+    versions = [
+        (int(val), ver) for val, ver in target._manifest()["partitions"].items()
+    ]
+    vdf = spark.createDataFrame(versions, "pt long, partition_version long")
+    return target.read().join(F.broadcast(vdf), "pt").select(
+        "user_id", "amount", "pt", "partition_version"
+    )
+
+
+@register(
     "cdc_gravity_chain",
     f"""
     -- gravity → gravity: the change stream is serialized to the v2.0
@@ -5699,6 +5775,70 @@ def decontaminate_ngram_overlap(spark, sf_dir):
 
 
 @register(
+    "corpus_ngram_novelty",
+    f"""
+    -- RefinedWeb-style duplicated-n-gram fraction: per doc, the share
+    -- of its DISTINCT 3-grams that also occur in at least one other
+    -- doc — the corpus-level repetition signal that catches boilerplate
+    -- the within-doc Gopher/C4 filters cannot see
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    ng AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 2)) AS t(i)
+      WHERE len(tk) >= 3
+    ),
+    gdf AS (SELECT g, count(*) AS df_g FROM ng GROUP BY g)
+    SELECT ng.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN gdf.df_g >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST((1000 * sum(CASE WHEN gdf.df_g >= 2 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS dup_milli
+    FROM ng JOIN gdf USING (g)
+    GROUP BY ng.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark, sf_dir):
+    """Duplicated-n-gram fraction per document (the RefinedWeb `dup_*`
+    family): how much of each doc's distinct 3-grams appear elsewhere
+    in the corpus. Quality-filter signal for cross-document boilerplate
+    (headers, licenses, templates) that within-document repetition
+    filters miss.
+
+    Scale shape: one explode to per-doc DISTINCT 3-grams, one hash agg
+    for corpus gram document-frequency, one equi-join back on the gram,
+    one per-doc agg — all linear in total grams; raw text rides no
+    shuffle (grams are the shuffle currency, same as the dedup stack).
+    Unlike decontamination (broadcast eval set) the df table here IS
+    corpus-sized, so the gram join is a sort-merge co-partitioned on
+    the gram — the unavoidable and scalable shape."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.tokenize(F.col("text")).alias("tk")).filter(
+        F.size("tk") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 3)),
+    )
+    ng = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("g")).persist()
+    gdf = ng.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    return (
+        ng.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df_g") >= 2, 1).otherwise(0)).cast("long").alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup",
+            F.expr("(1000 * n_dup) div n_grams").cast("long").alias("dup_milli"),
+        )
+    )
+
+
+@register(
     "corpus_mixture_weights",
     """
     WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
@@ -6628,6 +6768,93 @@ def _profile_sql() -> str:
         + " FROM orders)\n"
         + "\nUNION ALL ".join(rows)
     )
+
+
+@register(
+    "quantile_histogram",
+    """
+    -- single-pass histogram quantiles (the 100 TB percentile shape):
+    -- 1024 fixed integer bins locate each target rank's bin; the exact
+    -- value needs only an in-bin selection. Both the bin ESTIMATE
+    -- (lower edge) and the exact rank value are integer-deterministic.
+    WITH p AS (SELECT CAST(o_totalprice * 100 AS BIGINT) AS c FROM orders),
+    stats AS (SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM p),
+    w AS (SELECT greatest(1, (mx - mn + 1023) // 1024) AS w, mn, n FROM stats),
+    b AS (SELECT (c - mn) // w AS bin, count(*) AS cnt FROM p, w GROUP BY 1),
+    cum AS (
+      SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM b
+    ),
+    q AS (SELECT unnest([50, 90, 95, 99]) AS pct),
+    k AS (SELECT pct, (pct * n + 99) // 100 AS k FROM q, w),
+    est AS (
+      SELECT k.pct, k.k, mn + min(cum.bin) * w AS est_cents
+      FROM k, w, cum WHERE cum.cum >= k.k GROUP BY k.pct, k.k, mn, w
+    ),
+    o AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM p)
+    SELECT est.pct, o.c AS value_cents, est.est_cents,
+           est.est_cents - o.c AS err_cents
+    FROM est JOIN o ON o.rn = est.k
+    """,
+)
+def quantile_histogram(spark, sf_dir):
+    """Distributed exact quantiles WITHOUT a global sort: one pass bins
+    o_totalprice (integer cents) into 1024 fixed-width buckets; the
+    ≤1024-row histogram folds driver-side (the `_dist_ntile`
+    discipline) to locate each target rank's bin; the exact value is
+    then an in-bin selection over a filtered, bin-sized subset. The
+    bin's lower edge doubles as the single-pass ESTIMATE — its error
+    against the exact rank value is bounded by the bin width and
+    reported per percentile.
+
+    Scale shape: one scan + one 1024-group agg for the histogram; per
+    percentile one pushdown-filtered scan of a 1/1024 slice with a
+    subset-sized ordering. Nothing corpus-sized sorts or reaches the
+    driver. (Spark's percentile_approx would give a similar plan but
+    not cross-engine bit-determinism, so the oracle-checkable form is
+    built from the same integer histogram both engines can agree on.)"""
+    orders = T(spark, sf_dir, "orders")
+    p = orders.select((F.col("o_totalprice") * 100).cast("long").alias("c"))
+    mn, mx, n = p.agg(F.min("c"), F.max("c"), F.count("c")).collect()[0]
+    width = max(1, (mx - mn + 1023) // 1024)
+    hist = sorted(
+        (r["bin"], r["cnt"])
+        for r in p.groupBy(((F.col("c") - mn) / width).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    out = []
+    for pct in (50, 90, 95, 99):
+        k = (pct * n + 99) // 100
+        cum = 0
+        for b, cnt in hist:
+            cum += cnt
+            if cum >= k:
+                est = mn + b * width
+                lo, hi = mn + b * width, mn + (b + 1) * width
+                offset = k - (cum - cnt)  # rank within the bin
+                out.append((pct, k, est, lo, hi, offset))
+                break
+    parts = []
+    for pct, k, est, lo, hi, offset in out:
+        in_bin = p.filter((F.col("c") >= lo) & (F.col("c") < hi))
+        # offset-th smallest in the bin as a TakeOrdered (distributed
+        # top-k + max) — never a partition-less window
+        val = (
+            in_bin.orderBy("c")
+            .limit(offset)
+            .agg(F.max("c").alias("value_cents"))
+            .select(
+                F.lit(pct).cast("int").alias("pct"),
+                "value_cents",
+                F.lit(est).cast("long").alias("est_cents"),
+                (F.lit(est) - F.col("value_cents")).cast("long").alias("err_cents"),
+            )
+        )
+        parts.append(val)
+    res = parts[0]
+    for x in parts[1:]:
+        res = res.unionByName(x)
+    return res
 
 
 @register("table_profile", _profile_sql())
