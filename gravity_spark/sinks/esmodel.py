@@ -251,6 +251,27 @@ class EsModelTarget:
     def docs(self) -> DataFrame:
         return self.docs_store.read()
 
+    def bootstrap(
+        self,
+        url: str,
+        index: str,
+        scalar_types: Mapping[str, str] | None = None,
+        settings: Mapping[str, Any] | None = None,
+    ) -> dict:
+        """Create/align the target index's mapping from this model's
+        route specs BEFORE the first publish (reference: checkAndSetIndex
+        runs at output start, esmodel.go:541-660): one-one object
+        sub-docs → `object`, one-many children → `nested`, plus any
+        explicit scalar types. Driver-side control-plane call."""
+        props = mapping_properties(self.one_one, self.one_many, scalar_types)
+        return ensure_index(url, index, props, settings=settings)
+
+    def publish(self, url: str, index: str, **bulk_kwargs) -> None:
+        """Bootstrap the mapping, then bulk-index the current doc store
+        over the stdlib HTTP transport (executor-parallel `_bulk`)."""
+        self.bootstrap(url, index)
+        http_bulk_index(self.docs(), url, index, **bulk_kwargs)
+
 
 def bulk_index(docs: DataFrame, hosts: str, index: str) -> None:
     """Client-lib ES transport — optional; the default transport is
@@ -274,12 +295,15 @@ def mapping_properties(
     arrays to `{"type": "nested"}` (pkg/outputs/esmodel/esmodel.go:
     568-595 — nested is what makes child-array queries correct in ES),
     plus any explicit scalar column types."""
+    def prop_name(spec: Mapping[str, Any]) -> str:
+        return spec.get("property") or spec.get("name") or spec["table"]
+
     props: dict[str, dict] = {k: {"type": v} for k, v in (scalar_types or {}).items()}
     for spec in one_one:
         if spec.get("mode", "object") == "object":
-            props[spec.get("property", spec["table"])] = {"type": "object"}
+            props[prop_name(spec)] = {"type": "object"}
     for spec in one_many:
-        props[spec.get("property", spec["table"])] = {"type": "nested"}
+        props[prop_name(spec)] = {"type": "nested"}
     return props
 
 

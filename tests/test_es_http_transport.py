@@ -239,3 +239,40 @@ def test_delete_of_missing_doc_is_idempotent(spark, es_stub):
     # already-gone, not an error
     http_bulk_index(_docs_df(spark, rows).coalesce(1), url, "t")
     assert stub.deletes == ["404notthere"]
+
+
+def test_esmodel_publish_bootstraps_then_bulks(spark, es_stub, tmp_path):
+    """EsModelTarget.publish: mapping bootstrap derived from the model's
+    route specs (child arrays → nested) strictly precedes the bulk."""
+    from gravity_spark.sinks.esmodel import EsModelTarget
+
+    url, stub = es_stub
+    t = EsModelTarget(
+        spark,
+        str(tmp_path / "es"),
+        parent_table="customer",
+        parent_key="cid",
+        parent_schema_ddl="cid long, name string",
+        one_many=[{
+            "name": "orders", "table": "orders", "pk": "oid",
+            "join-key": "cid", "order-key": "oid",
+            "schema_ddl": "oid long, cid long, amount long",
+        }],
+    )
+
+    def ch(rows, ddl):
+        return spark.createDataFrame(rows, ddl + ", op string, seq long")
+
+    t.apply_batch(
+        {
+            "customer": ch([(1, "ada", "insert", 1)], "cid long, name string"),
+            "orders": ch([(10, 1, 100, "insert", 2)], "oid long, cid long, amount long"),
+        },
+        epoch_id=1,
+    )
+    t.publish(url, "customers")
+    assert stub.indices["customers"]["properties"] == {"orders": {"type": "nested"}}
+    put_i = stub.call_log.index(("PUT", "/customers"))
+    bulk_i = stub.call_log.index(("BULK", "/_bulk"))
+    assert put_i < bulk_i
+    assert set(stub.docs) == {"1"}
