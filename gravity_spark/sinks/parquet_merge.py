@@ -366,6 +366,17 @@ class ParquetMergeTarget:
         return bool(m["partitions"])
 
     def _apply_partitioned(self, changes: DataFrame, epoch_id: int | None) -> None:
+        """ONE merge job per epoch, not one per touched partition: the
+        current state of every touched partition is read as one
+        DataFrame, merged with the whole batch in one PK-keyed merge
+        (safe because the partition column is immutable per key, so
+        cross-partition PK collisions cannot exist), and written once
+        with partitionBy into a staging dir whose per-partition subdirs
+        are then renamed into their versioned slots. Sequential
+        per-partition Spark jobs made epoch cost O(partitions × job
+        overhead); this shape keeps it O(batch) with one shuffle."""
+        import shutil
+
         pcol = self.partition_col
         cached = changes.persist()
         try:
@@ -376,18 +387,43 @@ class ParquetMergeTarget:
 
             declared = StructType.fromDDL(self.schema_ddl)
             m = self._manifest()
+            paths = [
+                os.path.join(self.path, f"p={val}", f"v{m['partitions'][str(val)]}")
+                for val in touched
+                if str(val) in m["partitions"]
+            ]
+            current = (
+                self.spark.read.parquet(*paths)
+                if paths
+                else self.spark.createDataFrame([], self.schema_ddl)
+            )
+            for f_ in declared.fields:
+                if f_.name not in current.columns:
+                    current = current.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            current = current.select(*[f_.name for f_ in declared.fields])
+            merged = merge_changes(current, cached, self.pk_cols, self.engine)
+            # __p duplicates the partition value for the directory layout
+            # only — the data files keep pcol as a normal column, so
+            # per-version dirs stay readable standalone
+            staging = os.path.join(self.path, f"_stage_e{epoch_id}")
+            shutil.rmtree(staging, ignore_errors=True)
+            merged.withColumn("__p", F.col(pcol)).write.mode("overwrite").partitionBy(
+                "__p"
+            ).parquet(staging)
             for val in touched:
-                current = self.read_partition(val)
-                for f_ in declared.fields:
-                    if f_.name not in current.columns:
-                        current = current.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-                current = current.select(*[f_.name for f_ in declared.fields])
-                slice_df = cached.filter(F.col(pcol) == val)
-                merged = merge_changes(current, slice_df, self.pk_cols, self.engine)
+                src = os.path.join(staging, f"__p={val}")
+                if not os.path.isdir(src):
+                    # every row of the partition deleted → drop it from
+                    # the manifest (reads skip it; history dirs remain
+                    # until vacuum)
+                    m["partitions"].pop(str(val), None)
+                    continue
                 next_v = (m["partitions"].get(str(val)) or 0) + 1
-                out = os.path.join(self.path, f"p={val}", f"v{next_v}")
-                merged.write.mode("overwrite").parquet(out)
+                dst_dir = os.path.join(self.path, f"p={val}")
+                os.makedirs(dst_dir, exist_ok=True)
+                os.replace(src, os.path.join(dst_dir, f"v{next_v}"))
                 m["partitions"][str(val)] = next_v
+            shutil.rmtree(staging, ignore_errors=True)
             m["version"] = (m["version"] or 0) + 1
             m["epoch"] = epoch_id
             self._write_manifest(m)
