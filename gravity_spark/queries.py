@@ -2034,6 +2034,80 @@ def cdc_ddl_nonadditive(spark, sf_dir):
 
 
 @register(
+    "cdc_incremental_join_view",
+    """
+    -- incremental maintenance of a JOIN view (delta rule ΔV = ΔA ⋈ B):
+    -- per-nation revenue maintained from two change epochs — epoch 2
+    -- carries signed corrections (-10% for orderkey % 10 = 0) — must
+    -- equal the from-scratch join+agg over the corrected facts
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    adj AS (
+      SELECT o_custkey,
+             cents - (CASE WHEN o_orderkey % 10 = 0 THEN cents // 10
+                           ELSE 0 END) AS cents
+      FROM o
+    )
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+           CAST(sum(a.cents) AS BIGINT) AS rev_cents
+    FROM adj a JOIN customer c ON c.c_custkey = a.o_custkey
+    GROUP BY 1
+    """,
+)
+def cdc_incremental_join_view(spark, sf_dir):
+    """Incremental view maintenance for a JOIN view — the relational
+    delta rule (ΔV = ΔA ⋈ B for static dim B): a per-nation revenue
+    aggregate over orders⋈customer is maintained from CDC epochs
+    instead of recomputation. Epoch 1 delivers the first half of the
+    fact inserts; epoch 2 delivers the rest PLUS signed corrections
+    (−10 % for every tenth order) — negative deltas flow through the
+    same additive path, the IVM property that makes retractions free.
+    Partials land in the epoch-guarded AggregateRollupTarget
+    (redelivery-safe); the final state must equal the from-scratch
+    join+agg, which is the oracle.
+
+    Scale shape per epoch: the delta (batch-sized) joins the dim and
+    pre-aggregates map-side before one union + hash re-agg against the
+    O(groups) view state — cost tracks the batch, never the fact
+    table. The reference has no IVM; this is engine-completeness the
+    esmodel incremental doc assembly generalizes from."""
+    from gravity_spark.sinks.parquet_merge import AggregateRollupTarget
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("c_nationkey")
+    )
+    cut = orders.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    corrections = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_custkey", (-F.expr("cents div 10")).alias("delta")
+    )
+    epochs = [
+        orders.filter(F.col("o_orderkey") <= cut).select("o_custkey", F.col("cents").alias("delta")),
+        orders.filter(F.col("o_orderkey") > cut)
+        .select("o_custkey", F.col("cents").alias("delta"))
+        .unionByName(corrections),
+    ]
+    target = AggregateRollupTarget(
+        spark, f"{_scratch_dir('ivm_')}/v", ["nation"], ["rev_cents"],
+        "nation long, rev_cents long",
+    )
+    for eid, delta in enumerate(epochs):
+        partial = (
+            delta.join(cust, delta.o_custkey == cust.c_custkey)
+            .groupBy(F.col("c_nationkey").alias("nation"))
+            .agg(F.sum("delta").alias("rev_cents"))
+        )
+        target.apply_batch(partial, epoch_id=eid)
+    return target.read().select("nation", F.col("rev_cents").cast("long").alias("rev_cents"))
+
+
+@register(
     "cdc_partitioned_merge",
     f"""
     -- partition-pruned merge sink: per-key LWW under a partition
