@@ -2034,6 +2034,45 @@ def cdc_ddl_nonadditive(spark, sf_dir):
 
 
 @register(
+    "salted_skew_join",
+    """
+    -- salted replicate-small-side join must be VALUE-identical to the
+    -- plain equi-join it replaces (the salt is plumbing, not semantics)
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    """Explicit salt join for skewed equi-joins (operators/skew.py::
+    salted_join) — the fallback when AQE's skew split cannot apply (the
+    small side is too big to broadcast but cheap to replicate): the big
+    side salts into 8 buckets, the dim replicates across all salts, and
+    the join key becomes (key, salt) so a hot key's rows land in 8
+    partitions instead of one. Aggregated to per-nation order counts +
+    revenue, which must equal the plain join bit-for-bit — salting is
+    partitioning plumbing with zero value semantics, and that equality
+    is exactly what this query grades."""
+    from gravity_spark.operators.skew import salted_join
+
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nation")
+    )
+    joined = salted_join(orders, cust, "c_custkey", salts=8)
+    return joined.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_cents"),
+    )
+
+
+@register(
     "cdc_incremental_join_view",
     """
     -- incremental maintenance of a JOIN view (delta rule ΔV = ΔA ⋈ B):
