@@ -96,6 +96,7 @@ def run_stream(
     current_db: str | None = None,
     compact_every: int | None = None,
     compact_target_bytes: int = 128 * 1024 * 1024,
+    table: str | None = None,
 ) -> StreamingQuery:
     """Wire a change stream into a merge target.
 
@@ -133,8 +134,12 @@ def run_stream(
                     # non-additive DDL (rename/drop/modify/truncate) is
                     # applied to the target PHYSICALLY, between epochs —
                     # the same barrier the reference gets from flushing
-                    # in-flight DML before the ALTER (mysql.go:222-440)
-                    if res.actions:
+                    # in-flight DML before the ALTER (mysql.go:222-440).
+                    # With ``table`` set, only DDL addressing THIS
+                    # stream's table touches the sink (a multi-table
+                    # change stream carries other tables' DDL too);
+                    # the catalog above still records every statement.
+                    if res.actions and (table is None or res.table == table):
                         target.apply_ddl(res.actions)
             df = df.filter(F.col("type") != "ddl")
         batch = typed(df)

@@ -160,3 +160,40 @@ def test_apply_ddl_partitioned_and_truncate(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError):
         target.apply_ddl([("drop-col", "id")])
+
+
+def test_ddl_for_other_table_does_not_rewrite_sink(spark, tmp_path):
+    """With table scoping, another table's DDL updates the catalog but
+    never physically rewrites this stream's sink."""
+    catalog = Catalog()
+    catalog.put(TableDef("app", "t", [
+        ColumnDef("id", "bigint", is_pk=True), ColumnDef("v", "varchar(10)"),
+    ]))
+    catalog.put(TableDef("app", "other", [
+        ColumnDef("id", "bigint", is_pk=True), ColumnDef("x", "varchar(10)"),
+    ]))
+    src = tmp_path / "cdc"
+    target = ParquetMergeTarget(spark, str(tmp_path / "tgt"), ["id"],
+                                "id bigint, v string")
+
+    def typed(df):
+        return catalog.get("app", "t").typed_projection(df)
+
+    _write(src, [
+        {"type": "dml", "database": "app", "table": "t", "op": "insert",
+         "data": {"id": "1", "v": "a"}, "pks": {"id": "1"},
+         "stream_key": "s", "seq": 1},
+        {"type": "ddl", "database": "app", "table": "other",
+         "ddl_statement": "ALTER TABLE app.other DROP COLUMN x",
+         "stream_key": "s", "seq": 2},
+    ])
+    q = run_stream(file_cdc_source(spark, str(src)), target, typed,
+                   str(tmp_path / "ck"), catalog=catalog, current_db="app",
+                   table="t")
+    q.processAllAvailable()
+    q.stop()
+    # other's catalog entry lost the column...
+    assert [c.name for c in catalog.get("app", "other").columns] == ["id"]
+    # ...but this sink's schema is untouched
+    assert target.schema_ddl == "id bigint, v string"
+    assert set(target.read().columns) == {"id", "v"}
