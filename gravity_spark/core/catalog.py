@@ -80,19 +80,31 @@ def mysql_to_spark_type(mysql_type: str) -> T.DataType:
     return T.StringType()  # unknown → lexical passthrough
 
 
-def coerce_from_string(col: SparkColumn, mysql_type: str) -> SparkColumn:
+def coerce_from_string(
+    col: SparkColumn, mysql_type: str, lenient: bool = False
+) -> SparkColumn:
     """Cast an envelope string value to the typed column, with the
     reference's edge cases: zero-dates → NULL
-    (integration_test/mysql_mysql_test.go:770), bit(1) '0'/'1' → bool."""
+    (integration_test/mysql_mysql_test.go:770), bit(1) '0'/'1' → bool.
+
+    ``lenient=True`` uses try_cast so malformed values yield NULL
+    instead of an ANSI runtime error — the probe mode dead-letter
+    validation (operators.filters.split_dead_letter) runs in; the
+    default strict mode errors on corrupt data like the reference's
+    apply path does."""
     spark_type = mysql_to_spark_type(mysql_type)
+
+    def cast(c: SparkColumn, t) -> SparkColumn:
+        return c.try_cast(t) if lenient else c.cast(t)
+
     if isinstance(spark_type, (T.TimestampType, T.DateType)):
         cleaned = F.when(
             col.startswith("0000-00-00"), F.lit(None).cast("string")
         ).otherwise(col)
-        return cleaned.cast(spark_type)
+        return cast(cleaned, spark_type)
     if isinstance(spark_type, T.BooleanType):
-        return (col.cast("int") != 0).cast("boolean")
-    return col.cast(spark_type)
+        return (cast(col, "int") != 0).cast("boolean")
+    return cast(col, spark_type)
 
 
 # --- catalog entities --------------------------------------------------

@@ -85,6 +85,44 @@ def rename_dml_columns(
 FilterFn = Callable[[DataFrame], DataFrame]
 
 
+def split_dead_letter(changes: DataFrame, table_def) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter quarantine: split an envelope stream into (clean,
+    dead) by validating every payload value against the catalog's type
+    matrix — a raw value that is present but fails its column's
+    coercion (non-numeric text in a numeric column, garbage in a
+    timestamp) marks the ROW dead. Dead rows keep the full envelope so
+    the quarantine sink preserves replayability; clean rows proceed to
+    the typed projection, which can no longer silently NULL a corrupt
+    value (the failure mode this operator exists to remove).
+
+    The zero-date → NULL mapping is the reference's own documented
+    coercion (integration_test/mysql_mysql_test.go:770), not
+    corruption, and stays clean. Row-local column expressions only —
+    no shuffle, safe at any scale; wire it before the sink and point
+    the dead side at a second (append-only) target, the standard DLQ
+    topology the reference lacks (it errors the whole pipeline).
+    """
+    from gravity_spark.core.catalog import coerce_from_string
+
+    dead = F.lit(False)
+    for c in table_def.columns:
+        if c.generated:
+            continue
+        raw = F.col("data").getItem(c.name)
+        bad = (
+            raw.isNotNull()
+            & coerce_from_string(raw, c.mysql_type, lenient=True).isNull()
+        )
+        if c.spark_type.simpleString() in ("timestamp", "date"):
+            bad = bad & ~raw.startswith("0000-00-00")
+        dead = dead | F.coalesce(bad, F.lit(False))
+    flagged = changes.withColumn("__dead", dead)
+    return (
+        flagged.filter(~F.col("__dead")).drop("__dead"),
+        flagged.filter(F.col("__dead")).drop("__dead"),
+    )
+
+
 def build_filter(spec: Mapping[str, Any]) -> FilterFn:
     """One config block -> one transform (registry lookup parity,
     pkg/registry/registry.go:12-80 + pkg/filters/filters.go)."""

@@ -2034,6 +2034,82 @@ def cdc_ddl_nonadditive(spark, sf_dir):
 
 
 @register(
+    "cdc_dead_letter_quarantine",
+    f"""
+    -- dead-letter split: every 13th event carries a non-numeric value;
+    -- those rows quarantine (counted), clean rows LWW-collapse — the
+    -- corrupt value can neither poison the sink nor silently NULL
+    WITH ch AS (
+      SELECT user_id, event_id AS seq, {_OP_SQL} AS op,
+             CASE WHEN event_id % 13 = 0 THEN 'bad-' || event_id
+                  ELSE CAST(round(value, 2) AS VARCHAR) END AS v
+      FROM events
+    ),
+    flag AS (
+      SELECT *, (v IS NOT NULL AND try_cast(v AS DOUBLE) IS NULL) AS dead
+      FROM ch
+    ),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+             CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+      FROM flag
+    ),
+    lww AS (
+      SELECT user_id, CAST(v AS DOUBLE) AS value FROM (
+        SELECT user_id, v, op,
+               row_number() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM flag WHERE NOT dead
+      ) WHERE rn = 1 AND op <> 'delete'
+    )
+    SELECT l.user_id, l.value, c.n_dead, c.n_clean
+    FROM lww l CROSS JOIN cnt c
+    """,
+)
+def cdc_dead_letter_quarantine(spark, sf_dir):
+    """Dead-letter quarantine in the CDC path (operators/filters.py::
+    split_dead_letter): payload values are validated against the
+    catalog's type matrix BEFORE the typed projection, so a corrupt
+    value (here: every 13th event's numeric column carries text)
+    routes the whole row to a quarantine side with its envelope intact
+    instead of being silently NULLed into the sink — the failure mode
+    the reference handles by erroring the entire pipeline. Clean rows
+    LWW-collapse as usual; the quarantine/clean counts ride broadcast
+    one-row frames. Validation is row-local column expressions — zero
+    added shuffle at any scale."""
+    from gravity_spark.core.catalog import ColumnDef, TableDef
+    from gravity_spark.operators.collapse import collapse_last_write_wins
+    from gravity_spark.operators.filters import split_dead_letter
+
+    env = events_to_changes(T(spark, sf_dir, "events")).withColumn(
+        "data",
+        F.map_from_arrays(
+            F.array(F.lit("user_id"), F.lit("value")),
+            F.array(
+                F.col("pks")["user_id"],
+                F.when(
+                    F.col("seq") % 13 == 0,
+                    F.concat(F.lit("bad-"), F.col("seq").cast("string")),
+                ).otherwise(
+                    F.round(F.col("data")["value"].cast("double"), 2).cast("string")
+                ),
+            ),
+        ),
+    )
+    tdef = TableDef("app", "t", [
+        ColumnDef("user_id", "bigint", is_pk=True),
+        ColumnDef("value", "double"),
+    ])
+    clean, dead = split_dead_letter(env, tdef)
+    clean = clean.persist()
+    dead_n = dead.agg(F.count(F.lit(1)).alias("n_dead"))
+    clean_n = clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    typed = tdef.typed_projection(clean)
+    last = collapse_last_write_wins(typed, key_cols=["user_id"], order_col="seq")
+    state = last.filter(F.col("op") != "delete").select("user_id", "value")
+    return state.crossJoin(F.broadcast(dead_n.crossJoin(clean_n)))
+
+
+@register(
     "salted_skew_join",
     """
     -- salted replicate-small-side join must be VALUE-identical to the

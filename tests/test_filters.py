@@ -75,3 +75,47 @@ def test_filter_chain(spark):
     rows = out.collect()
     assert len(rows) == 2
     assert all(r["tagged"] == 1 for r in rows)
+
+
+def test_split_dead_letter_quarantines_bad_rows(spark):
+    from gravity_spark.core.catalog import ColumnDef, TableDef
+    from gravity_spark.core.envelope import memory_changes
+    from gravity_spark.operators.filters import split_dead_letter
+
+    tdef = TableDef("app", "t", [
+        ColumnDef("id", "bigint", is_pk=True),
+        ColumnDef("amount", "decimal(10,2)"),
+        ColumnDef("created", "datetime"),
+    ])
+    rows = [
+        {"database": "app", "table": "t", "op": "insert", "seq": 1,
+         "data": {"id": "1", "amount": "10.50", "created": "2024-01-02 03:04:05"},
+         "pks": {"id": "1"}},
+        # corrupt numeric → dead
+        {"database": "app", "table": "t", "op": "insert", "seq": 2,
+         "data": {"id": "2", "amount": "NaN-garbage", "created": "2024-01-02 03:04:05"},
+         "pks": {"id": "2"}},
+        # zero-date is the reference's documented NULL coercion → CLEAN
+        {"database": "app", "table": "t", "op": "insert", "seq": 3,
+         "data": {"id": "3", "amount": "1.00", "created": "0000-00-00 00:00:00"},
+         "pks": {"id": "3"}},
+        # corrupt timestamp → dead
+        {"database": "app", "table": "t", "op": "insert", "seq": 4,
+         "data": {"id": "4", "amount": "2.00", "created": "not-a-time"},
+         "pks": {"id": "4"}},
+        # NULL value (column absent) is not corruption → clean
+        {"database": "app", "table": "t", "op": "insert", "seq": 5,
+         "data": {"id": "5"}, "pks": {"id": "5"}},
+    ]
+    clean, dead = split_dead_letter(memory_changes(spark, rows), tdef)
+    clean_ids = {r["data"]["id"] for r in clean.collect()}
+    dead_rows = dead.collect()
+    assert clean_ids == {"1", "3", "5"}
+    # the quarantined rows keep their FULL envelope for replay
+    assert {r["data"]["id"] for r in dead_rows} == {"2", "4"}
+    assert all(r["data"]["amount"] is not None for r in dead_rows)
+    # clean side types without error under strict projection
+    typed = tdef.typed_projection(clean)
+    got = {r["id"]: r for r in typed.collect()}
+    assert str(got[1]["amount"]) == "10.50"
+    assert got[3]["created"] is None  # zero-date → NULL, not dead
