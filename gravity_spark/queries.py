@@ -4715,6 +4715,93 @@ def streaming_stream_join(spark, sf_dir):
 
 
 @register(
+    "streaming_stream_outer_join",
+    """
+    -- LEFT OUTER stream-stream join: clicks with no purchase within 1h
+    -- emit with NULL buy columns once the watermark passes their join
+    -- window. Output restricted to clicks older than max_ts - 4h on
+    -- BOTH engines: Spark guarantees null-side emission only for rows
+    -- whose window fully precedes the final watermark (max_ts - 2h),
+    -- so the boundary region is excluded deterministically.
+    WITH cut AS (SELECT max(ts) - INTERVAL 4 HOUR AS t FROM events)
+    SELECT c.event_id AS click_id, p.event_id AS buy_id, c.user_id,
+           round(p.value, 2) AS purchase_value
+    FROM events c LEFT JOIN events p
+      ON p.event_type = 'purchase'
+     AND c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND c.ts <= (SELECT t FROM cut)
+    """,
+)
+def streaming_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream join — the semantic the inner funnel
+    join can't express: a click that never converts still emits (with
+    NULL purchase columns) once the watermark passes its 1-hour join
+    window, which is how a streaming pipeline materializes
+    'unconverted' rows without a batch sweep. Watermark 2 h on both
+    sides bounds state; the no-data batch at availableNow completion
+    flushes evicted left rows. Clicks younger than max_ts − 4 h are
+    excluded on both engines — their null-emission depends on where the
+    final watermark lands, the documented outer-join boundary — so the
+    graded region is exactly the deterministically-flushed one."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type, prefix):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+        s = _normalize_ts(s)
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("value").alias(f"{prefix}_value"),
+            )
+            .withWatermark(f"{prefix}_ts", "2 hours")
+        )
+
+    clicks, buys = side("click", "click"), side("purchase", "buy")
+    joined = clicks.join(
+        buys,
+        (F.col("click_user") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    name = f"ssoj_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+    cutoff = (
+        T(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mx"))
+        .select(F.col("mx") - F.expr("INTERVAL 4 HOUR"))
+        .collect()[0][0]
+    )
+    return spark.table(name).filter(F.col("click_ts") <= F.lit(cutoff)).select(
+        "click_id",
+        F.col("buy_id").alias("buy_id"),
+        F.col("click_user").alias("user_id"),
+        F.round("buy_value", 2).alias("purchase_value"),
+    )
+
+
+@register(
     "streaming_cdc_pipeline",
     f"""
     -- oracle for the END-TO-END streaming pipeline: stream events →
