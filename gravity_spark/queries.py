@@ -6459,6 +6459,73 @@ def pack_sequences(spark, sf_dir):
     )
 
 
+@register(
+    "packing_efficiency",
+    """
+    -- concat-and-chunk packing quality report: boundary-split docs
+    -- (attention fragmentation) and tail padding waste, per source
+    WITH d AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '')) AS n_tok
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM d
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST((sum(n_tok) + 2047) // 2048 AS BIGINT) AS n_bins,
+           CAST((sum(n_tok) + 2047) // 2048 * 2048 - sum(n_tok) AS BIGINT)
+             AS waste_tokens,
+           CAST(sum((start_off + n_tok) // 2048 - start_off // 2048) AS BIGINT)
+             AS n_boundary_splits,
+           CAST(1000 * sum((start_off + n_tok) // 2048 - start_off // 2048)
+                // count(*) AS BIGINT) AS split_milli
+    FROM r GROUP BY source
+    """,
+)
+def packing_efficiency(spark, sf_dir):
+    """Packing-quality report for the concat-and-chunk scheme: per
+    source, the boundary-split count (docs straddling one or more
+    2048-token bin edges — each split fragments attention across
+    training rows; a doc spanning k edges counts k) and the tail
+    padding waste (concat-and-chunk pads only the final bin, its
+    structural advantage over doc-boundary packing). The metric pair a
+    data team reads before choosing a packing strategy. Same two-level
+    parallel prefix as pack_sequences plus one per-source agg — no
+    source-sized sequential window, all integer."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "doc_id", F.size(tx.tokenize(F.col("text"))).alias("n_tok")
+    )
+    r = pack_start_offsets(d)
+    splits = F.expr("(start_off + n_tok) div 2048 - start_off div 2048")
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum(splits).cast("long").alias("__spl"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens + 2047) div 2048").cast("long").alias("n_bins"),
+            F.expr("(total_tokens + 2047) div 2048 * 2048 - total_tokens")
+            .cast("long")
+            .alias("waste_tokens"),
+            F.col("__spl").alias("n_boundary_splits"),
+            F.expr("(1000 * __spl) div n_docs").cast("long").alias("split_milli"),
+        )
+    )
+
+
 def _pagerank_sql(rounds: int = 3) -> str:
     prev = "r0"
     layers = []
