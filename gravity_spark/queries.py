@@ -10253,6 +10253,396 @@ def docs_length_outliers(spark, sf_dir):
     )
 
 
+@register(
+    "events_anomaly_mad",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, median(n) AS med FROM b GROUP BY 1
+    ), s AS (
+      SELECT b.event_type, m.med, median(abs(b.n - m.med)) AS mad
+      FROM b JOIN m ON b.event_type = m.event_type
+      GROUP BY b.event_type, m.med
+    )
+    SELECT b.event_type, b.hb AS hour_bucket, b.n AS n_events,
+           round((b.n - s.med) / (1.4826 * s.mad), 6) AS robust_z
+    FROM b JOIN s ON b.event_type = s.event_type
+    WHERE s.mad > 0
+      AND abs(round((b.n - s.med) / (1.4826 * s.mad), 6)) >= 2.0
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection on the hourly event-rate series: the
+    median/MAD variant of `events_anomaly_zscore`. Mean/stddev z-scores
+    move with the outliers they hunt (one huge spike inflates sigma and
+    hides the rest); median absolute deviation has a 50% breakdown
+    point, so the flags survive heavy-tailed traffic. robust_z =
+    (n − median) / (1.4826·MAD), the normal-consistent scaling.
+
+    Float determinism: the series values are exact BIGINTs; both
+    engines' median is the interpolated 0.5-quantile, so med and MAD
+    are exact multiples of 0.25 (representable doubles), and the final
+    score is one identical IEEE expression tree rounded at 6.
+
+    Scale shape: the series is already one row per (type, hour) — the
+    exact median runs over the AGGREGATE, never the raw stream, and the
+    per-type (med, mad) scalars broadcast back over it. At a grain
+    where even the series overflows a partition, swap median() for
+    percentile_approx with documented error, same plan shape."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = b.groupBy("event_type").agg(F.median("n").alias("med"))
+    s = (
+        b.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("n") - F.col("med"))).alias("mad"))
+    )
+    j = b.join(F.broadcast(s), "event_type")
+    rz = F.round((F.col("n") - F.col("med")) / (F.lit(1.4826) * F.col("mad")), 6)
+    return (
+        j.filter(F.col("mad") > 0)
+        .withColumn("robust_z", rz)
+        .filter(F.abs(F.col("robust_z")) >= 2.0)
+        .select(
+            "event_type",
+            F.col("hb").alias("hour_bucket"),
+            F.col("n").alias("n_events"),
+            "robust_z",
+        )
+    )
+
+
+@register(
+    "train_split_group_aware",
+    f"""
+    WITH s AS (
+      SELECT o_custkey,
+             CASE WHEN {_phash_sql('o_custkey')} % 100 < 80 THEN 'train'
+                  WHEN {_phash_sql('o_custkey')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             o_totalprice
+      FROM orders
+    ), leak AS (
+      SELECT count(*) AS leaked FROM (
+        SELECT o_custkey FROM s GROUP BY o_custkey
+        HAVING count(DISTINCT split) > 1
+      ) x
+    )
+    SELECT s.split, count(DISTINCT s.o_custkey) AS n_customers,
+           count(*) AS n_orders, round(sum(s.o_totalprice), 2) AS revenue,
+           max(leak.leaked) AS leaked_customers
+    FROM s, leak GROUP BY s.split
+    """,
+)
+def train_split_group_aware(spark, sf_dir):
+    """Group-aware train/val/test split: membership is a function of
+    the GROUP key (customer), not the row, so every order of a customer
+    lands in the same split — the leakage rule an ML pipeline needs
+    when rows of one entity are correlated (`train_val_test_split` is
+    the row-level counterpart). The `leaked_customers` column is the
+    audit itself: customers observed in more than one split (zero by
+    construction, and the query PROVES it rather than asserts it).
+
+    Scale shape: the split is a codegen'd hash expression (no shuffle),
+    the audit and the per-split stats are two hash aggregations on
+    (custkey)/(split); order payloads never move more than once."""
+    o = T(spark, sf_dir, "orders")
+    hv = _phash_col(F.col("o_custkey"))
+    split = (
+        F.when(hv % 100 < 80, F.lit("train"))
+        .when(hv % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    s = o.select("o_custkey", split.alias("split"), "o_totalprice")
+    leak = (
+        s.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked"))
+    )
+    agg = s.groupBy("split").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    return agg.crossJoin(F.broadcast(leak)).select(
+        "split", "n_customers", "n_orders", "revenue",
+        F.col("leaked").alias("leaked_customers"),
+    )
+
+
+@register(
+    "kmv_set_ops",
+    f"""
+    WITH s AS (
+      SELECT DISTINCT CASE WHEN c.c_nationkey = 1 THEN 'a' ELSE 'b' END AS sid,
+             l.l_partkey AS k, {_phash_sql('l.l_partkey')} AS hv
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_nationkey IN (1, 2)
+    ),
+    kf AS (
+      SELECT k, max(CASE WHEN sid = 'a' THEN 1 ELSE 0 END) AS ina,
+             max(CASE WHEN sid = 'b' THEN 1 ELSE 0 END) AS inb
+      FROM s GROUP BY k
+    ),
+    ex AS (
+      SELECT CAST(sum(ina) AS BIGINT) AS exact_a,
+             CAST(sum(inb) AS BIGINT) AS exact_b, count(*) AS exact_union,
+             CAST(sum(ina * inb) AS BIGINT) AS exact_inter
+      FROM kf
+    ),
+    r AS (
+      SELECT sid, hv, row_number() OVER (PARTITION BY sid ORDER BY hv) AS rn
+      FROM s
+    ),
+    sk AS (SELECT sid, hv FROM r WHERE rn <= {_KMV_K}),
+    pa AS (
+      SELECT sid, count(*) AS nh, max(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth
+      FROM r WHERE rn <= {_KMV_K} GROUP BY sid
+    ),
+    pe AS (
+      SELECT
+        max(CASE WHEN sid = 'a' THEN CASE WHEN kth IS NULL THEN CAST(nh AS DOUBLE)
+              ELSE round(CAST({(_KMV_K - 1) * _HP} AS BIGINT) / CAST(kth AS DOUBLE), 6) END END) AS est_a,
+        max(CASE WHEN sid = 'b' THEN CASE WHEN kth IS NULL THEN CAST(nh AS DOUBLE)
+              ELSE round(CAST({(_KMV_K - 1) * _HP} AS BIGINT) / CAST(kth AS DOUBLE), 6) END END) AS est_b
+      FROM pa
+    ),
+    u AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM sk) d
+    ),
+    uk AS (
+      SELECT count(*) AS nu, max(CASE WHEN rn = {_KMV_K} THEN hv END) AS tau
+      FROM u WHERE rn <= {_KMV_K}
+    ),
+    nb AS (
+      SELECT count(*) AS n_both
+      FROM sk a JOIN sk b ON a.hv = b.hv, uk
+      WHERE a.sid = 'a' AND b.sid = 'b' AND (uk.tau IS NULL OR a.hv <= uk.tau)
+    )
+    SELECT ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter,
+           round(pe.est_a, 6) AS est_a, round(pe.est_b, 6) AS est_b,
+           round(CASE WHEN uk.tau IS NULL THEN CAST(uk.nu AS DOUBLE)
+                 ELSE CAST({(_KMV_K - 1) * _HP} AS BIGINT) / CAST(uk.tau AS DOUBLE) END, 6) AS est_union,
+           round((CAST(nb.n_both AS DOUBLE)
+                  / (CASE WHEN uk.tau IS NULL THEN uk.nu ELSE {_KMV_K} END))
+                 * (CASE WHEN uk.tau IS NULL THEN CAST(uk.nu AS DOUBLE)
+                    ELSE CAST({(_KMV_K - 1) * _HP} AS BIGINT) / CAST(uk.tau AS DOUBLE) END), 6) AS est_inter
+    FROM ex, pe, uk, nb
+    """,
+)
+def kmv_set_ops(spark, sf_dir):
+    """KMV sketch SET OPERATIONS — the reason K-minimum-values beats
+    HLL for corpus bookkeeping: two k-min sketches merge into a union
+    sketch (k smallest of the concatenation), and the fraction of the
+    union's k-mins present in BOTH sketches estimates Jaccard, hence
+    |A∩B| = Ĵ·|A∪B| (Beyer et al., SIGMOD'07). Here: the distinct
+    part sets bought by customers of two nations (lineitem→orders→
+    customer), with the exact values alongside — the "how much do two
+    corpora overlap" question a data-mixing pipeline asks constantly.
+
+    Portable-hash determinism as in `kmv_distinct_sketch`: every
+    estimate is integer arithmetic until one double division, so the
+    oracle matches bit-for-bit. Scale shape: per-set k-mins are found
+    per (sid, hv mod 32) subgroup first (bounded collect_set, all JVM),
+    the union/intersection run over ≤ 2k sketch rows, and everything
+    downstream of the scan is a handful of one-row broadcast frames —
+    set cardinality never matters after the first aggregation."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(1, 2))
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+    )
+    s = base.select(
+        F.when(F.col("c_nationkey") == 1, F.lit("a")).otherwise(F.lit("b")).alias("sid"),
+        F.col("l_partkey").alias("k"),
+        _phash_col(F.col("l_partkey")).alias("hv"),
+    ).distinct()
+    ina = F.max(F.when(F.col("sid") == "a", 1).otherwise(0)).alias("ina")
+    inb = F.max(F.when(F.col("sid") == "b", 1).otherwise(0)).alias("inb")
+    kf = s.groupBy("k").agg(ina, inb)
+    ex = kf.agg(
+        F.sum("ina").alias("exact_a"),
+        F.sum("inb").alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("ina") * F.col("inb")).alias("exact_inter"),
+    )
+    sub = s.groupBy("sid", F.pmod(F.col("hv"), F.lit(32)).alias("sg")).agg(
+        F.slice(F.sort_array(F.collect_set("hv")), 1, _KMV_K).alias("mins")
+    )
+    cand = sub.select("sid", F.explode("mins").alias("hv"))
+    w = Window.partitionBy("sid").orderBy("hv")
+    r = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    sk = r.select("sid", "hv").localCheckpoint(eager=True)
+    big = F.lit((_KMV_K - 1) * _HP).cast("long")
+    pa = r.groupBy("sid").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth"),
+    )
+    per_est = (
+        F.when(F.col("kth").isNull(), F.col("nh").cast("double"))
+        .otherwise(F.round(big / F.col("kth").cast("double"), 6))
+    )
+    pe = pa.agg(
+        F.max(F.when(F.col("sid") == "a", per_est)).alias("est_a"),
+        F.max(F.when(F.col("sid") == "b", per_est)).alias("est_b"),
+    )
+    # union sketch = k smallest over BOTH sketches (≤ 2k rows by
+    # construction) — one bounded collect_set agg, no partition-less
+    # window ever touches the plan
+    mins = F.slice(F.sort_array(F.collect_set("hv")), 1, _KMV_K)
+    uk = (
+        sk.select("hv")
+        .distinct()
+        .agg(mins.alias("mins"))
+        .select(
+            F.size("mins").alias("nu"),
+            F.when(
+                F.size("mins") >= _KMV_K, F.element_at("mins", _KMV_K)
+            ).alias("tau"),
+        )
+    )
+    both = (
+        sk.filter(F.col("sid") == "a")
+        .select("hv")
+        .join(sk.filter(F.col("sid") == "b").select("hv"), "hv")
+    )
+    nb = (
+        both.crossJoin(F.broadcast(uk))
+        .filter(F.col("tau").isNull() | (F.col("hv") <= F.col("tau")))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    raw_u = F.when(F.col("tau").isNull(), F.col("nu").cast("double")).otherwise(
+        big / F.col("tau").cast("double")
+    )
+    kk = F.when(F.col("tau").isNull(), F.col("nu")).otherwise(F.lit(_KMV_K))
+    return (
+        ex.crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(uk))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_inter",
+            F.round(F.col("est_a"), 6).alias("est_a"),
+            F.round(F.col("est_b"), 6).alias("est_b"),
+            F.round(raw_u, 6).alias("est_union"),
+            F.round((F.col("n_both").cast("double") / kk) * raw_u, 6).alias("est_inter"),
+        )
+    )
+
+
+def _er_sql() -> str:
+    mut = (
+        "concat(substr(c_name, 1, CAST(c_custkey % 8 AS INT)), "
+        "substr(c_name, CAST(c_custkey % 8 AS INT) + 2))"
+    )
+    return f"""
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 2 AS rid, c_name AS name, c_acctbal AS bal,
+             c_nationkey AS nk
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1, {mut}, c_acctbal, c_nationkey
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    pairs AS (
+      SELECT a.rid AS ra, b.rid AS rb
+      FROM recs a JOIN recs b
+        ON a.nk = b.nk AND right(a.name, 2) = right(b.name, 2)
+       AND a.rid < b.rid AND a.bal = b.bal
+       AND levenshtein(a.name, b.name) <= 1
+    ),
+    edges AS (
+      SELECT ra AS src, rb AS dst FROM pairs
+      UNION SELECT rb, ra FROM pairs
+    ),
+    reach(rid, lbl) AS (
+      SELECT rid, rid FROM recs
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.rid
+    ),
+    comp AS (SELECT rid, min(lbl) AS component FROM reach GROUP BY rid)
+    SELECT component // 2 AS entity_custkey, count(*) AS n_records
+    FROM comp GROUP BY 1 HAVING count(*) > 1
+    """
+
+
+@register("entity_resolution_customers", _er_sql())
+def entity_resolution_customers(spark, sf_dir):
+    """Entity resolution: blocking → pairwise match → transitive
+    clustering → canonical id. The classic data-integration pipeline
+    (Fellegi–Sunter shape) on the customer table: a deterministic
+    "dirty copy" of every 7th customer (one character deleted from the
+    name prefix, acctbal kept) plays the second source; blocking on
+    (nation, last-2-of-name) — attributes the corruption never touches
+    — bounds the candidate space; the match rule is
+    levenshtein(name) ≤ 1 AND acctbal equality; matched pairs feed the
+    same min-label `connected_components` the dedup stack uses, and
+    min(rid) // 2 recovers the canonical customer key.
+
+    Scale shape: candidates come from an equi-join on the block key
+    (never all-pairs — the quadratic edit-distance work is confined
+    inside blocks, the whole point of blocking); components shuffle
+    (record, label) pairs only, rounds ≈ cluster diameter (1 here).
+    At 100 TB the identical plan holds with block keys tuned so the
+    largest block fits a task — `dedup_bucket_stats` is the gate."""
+    from gravity_spark.functions.dedup import connected_components
+
+    c = T(spark, sf_dir, "customer")
+    base = c.select(
+        (F.col("c_custkey") * 2).alias("rid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    mut = F.expr(
+        "concat(substr(c_name, 1, CAST(c_custkey % 8 AS INT)), "
+        "substr(c_name, CAST(c_custkey % 8 AS INT) + 2))"
+    )
+    variants = c.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") * 2 + 1).alias("rid"),
+        mut.alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    recs = base.unionByName(variants)
+    blocked = recs.withColumn("bk", F.expr("right(name, 2)"))
+    a = blocked.select(
+        F.col("rid").alias("ra"), F.col("name").alias("na"),
+        F.col("bal").alias("ba"), "nk", "bk",
+    )
+    b = blocked.select(
+        F.col("rid").alias("rb"), F.col("name").alias("nb_"),
+        F.col("bal").alias("bb"), "nk", "bk",
+    )
+    pairs = a.join(b, ["nk", "bk"]).filter(
+        (F.col("ra") < F.col("rb"))
+        & (F.col("ba") == F.col("bb"))
+        & (F.levenshtein(F.col("na"), F.col("nb_")) <= 1)
+    )
+    comp = connected_components(
+        pairs.select(F.col("ra").alias("id_a"), F.col("rb").alias("id_b")),
+        recs.select("rid"),
+        id_col="rid",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return (
+        comp.groupBy(F.expr("component div 2").alias("entity_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > 1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
