@@ -10643,6 +10643,148 @@ def entity_resolution_customers(spark, sf_dir):
     )
 
 
+@register(
+    "events_changepoint_cusum",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, count(*) AS cnt, CAST(sum(n) AS BIGINT) AS tot
+      FROM b GROUP BY 1
+    ), c AS (
+      SELECT b.event_type, b.hb,
+             CAST(sum(b.n * s.cnt - s.tot)
+                  OVER (PARTITION BY b.event_type ORDER BY b.hb) AS BIGINT)
+               AS cusum
+      FROM b JOIN s ON b.event_type = s.event_type
+    ), r AS (
+      SELECT event_type, hb, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, hb) AS rn
+      FROM c
+    )
+    SELECT event_type, hb AS change_hour, cusum AS max_cusum
+    FROM r WHERE rn = 1
+    """,
+)
+def events_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event type: the hour where the
+    cumulative deviation from the series mean peaks — the classic
+    level-shift locator (Page 1954), complementing the POINT anomaly
+    queries (`events_anomaly_zscore`/`_mad`) with a STRUCTURAL one.
+
+    Exact integer arithmetic throughout: the running statistic is
+    Σ(nᵢ·cnt − tot), i.e. the mean-centered cusum scaled by cnt, so no
+    float ever appears and both engines agree bit-for-bit.
+
+    Scale shape: both windows partition by event_type OVER THE HOURLY
+    AGGREGATE (one row per hour), never the raw stream; per-type
+    scalars broadcast. If a single type's multi-year series ever
+    overflowed one task, the prefix sum shards hierarchically exactly
+    like pack_start_offsets."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    s = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("n").alias("tot")
+    )
+    j = b.join(F.broadcast(s), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = j.withColumn(
+        "cusum", F.sum(F.col("n") * F.col("cnt") - F.col("tot")).over(w)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("hb")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hb").alias("change_hour"),
+            F.col("cusum").alias("max_cusum"),
+        )
+    )
+
+
+def _cluster_split_sql() -> str:
+    comp_body = _components_sql().strip()
+    cut = comp_body.rindex("SELECT doc_id, component")
+    with_ctes = comp_body[:cut].rstrip().rstrip(",")
+    return f"""
+    {with_ctes},
+    sp AS (
+      SELECT doc_id, component,
+             CASE WHEN {_phash_sql('component')} % 100 < 80 THEN 'train'
+                  WHEN {_phash_sql('component')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp
+    ),
+    leak AS (
+      SELECT count(*) AS leaked FROM (
+        SELECT component FROM sp GROUP BY component
+        HAVING count(DISTINCT split) > 1
+      ) x
+    )
+    SELECT sp.split, count(*) AS n_docs,
+           count(DISTINCT sp.component) AS n_clusters,
+           max(leak.leaked) AS leaked_clusters
+    FROM sp, leak GROUP BY sp.split
+    """
+
+
+@register("dedup_cluster_aware_split", _cluster_split_sql())
+def dedup_cluster_aware_split(spark, sf_dir):
+    """Near-dup-cluster-aware train/val/test split: membership is a
+    function of the DEDUP COMPONENT id, so transitively-linked
+    near-duplicates can never straddle train and test — the
+    contamination `decontaminate_ngram_overlap` detects after the fact,
+    prevented at split time. (`train_split_group_aware` is the same
+    rule for an explicit entity key; here the group is COMPUTED by the
+    LSH → connected-components stack.) `leaked_clusters` is the inline
+    audit: components observed in >1 split, zero by construction.
+
+    Scale shape: identical to `dedup_components` (bipartite doc↔bucket
+    label propagation, O(docs × bands) edges) plus one hash expression
+    and two aggregations over (doc, component) pairs — document
+    payloads never move."""
+    from gravity_spark.functions.dedup import connected_components_bipartite
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    membership = _banded_df(spark, sf_dir).select(
+        "doc_id", F.concat_ws("#", F.col("band").cast("string"), "bh").alias("bucket")
+    )
+    singleton = docs.select("doc_id", F.lit(None).cast("string").alias("bucket"))
+    comp = connected_components_bipartite(membership.unionByName(singleton))
+    hv = _phash_col(F.col("component"))
+    split = (
+        F.when(hv % 100 < 80, F.lit("train"))
+        .when(hv % 100 < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = comp.select("doc_id", "component", split.alias("split"))
+    leak = (
+        sp.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked"))
+    )
+    agg = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+    )
+    return agg.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_clusters", F.col("leaked").alias("leaked_clusters")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 

@@ -67,6 +67,25 @@ def test_group_split_partitions_without_leakage(spark, sf_dir):
     assert by["train"] > by["val"] and by["train"] > by["test"]
 
 
+def test_changepoint_one_row_per_type(spark, sf_dir):
+    rows = _run("events_changepoint_cusum", spark, sf_dir).collect()
+    types = [r.event_type for r in rows]
+    assert len(types) == len(set(types)) > 0
+    # cusum of the full series telescopes to zero, so the peak is
+    # strictly interior unless the series is flat
+    for r in rows:
+        assert isinstance(r.max_cusum, int)
+
+
+def test_cluster_split_no_leakage_and_partition(spark, sf_dir):
+    rows = _run("dedup_cluster_aware_split", spark, sf_dir).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.leaked_clusters == 0 for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.n_clusters <= r.n_docs for r in rows)
+
+
 def test_mad_zero_dispersion_degrades_cleanly(spark, sf_dir):
     # at sf0.001 every (type, hour) count is 1 → MAD = 0 for all types;
     # the contract is zero flagged rows, never NaN/div-by-zero
