@@ -631,3 +631,119 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adc_dist", "exact_dist", "rank")
     )
+
+
+def pca_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[float], list[list[float]], list[float]]:
+    """Distributed PCA fit: mean + top-k principal components.
+
+    Scale shape (the map-side-combine of linear algebra): one Arrow
+    mapInPandas pass emits per-batch MOMENT PARTIALS — (n, Σx, ΣxxᵀT
+    flattened), i.e. d + d² doubles per batch regardless of batch row
+    count — so the driver receives O(#batches · d²) numbers, never the
+    corpus. The d×d eigendecomposition runs on the driver (d=64 →
+    trivial; the cutover to randomized/iterative methods is at d in the
+    thousands, not corpus size, which this plan is independent of).
+
+    Determinism: partials are folded in sorted order of each batch's
+    min id, so double-addition order is fixed across runs; eigenvector
+    sign is canonicalized (largest-|w| entry positive, lowest index on
+    ties). Returns (mean[d], components[k][d], explained[k]).
+    """
+    import numpy as np
+
+    schema = "mid long, n long, s array<double>, g array<double>"
+
+    def _partials(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            M = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "mid": [int(pdf[id_col].min())],
+                    "n": [len(M)],
+                    "s": [M.sum(axis=0).tolist()],
+                    "g": [(M.T @ M).ravel().tolist()],
+                }
+            )
+
+    rows = corpus.select(id_col, vec_col).mapInPandas(_partials, schema).collect()
+    rows = sorted(rows, key=lambda r: r["mid"])
+    n = 0
+    s = np.zeros(dim)
+    g = np.zeros(dim * dim)
+    for r in rows:
+        n += r["n"]
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"])
+    mu = s / n
+    cov = g.reshape(dim, dim) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(-evals, kind="stable")[:k]
+    comps = []
+    expl = []
+    for i in order:
+        w = evecs[:, i].copy()
+        j = int(np.argmax(np.abs(w)))  # first max index on ties
+        if w[j] < 0:
+            w = -w
+        comps.append([float(x) for x in w])
+        expl.append(float(evals[i]))
+    return [float(x) for x in mu], comps, expl
+
+
+def pca_project(
+    corpus: DataFrame,
+    mean: list[float],
+    comps: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: Sequence[str] = ("label",),
+) -> DataFrame:
+    """Project vectors onto fitted components; entirely JVM-side.
+
+    The (mean, components) constants ride in ONE broadcast one-row
+    frame — array literals inside per-row expressions would be rebuilt
+    per row. Each projection is a zip_with/aggregate fold (whole-stage
+    codegen, no Python in the hot path); reconstruction error uses the
+    orthonormality identity ‖x−x̂‖² = ‖c‖² − Σ projᵢ² so no second
+    pass materializes the reconstruction. Output floats rounded at 6.
+    """
+    spark = corpus.sparkSession
+    consts = spark.createDataFrame(
+        [(mean, comps)], "mu array<double>, w array<array<double>>"
+    )
+    centered = F.zip_with(
+        F.transform(F.col(vec_col), lambda x: x.cast("double")),
+        F.col("mu"),
+        lambda a, b: a - b,
+    )
+    dot = lambda c, w: F.aggregate(  # noqa: E731
+        F.zip_with(c, w, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    out = (
+        corpus.crossJoin(F.broadcast(consts))
+        .withColumn("__c", centered)
+        .withColumn("proj_raw", F.transform(F.col("w"), lambda w: dot(F.col("__c"), w)))
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.transform(F.col("proj_raw"), lambda p: F.round(p, 6)).alias("proj"),
+            F.round(sq(F.col("__c")) - sq(F.col("proj_raw")), 6).alias("recon_err"),
+        )
+    )
+    return out

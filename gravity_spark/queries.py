@@ -10785,6 +10785,27 @@ def dedup_cluster_aware_split(spark, sf_dir):
     )
 
 
+@register("embedding_pca_project", None)  # rows-only: eigendecomposition
+def embedding_pca_project(spark, sf_dir):
+    """PCA dimensionality reduction over the embedding corpus: 64-dim →
+    top-8 principal components + reconstruction error per vector (the
+    whitening/compression step before clustering or ANN indexing, and
+    `embedding_outlier_prune`'s smarter sibling — recon_err is the
+    distance-from-subspace outlier score).
+
+    Fit is one Arrow mapInPandas pass emitting (n, Σx, Σxxᵀ) moment
+    partials per batch — O(batches·d²) to the driver, corpus-size
+    independent — folded in deterministic order; the 64×64 eigh runs
+    driver-side with sign-canonicalized eigenvectors
+    (functions/similarity.py::pca_fit). Projection is JVM-only
+    zip_with/aggregate folds against one broadcast constants row
+    (::pca_project). Non-SQL-expressible (eigendecomposition) →
+    rows-only; the numpy cross-check lives in tests/test_pca.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    mean, comps, _ = sim.pca_fit(emb, k=8, dim=64)
+    return sim.pca_project(emb, mean, comps)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
