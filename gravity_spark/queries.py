@@ -10806,6 +10806,44 @@ def embedding_pca_project(spark, sf_dir):
     return sim.pca_project(emb, mean, comps)
 
 
+@register(
+    "sample_weighted_hash",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(least(1000, n_chars) AS BIGINT) AS w_milli,
+             {_phash_sql('doc_id')} AS hv
+      FROM documents
+    )
+    SELECT doc_id, source, w_milli
+    FROM t WHERE hv * 1000 < CAST({_HP} AS BIGINT) * w_milli
+    """,
+)
+def sample_weighted_hash(spark, sf_dir):
+    """Deterministic WEIGHTED Bernoulli sampling: keep a doc with
+    probability w/1000 (here w = length-proportional milli-weight,
+    capped) — the importance-sampling primitive behind quality-scored
+    corpus downsampling, completing the family with
+    `sample_bernoulli_hash` (uniform) and `sample_stratified`
+    (per-stratum). The keep test is the integer cross-multiplication
+    hv·1000 < P·w of hv/P < w/1000, so membership is an exact pure
+    function of (doc_id, weight): reproducible across runs, engines,
+    and cluster sizes, and re-weighting a doc never perturbs any other
+    doc's fate (unlike RNG-state sampling).
+
+    Scale shape: a codegen'd projection + filter; no shuffle, no UDF,
+    nothing driver-side."""
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.least(F.lit(1000), F.col("n_chars")).cast("long").alias("w_milli"),
+        _phash_col(F.col("doc_id")).alias("hv"),
+    )
+    return t.filter(
+        F.col("hv") * 1000 < F.lit(_HP).cast("long") * F.col("w_milli")
+    ).select("doc_id", "source", "w_milli")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
