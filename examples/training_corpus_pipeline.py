@@ -75,7 +75,11 @@ def main() -> None:
     n_clean = survivors.count()
 
     # 4. deterministic split — the SAME expression the graded
-    #    train_val_test_split query uses
+    #    train_val_test_split query uses. Row-level is sound HERE
+    #    because stage 1 already collapsed every near-dup cluster to one
+    #    representative; a pipeline that keeps near-dups must key the
+    #    split on the cluster id instead (dedup_cluster_aware_split) or
+    #    on the owning entity (train_split_group_aware).
     from gravity_spark.queries import corpus_split_expr
 
     tagged = survivors.join(docs, "doc_id").withColumn("split", corpus_split_expr())
