@@ -10844,6 +10844,71 @@ def sample_weighted_hash(spark, sf_dir):
     ).select("doc_id", "source", "w_milli")
 
 
+@register(
+    "events_ewma_smooth",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.event_type, c.hb, c.n,
+             CAST(sum(p.n * CAST(pow(2, 30 - (c.hb - p.hb)) AS BIGINT)) AS BIGINT) AS num,
+             CAST(sum(CAST(pow(2, 30 - (c.hb - p.hb)) AS BIGINT)) AS BIGINT) AS den
+      FROM b c JOIN b p ON p.event_type = c.event_type
+       AND p.hb BETWEEN c.hb - 30 AND c.hb
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, hb AS hour_bucket, n AS n_events,
+           round(CAST(num AS DOUBLE) / den, 6) AS ewma
+    FROM j
+    """,
+)
+def events_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average of the hourly event rate
+    (α = 1/2, 30-lag horizon) — the trend-smoothing companion to the
+    point (`_zscore`/`_mad`) and structural (`_cusum`) detectors.
+
+    The determinism trick: α = 1/2 makes every weight a POWER OF TWO
+    (2^(30−lag)), so numerator and denominator are exact BIGint sums
+    and the only float op is one final division — a sequential
+    recurrence turned into an order-independent weighted sum with zero
+    cross-engine drift (arbitrary α would hit non-correctly-rounded
+    pow and summation-order ulps). Decay is by wall-clock hour
+    distance, so silent hours decay the average implicitly.
+
+    Scale shape: a 31-row band self-join per row OVER THE HOURLY
+    AGGREGATE (series rows, not raw events) — O(31·series) work,
+    shuffled once on event_type; the raw stream is touched only by the
+    first groupBy."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    c, p = b.alias("c"), b.alias("p")
+    j = c.join(
+        p,
+        (F.col("c.event_type") == F.col("p.event_type"))
+        & F.col("p.hb").between(F.col("c.hb") - 30, F.col("c.hb")),
+    )
+    w = F.expr("CAST(pow(2, 30 - (c.hb - p.hb)) AS BIGINT)")
+    agg = j.groupBy(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.hb").alias("hb"),
+        F.col("c.n").alias("n"),
+    ).agg(
+        F.sum(F.col("p.n") * w).alias("num"),
+        F.sum(w).alias("den"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("hb").alias("hour_bucket"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("num").cast("double") / F.col("den"), 6).alias("ewma"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
