@@ -10909,6 +10909,164 @@ def events_ewma_smooth(spark, sf_dir):
     )
 
 
+@register(
+    "events_autocorrelation",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pr AS (
+      SELECT c.event_type, l.lag, c.n AS x, p.n AS y
+      FROM b c JOIN (VALUES (1), (24)) l(lag) ON TRUE
+      JOIN b p ON p.event_type = c.event_type AND p.hb = c.hb - l.lag
+    ),
+    s AS (
+      SELECT event_type, lag, count(*) AS cnt,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pr GROUP BY 1, 2
+    )
+    SELECT event_type, lag, cnt,
+           round((cnt * sxy - sx * sy)
+                 / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE)
+                        * CAST(cnt * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM s
+    WHERE cnt * sxx - sx * sx > 0 AND cnt * syy - sy * sy > 0
+    """,
+)
+def events_autocorrelation(spark, sf_dir):
+    """Lag-k autocorrelation of the hourly event series (lag 1 =
+    short-term momentum, lag 24 = daily seasonality fingerprint) —
+    the quantitative companion to `events_hourly_seasonality`'s
+    profile view: acf(24) ≫ acf(1) is the evidence a daily cycle
+    exists at all.
+
+    Determinism: Pearson over INTEGER counts — all five moments are
+    exact BIGINT sums over the lag-matched pairs; the variance factors
+    are cast to double only for the final sqrt·divide, one identical
+    IEEE tree in both engines, rounded at 6.
+
+    Scale shape: the lag pairing is an equi-join of the hourly
+    aggregate with itself on (type, hb−lag) — series rows, never raw
+    events; moments collapse to 2 rows per type. Same plan at any
+    corpus size; only the first groupBy sees the stream."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    c = b.select(
+        "event_type", "hb", F.col("n").alias("x"),
+        F.explode(F.array(F.lit(1), F.lit(24))).alias("lag"),
+    ).alias("c")
+    p = b.alias("p")
+    pr = c.join(
+        p,
+        (F.col("c.event_type") == F.col("p.event_type"))
+        & (F.col("p.hb") == F.col("c.hb") - F.col("c.lag")),
+    ).select(
+        F.col("c.event_type").alias("event_type"), "lag",
+        F.col("c.x").alias("x"), F.col("p.n").alias("y"),
+    )
+    s = pr.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("cnt") * F.col("syy") - F.col("sy") * F.col("sy")
+    acf = F.round(
+        (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+        6,
+    )
+    return (
+        s.filter((vx > 0) & (vy > 0))
+        .select("event_type", "lag", "cnt", acf.alias("acf"))
+    )
+
+
+@register(
+    "orders_open_backlog",
+    """
+    WITH span AS (
+      SELECT o.o_orderkey, o.o_orderdate AS od, max(l.l_shipdate) AS cd
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT d, CAST(sum(dd) AS BIGINT) AS dd FROM (
+        SELECT od AS d, 1 AS dd FROM span
+        UNION ALL
+        SELECT cd + INTERVAL 1 DAY, -1 FROM span
+      ) u GROUP BY d
+    )
+    SELECT d AS day, dd AS net_change,
+           CAST(sum(dd) OVER (ORDER BY d) AS BIGINT) AS open_orders
+    FROM delta
+    """,
+)
+def orders_open_backlog(spark, sf_dir):
+    """Interval-overlap counting (how many orders are OPEN each day,
+    from order date to last lineitem ship date) via the classic
+    delta-sweep: ±1 events at interval ends, then a prefix sum over
+    the date axis — O(intervals) instead of the O(intervals × days)
+    of exploding each interval to its days.
+
+    Scale shape: the interval endpoints collapse to one ±Σ row per
+    DATE first (bounded by the calendar, not the order count), then
+    the global prefix sum runs HIERARCHICALLY — per-(128-day shard)
+    partitioned running sums plus exclusive shard offsets folded
+    driver-side (≤ date-range/128 scalars, the _dist_ntile /
+    quantile_histogram discipline) and broadcast back. No
+    partition-less window over the axis; the oracle states the same
+    sweep with a plain SQL window."""
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    span = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("cd"))
+    )
+    delta = (
+        span.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("dd"))
+        .unionByName(span.select(F.date_add("cd", 1).alias("d"), F.lit(-1).alias("dd")))
+        .groupBy("d")
+        .agg(F.sum("dd").alias("dd"))
+    )
+    sh = delta.withColumn(
+        "shard", F.expr("datediff(d, DATE '1970-01-01') div 128")
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = sh.withColumn("run", F.sum("dd").over(w_in))
+    tot_rows = sorted(
+        (r["shard"], r["stot"])
+        for r in sh.groupBy("shard").agg(F.sum("dd").alias("stot")).collect()
+    )
+    offs, acc = [], 0
+    for shard, stot in tot_rows:
+        offs.append((shard, acc))
+        acc += stot
+    odf = spark.createDataFrame(offs, "shard bigint, soff bigint")
+    return (
+        within.join(F.broadcast(odf), "shard")
+        .select(
+            F.col("d").alias("day"),
+            F.col("dd").alias("net_change"),
+            (F.col("soff") + F.col("run")).alias("open_orders"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
