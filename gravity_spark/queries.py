@@ -11067,6 +11067,185 @@ def orders_open_backlog(spark, sf_dir):
     )
 
 
+@register(
+    "weighted_median_descent",
+    """
+    WITH t AS (
+      SELECT l_returnflag AS flag,
+             CAST(l_extendedprice * 100 AS BIGINT) AS c,
+             CAST(l_quantity * 100 AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (SELECT flag, c, CAST(sum(w) AS BIGINT) AS w FROM t GROUP BY 1, 2),
+    cw AS (
+      SELECT flag, c,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY c) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g
+    )
+    SELECT flag AS l_returnflag, max(tot) AS total_weight,
+           min(CASE WHEN 2 * cum >= tot THEN c END) AS median_cents
+    FROM cw GROUP BY 1
+    """,
+)
+def weighted_median_descent(spark, sf_dir):
+    """WEIGHTED median (quantity-weighted price per return flag) via
+    iterated histogram DESCENT — the weighted generalization of
+    `quantile_histogram`, for the "median token count weighted by
+    sampling weight" class of questions a mixture pipeline asks.
+
+    Exact without any global sort and without TakeOrdered (row-offset
+    tricks don't transfer to weight-rank): each round bins the current
+    [lo, hi) candidate range into ≤1024 integer-cent buckets, ONE
+    filtered aggregation ships the ≤1024 (bin, Σw) rows to the driver,
+    and the target weight-rank picks the bin to recurse into. Bin
+    width hits 1 cent in ⌈log₁₀₂₄(range)⌉ ≤ 3 rounds, at which point
+    the bin IS the exact answer. All weight arithmetic is exact BIGINT
+    (cents × centi-units); the oracle states the same rank rule
+    (cum ≥ ⌈tot/2⌉ ⟺ 2·cum ≥ tot) with a plain windowed sweep.
+
+    Scale shape: per group ≤3 pushdown-filtered scans each collapsing
+    to ≤1024 driver rows — the _dist_ntile discipline; nothing
+    corpus-sized sorts, shuffles wide, or reaches the driver."""
+    li = T(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        (F.col("l_quantity") * 100).cast("long").alias("w"),
+    ).persist()
+    try:
+        first = t.groupBy("flag").agg(
+            F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
+        ).collect()
+        # per-flag descent state: (lo, hi_exclusive, remaining weight rank)
+        state = {
+            r["flag"]: [r["lo"], r["hi"] + 1, (r["tot"] + 1) // 2] for r in first
+        }
+        tots = {r["flag"]: r["tot"] for r in first}
+        # every group descends in the SAME job each round: a when-chain
+        # maps each flag to its current [lo, width), so rounds (≤3), not
+        # groups × rounds, bound the number of scans
+        while any(hi - lo > 1 for lo, hi, _ in state.values()):
+            live = {f: s for f, s in state.items() if s[1] - s[0] > 1}
+            widths = {
+                f: max(1, (hi - lo + 1023) // 1024) for f, (lo, hi, _) in live.items()
+            }
+            in_range = None
+            bin_expr = None
+            for f, (lo, hi, _) in live.items():
+                cond = (F.col("flag") == f) & (F.col("c") >= lo) & (F.col("c") < hi)
+                in_range = cond if in_range is None else (in_range | cond)
+                be = ((F.col("c") - lo) / widths[f]).cast("long")
+                bin_expr = (
+                    F.when(F.col("flag") == f, be)
+                    if bin_expr is None
+                    else bin_expr.when(F.col("flag") == f, be)
+                )
+            hists = (
+                t.filter(in_range)
+                .groupBy("flag", bin_expr.alias("b"))
+                .agg(F.sum("w").alias("sw"))
+                .collect()
+            )
+            by_flag: dict = {}
+            for r in hists:
+                by_flag.setdefault(r["flag"], []).append((r["b"], r["sw"]))
+            for f, (lo, hi, k) in live.items():
+                cum = 0
+                for b, sw in sorted(by_flag.get(f, [])):
+                    if cum + sw >= k:
+                        state[f] = [
+                            lo + b * widths[f],
+                            min(hi, lo + (b + 1) * widths[f]),
+                            k - cum,
+                        ]
+                        break
+                    cum += sw
+        out = [(f, tots[f], state[f][0]) for f in sorted(state)]
+        return spark.createDataFrame(
+            out, "l_returnflag string, total_weight long, median_cents long"
+        )
+    finally:
+        t.unpersist()
+
+
+#: Benford first-digit probabilities in exact micro-units: round(1e6 ·
+#: log10(1 + 1/d)). They sum to exactly 1_000_000, and inlining them as
+#: INTEGER constants (instead of calling log10 at runtime) keeps the
+#: expected counts bit-identical across engines — libm log10 is not
+#: guaranteed correctly rounded.
+_BENFORD_MICRO = [
+    (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+    (6, 66947), (7, 57992), (8, 51153), (9, 45757),
+]
+
+
+@register(
+    "orders_benford_audit",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders
+    ),
+    obs AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM obs),
+    exp AS (
+      SELECT * FROM (VALUES {', '.join(f'({d}, {p})' for d, p in _BENFORD_MICRO)})
+             e(digit, p_micro)
+    )
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           CAST(coalesce(o.observed, 0) AS BIGINT) AS observed,
+           round(CAST(t.n * e.p_micro AS DOUBLE) / 1000000.0, 6) AS expected,
+           round((CAST(coalesce(o.observed, 0) AS DOUBLE)
+                  - CAST(t.n * e.p_micro AS DOUBLE) / 1000000.0)
+                 * (CAST(coalesce(o.observed, 0) AS DOUBLE)
+                    - CAST(t.n * e.p_micro AS DOUBLE) / 1000000.0)
+                 / (CAST(t.n * e.p_micro AS DOUBLE) / 1000000.0), 6) AS chi2_part
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit, tot t
+    """,
+)
+def orders_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the
+    forensic/data-quality screen (fabricated or truncated monetary
+    data departs from log₁₀(1+1/d)), joining `fk_integrity_audit` /
+    `table_profile` / `verifier_range_counts` in the audit family.
+    Emits observed vs expected count and the χ² contribution per digit.
+
+    Determinism: expected probabilities are inlined exact MICRO-unit
+    integers (runtime log10 is not correctly-rounded libm-portable);
+    n·p is exact BIGINT; the χ² term is one shared IEEE expression
+    tree rounded at 6.
+
+    Scale shape: digit extraction is a codegen'd projection; the whole
+    query shuffles 9 aggregate rows + one scalar, joined to a 9-row
+    broadcast constants frame."""
+    o = T(spark, sf_dir, "orders")
+    digit = F.expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING),"
+        " 1, 1) AS BIGINT)"
+    )
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    tot = obs.agg(F.sum("observed").alias("n"))
+    expd = spark.createDataFrame(_BENFORD_MICRO, "digit bigint, p_micro bigint")
+    j = (
+        F.broadcast(expd)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    observed = F.coalesce(F.col("observed"), F.lit(0))
+    expected = (F.col("n") * F.col("p_micro")).cast("double") / F.lit(1000000.0)
+    dev = observed.cast("double") - expected
+    return j.select(
+        "digit",
+        observed.alias("observed"),
+        F.round(expected, 6).alias("expected"),
+        F.round(dev * dev / expected, 6).alias("chi2_part"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
