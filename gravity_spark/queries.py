@@ -11246,6 +11246,88 @@ def orders_benford_audit(spark, sf_dir):
     )
 
 
+@register(
+    "part_skyline_frontier",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_partkey, price_cents, p_size FROM t p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t q
+      WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        AND (q.price_cents < p.price_cents OR q.p_size > p.p_size)
+    )
+    """,
+)
+def part_skyline_frontier(spark, sf_dir):
+    """Skyline (Pareto-frontier) query — the parts no other part beats
+    on BOTH axes (cheaper AND at-least-as-large, or as-cheap AND
+    strictly larger); Börzsönyi et al., ICDE'01. The multi-objective
+    shortlist operator ("best tradeoffs only") classic engines ship as
+    SKYLINE OF.
+
+    Not the quadratic NOT-EXISTS the oracle states: domination
+    decomposes into (a) max size over STRICTLY cheaper price groups —
+    an exclusive running max over the ≤|distinct prices| group rows,
+    computed hierarchically (1024 price bands, within-band exclusive
+    window + driver-folded ≤1024 exclusive band maxima broadcast back;
+    no partition-less window) — and (b) the own-price-group max for
+    the equal-price/strictly-larger case. One group agg + one band
+    window + one key join; the part table never self-joins.
+
+    Scale shape: O(n) + O(distinct prices) work; the only driver
+    payload is the ≤1024-row band-max fold (the _dist_ntile
+    discipline). Cents are round()ed explicitly on both engines
+    (DuckDB CAST rounds, Spark truncates — never bare-cast floats)."""
+    part = T(spark, sf_dir, "part")
+    t = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("c"),
+        F.col("p_size").cast("long").alias("s"),
+    )
+    g = t.groupBy("c").agg(F.max("s").alias("gmax"))
+    mn, mx = g.agg(F.min("c"), F.max("c")).collect()[0]
+    width = max(1, (mx - mn + 1023) // 1024)
+    gb = g.withColumn("bin", ((F.col("c") - mn) / width).cast("long"))
+    w_in = (
+        Window.partitionBy("bin")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gb = gb.withColumn("excl_in", F.max("gmax").over(w_in))
+    bin_rows = sorted(
+        (r["bin"], r["bmax"])
+        for r in gb.groupBy("bin").agg(F.max("gmax").alias("bmax")).collect()
+    )
+    offs, run = [], None
+    for b, bmax in bin_rows:
+        offs.append((b, run))
+        run = bmax if run is None else max(run, bmax)
+    odf = spark.createDataFrame(offs, "bin bigint, off bigint")
+    gfin = (
+        gb.join(F.broadcast(odf), "bin")
+        .select(
+            "c", "gmax",
+            F.greatest(
+                F.coalesce(F.col("excl_in"), F.lit(-1)),
+                F.coalesce(F.col("off"), F.lit(-1)),
+            ).alias("maxlt"),
+        )
+    )
+    dominated = (F.col("maxlt") >= F.col("s")) | (F.col("gmax") > F.col("s"))
+    return (
+        t.join(gfin, "c")
+        .filter(~dominated)
+        .select(
+            "p_partkey", F.col("c").alias("price_cents"), F.col("s").alias("p_size")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
