@@ -1,0 +1,113 @@
+"""Invariant tests for the time-series additions (EWMA, autocorrelation,
+backlog sweep) and the frontier/audit operators (weighted median,
+Benford, skyline). Exact values are gated by the DuckDB oracle; these
+pin semantics an oracle refactor could lose.
+"""
+
+from pyspark.sql import functions as F
+
+from gravity_spark.queries import REGISTRY
+
+
+def _run(name, spark, sf_dir):
+    return REGISTRY[name].spark(spark, sf_dir)
+
+
+def test_ewma_bounded_by_series_extremes(spark, sf_dir):
+    rows = _run("events_ewma_smooth", spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        lo = min(r.n_events for r in rs)
+        hi = max(r.n_events for r in rs)
+        for r in rs:
+            # convex combination of observed counts
+            assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+    # a single-observation prefix equals its own value: the first hour
+    # of each type has ewma == n (no earlier points in the band)
+    for t, rs in by_type.items():
+        first = min(rs, key=lambda r: r.hour_bucket)
+        assert abs(first.ewma - first.n_events) < 1e-9
+
+
+def test_autocorrelation_in_range(spark, sf_dir):
+    rows = _run("events_autocorrelation", spark, sf_dir).collect()
+    assert rows
+    assert {r.lag for r in rows} <= {1, 24}
+    for r in rows:
+        assert -1.000001 <= r.acf <= 1.000001
+        assert r.cnt > 2
+
+
+def test_backlog_nonnegative_and_closes_to_zero(spark, sf_dir):
+    rows = sorted(_run("orders_open_backlog", spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    assert rows
+    for r in rows:
+        assert r.open_orders >= 0
+    # every opened order eventually closes: the final running total is 0
+    assert rows[-1].open_orders == 0
+    assert sum(r.net_change for r in rows) == 0
+    # peak backlog must reach at least one order
+    assert max(r.open_orders for r in rows) > 0
+
+
+def test_weighted_median_is_weight_midpoint(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = _run("weighted_median_descent", spark, sf_dir).collect()
+    assert {r.l_returnflag for r in rows} == {"A", "N", "R"}
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        (F.col("l_quantity") * 100).cast("long").alias("w"),
+    )
+    for r in rows:
+        below = (
+            t.filter((F.col("flag") == r.l_returnflag)
+                     & (F.col("c") <= r.median_cents))
+            .agg(F.sum("w")).collect()[0][0]
+        )
+        strictly_below = (
+            t.filter((F.col("flag") == r.l_returnflag)
+                     & (F.col("c") < r.median_cents))
+            .agg(F.sum("w")).collect()[0][0] or 0
+        )
+        # median_cents is the smallest value whose cumulative weight
+        # reaches half the total
+        assert 2 * below >= r.total_weight
+        assert 2 * strictly_below < r.total_weight
+
+
+def test_benford_chi2_consistency(spark, sf_dir):
+    rows = _run("orders_benford_audit", spark, sf_dir).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    assert sum(r.observed for r in rows) == n
+    assert abs(sum(r.expected for r in rows) - n) < 1e-3
+    for r in rows:
+        assert r.chi2_part >= 0
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    rows = _run("part_skyline_frontier", spark, sf_dir).collect()
+    assert rows
+    pts = [(r.price_cents, r.p_size) for r in rows]
+    for i, (c1, s1) in enumerate(pts):
+        for j, (c2, s2) in enumerate(pts):
+            if i == j:
+                continue
+            assert not (
+                c2 <= c1 and s2 >= s1 and (c2 < c1 or s2 > s1)
+            ), "frontier contains a dominated point"
+    # and the frontier dominates the global extremes' axes: it contains
+    # the cheapest part and the largest part (ties broken arbitrarily)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    min_price = part.agg(
+        F.min(F.round(F.col("p_retailprice") * 100, 0).cast("long"))
+    ).collect()[0][0]
+    max_size = part.agg(F.max("p_size")).collect()[0][0]
+    assert min(c for c, _ in pts) == min_price
+    assert max(s for _, s in pts) == max_size
