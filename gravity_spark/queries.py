@@ -11328,6 +11328,170 @@ def part_skyline_frontier(spark, sf_dir):
     )
 
 
+@register(
+    "join_cardinality_estimate",
+    f"""
+    WITH c AS (
+      SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    ex AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs,
+                  count(*) AS n_keys FROM c),
+    sm AS (
+      SELECT CAST(coalesce(sum(cnt * cnt), 0) AS BIGINT) AS s_pairs,
+             count(*) AS sampled_keys
+      FROM c WHERE {_phash_sql('k')} < {_HP // 32}
+    )
+    SELECT ex.exact_pairs, ex.n_keys, sm.sampled_keys,
+           CAST(sm.s_pairs * 32 AS BIGINT) AS est_pairs,
+           round(CAST(sm.s_pairs * 32 - ex.exact_pairs AS DOUBLE)
+                 / ex.exact_pairs, 6) AS rel_err
+    FROM ex, sm
+    """,
+)
+def join_cardinality_estimate(spark, sf_dir):
+    """Join-size estimation by CORRELATED KEY SAMPLING — the
+    cost-model primitive behind join reordering: |R ⋈ S on k| for the
+    self-equi-join Σ cnt(k)², estimated from the ~1/32 of KEYS whose
+    portable hash falls under the threshold. Sampling whole key groups
+    (not rows) keeps the estimator unbiased for join sizes — Bernoulli
+    row sampling squared would systematically undercount — and hashing
+    means both engines (and both join sides, in the two-table case)
+    agree on the sample with zero coordination.
+
+    The join itself never executes: per-key counts fold to Σ cnt² in
+    the same aggregation. Exact value alongside, rel_err reported.
+
+    Scale shape: one key-hash aggregation + two one-row scalars; the
+    sample filter is a codegen'd predicate on the hash."""
+    li = T(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    c = c.withColumn("hv", _phash_col(F.col("k")))
+    ex = c.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("exact_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    sm = (
+        c.filter(F.col("hv") < _HP // 32)
+        .agg(
+            F.coalesce(F.sum(F.col("cnt") * F.col("cnt")), F.lit(0)).alias("s_pairs"),
+            F.count(F.lit(1)).alias("sampled_keys"),
+        )
+    )
+    return (
+        ex.crossJoin(F.broadcast(sm))
+        .select(
+            "exact_pairs", "n_keys", "sampled_keys",
+            (F.col("s_pairs") * 32).alias("est_pairs"),
+            F.round(
+                (F.col("s_pairs") * 32 - F.col("exact_pairs")).cast("double")
+                / F.col("exact_pairs"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    ctes = ["""
+    e0 AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u AS s, v AS d FROM e0 UNION ALL SELECT v, u FROM e0),
+    verts AS (SELECT DISTINCT s AS v FROM sym),
+    l0 AS (SELECT v, v AS lbl FROM verts)"""]
+    for i in range(1, rounds + 1):
+        ctes.append(f"""
+    c{i} AS (
+      SELECT sym.d AS v, l.lbl, count(*) AS cnt
+      FROM sym JOIN l{i - 1} l ON l.v = sym.s
+      GROUP BY 1, 2
+    ),
+    r{i} AS (
+      SELECT v, lbl,
+             row_number() OVER (PARTITION BY v ORDER BY cnt DESC, lbl) AS rn
+      FROM c{i}
+    ),
+    l{i} AS (SELECT v, lbl FROM r{i} WHERE rn = 1)""")
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT v AS vertex, lbl AS community,
+           count(*) OVER (PARTITION BY lbl) AS csize
+    FROM l{rounds}
+    """
+
+
+@register("graph_label_propagation", _lpa_sql())
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous LABEL PROPAGATION (Raghavan
+    et al. 2007) on the part co-purchase graph: each round every vertex
+    adopts the most frequent label among its neighbours, ties broken by
+    the SMALLEST label — the determinism rule that makes distributed
+    LPA reproducible (asynchronous/random-tie LPA is run-dependent; the
+    bounded synchronous form is the standard engine choice, and a round
+    CAP rather than convergence is deliberate: sync LPA can oscillate
+    between two labelings forever, so "3 rounds" IS the spec both
+    engines implement — the oracle unrolls exactly the same rounds).
+
+    Completes the graph battery's fifth algorithm family (components =
+    connectivity, PageRank = centrality, triangles = clustering, k-core
+    = density, LPA = community).
+
+    Scale shape: per round ONE (vertex, label)-keyed count aggregation
+    over the symmetric edge list plus a vertex-partitioned top-1 window
+    — the same shuffle currency as the components rounds; labels are
+    eagerly localCheckpoint'd so plan depth stays O(1). Edge base is
+    the support-≥2 co-purchase join (quadratic only within an order's
+    ≤7 line items)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    sym = (
+        e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("s").alias("lv")).distinct()
+        .select("lv", F.col("lv").alias("lbl"))
+    )
+    w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl"))
+    for _ in range(3):
+        cnt = (
+            sym.join(labels, sym.s == labels.lv)
+            .groupBy(F.col("d").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("lv"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    wc = Window.partitionBy("lbl")
+    return labels.select(
+        F.col("lv").alias("vertex"),
+        F.col("lbl").alias("community"),
+        F.count(F.lit(1)).over(wc).alias("csize"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
