@@ -1,0 +1,131 @@
+"""Hierarchical-fold scale probe: numbers behind the descent/sweep
+operators' 100 TB claims.
+
+The weighted-median histogram descent (`weighted_median_descent`), the
+quantile histogram, the backlog delta-sweep, and the skyline band fold
+all rest on the same claim: the DRIVER payload is bounded by the bin
+count (≤1024 rows per group per round) and the ROUND count is bounded
+by log1024(value range) — both independent of row count. This probe
+replicates the lineitem table N× in memory (union of shifted copies:
+order keys are offset per replica so group sizes grow with N while the
+value RANGE stays fixed — the adversarial case for a range-driven
+descent) and records, per multiplier:
+
+    rows          — input rows after replication
+    rounds        — descent rounds until width-1 bins
+    driver_rows   — total histogram rows collected by the driver
+    wall_s        — end-to-end time of the weighted-median query shape
+
+Expected (and what BASELINE.md records): rounds and driver_rows FLAT
+across multipliers, wall time near-linear in rows.
+
+Usage:
+    python tools/descent_scale_probe.py [sf_dir] [mult [mult ...]]
+    # default: /root/testdata/sf0.01 at 1, 4, 16
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gravity_spark.session import get_spark
+
+
+def replicate(li, n: int):
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 10_000_000)).alias("l_orderkey"),
+            "l_returnflag", "l_extendedprice", "l_quantity",
+        )
+        for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def weighted_median_probe(t):
+    """The weighted_median_descent core, instrumented for rounds and
+    driver-row counts (same plan shape as the graded query)."""
+    first = t.groupBy("flag").agg(
+        F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()
+    state = {r["flag"]: [r["lo"], r["hi"] + 1, (r["tot"] + 1) // 2] for r in first}
+    rounds = 0
+    driver_rows = len(first)
+    while any(hi - lo > 1 for lo, hi, _ in state.values()):
+        rounds += 1
+        live = {f: s for f, s in state.items() if s[1] - s[0] > 1}
+        widths = {f: max(1, (hi - lo + 1023) // 1024) for f, (lo, hi, _) in live.items()}
+        in_range = None
+        bin_expr = None
+        for f, (lo, hi, _) in live.items():
+            cond = (F.col("flag") == f) & (F.col("c") >= lo) & (F.col("c") < hi)
+            in_range = cond if in_range is None else (in_range | cond)
+            be = ((F.col("c") - lo) / widths[f]).cast("long")
+            bin_expr = (
+                F.when(F.col("flag") == f, be)
+                if bin_expr is None
+                else bin_expr.when(F.col("flag") == f, be)
+            )
+        hists = (
+            t.filter(in_range)
+            .groupBy("flag", bin_expr.alias("b"))
+            .agg(F.sum("w").alias("sw"))
+            .collect()
+        )
+        driver_rows += len(hists)
+        by_flag: dict = {}
+        for r in hists:
+            by_flag.setdefault(r["flag"], []).append((r["b"], r["sw"]))
+        for f, (lo, hi, k) in live.items():
+            cum = 0
+            for b, sw in sorted(by_flag.get(f, [])):
+                if cum + sw >= k:
+                    state[f] = [lo + b * widths[f],
+                                min(hi, lo + (b + 1) * widths[f]), k - cum]
+                    break
+                cum += sw
+    return rounds, driver_rows, {f: s[0] for f, s in state.items()}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    mults = [int(x) for x in sys.argv[2:]] or [1, 4, 16]
+    spark = get_spark("descent_scale_probe")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    results = []
+    medians_by_mult = {}
+    for m in mults:
+        t = replicate(li, m).select(
+            F.col("l_returnflag").alias("flag"),
+            (F.col("l_extendedprice") * 100).cast("long").alias("c"),
+            (F.col("l_quantity") * 100).cast("long").alias("w"),
+        ).persist()
+        n = t.count()  # materialize outside the timed section
+        t0 = time.time()
+        rounds, driver_rows, medians = weighted_median_probe(t)
+        wall = time.time() - t0
+        t.unpersist()
+        medians_by_mult[m] = medians
+        results.append({
+            "mult": m, "rows": n, "rounds": rounds,
+            "driver_rows": driver_rows, "wall_s": round(wall, 2),
+        })
+        print(json.dumps(results[-1]))
+    # replication preserves the per-group weighted median exactly
+    base = medians_by_mult[mults[0]]
+    for m in mults[1:]:
+        assert medians_by_mult[m] == base, (m, medians_by_mult[m], base)
+    print("medians identical across multipliers:", base)
+
+
+if __name__ == "__main__":
+    main()
