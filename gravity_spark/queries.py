@@ -11492,6 +11492,71 @@ def graph_label_propagation(spark, sf_dir):
     )
 
 
+@register(
+    "events_seasonal_anomaly",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hb,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, hb % 24 AS hod, count(*) AS cnt,
+             CAST(sum(n) AS BIGINT) AS sn, CAST(sum(n * n) AS BIGINT) AS sn2
+      FROM b GROUP BY 1, 2
+    )
+    SELECT b.event_type, b.hb AS hour_bucket, b.hb % 24 AS hod,
+           b.n AS n_events,
+           CAST(b.n * s.cnt - s.sn AS BIGINT) AS dev_scaled
+    FROM b JOIN s ON s.event_type = b.event_type AND s.hod = b.hb % 24
+    WHERE s.cnt >= 3
+      AND s.cnt * s.sn2 - s.sn * s.sn > 0
+      AND (b.n * s.cnt - s.sn) * (b.n * s.cnt - s.sn)
+            > 4 * (s.cnt * s.sn2 - s.sn * s.sn)
+    """,
+)
+def events_seasonal_anomaly(spark, sf_dir):
+    """SEASONALLY-ADJUSTED anomaly detection: each hour is judged
+    against the population of the SAME hour-of-day for its event type,
+    so the 6 pm peak stops looking anomalous and a quiet-hour burst
+    stands out — the detector `events_anomaly_zscore` becomes once the
+    daily cycle (`events_autocorrelation` lag-24) is acknowledged.
+
+    Pure INTEGER arithmetic end to end (the docs_length_outliers
+    trick): |z| > 2 against the hour-of-day baseline is the
+    cross-multiplied comparison (n·cnt − Σn)² > 4·(cnt·Σn² − (Σn)²) —
+    no float, no sqrt, nothing to drift cross-engine; dev_scaled is
+    emitted so the caller can rank severity exactly. Baselines need
+    ≥ 3 observations (degenerate hods are skipped, not flagged).
+
+    Scale shape: per-(type, hour-of-day) moment scalars — ≤ 24 rows
+    per type — broadcast back over the hourly aggregate; the raw
+    stream is touched once."""
+    ev = T(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 3600").alias("hb")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    b = b.withColumn("hod", F.pmod(F.col("hb"), F.lit(24)))
+    s = b.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    j = b.join(F.broadcast(s), ["event_type", "hod"])
+    dev = F.col("n") * F.col("cnt") - F.col("sn")
+    var_scaled = F.col("cnt") * F.col("sn2") - F.col("sn") * F.col("sn")
+    return (
+        j.filter((F.col("cnt") >= 3) & (var_scaled > 0) & (dev * dev > 4 * var_scaled))
+        .select(
+            "event_type",
+            F.col("hb").alias("hour_bucket"),
+            "hod",
+            F.col("n").alias("n_events"),
+            dev.cast("long").alias("dev_scaled"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 

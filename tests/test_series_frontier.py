@@ -91,6 +91,41 @@ def test_benford_chi2_consistency(spark, sf_dir):
         assert r.chi2_part >= 0
 
 
+def test_seasonal_anomaly_integer_consistency(spark, sf_dir):
+    rows = _run("events_seasonal_anomaly", spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r.hod < 24
+        assert r.hod == r.hour_bucket % 24
+        assert r.dev_scaled != 0  # a flagged hour deviates by definition
+
+
+def test_lpa_is_deterministic_partition(spark, sf_dir):
+    rows = _run("graph_label_propagation", spark, sf_dir).collect()
+    assert rows
+    # labels are vertex ids; csize agrees with the actual partition
+    from collections import Counter
+
+    sizes = Counter(r.community for r in rows)
+    verts = {r.vertex for r in rows}
+    for r in rows:
+        assert r.csize == sizes[r.community]
+        assert r.community in verts or sizes[r.community] >= 1
+    # deterministic across runs
+    again = {(r.vertex, r.community)
+             for r in _run("graph_label_propagation", spark, sf_dir).collect()}
+    assert {(r.vertex, r.community) for r in rows} == again
+
+
+def test_join_cardinality_estimator_envelope(spark, sf_dir):
+    row = _run("join_cardinality_estimate", spark, sf_dir).collect()[0]
+    assert row.sampled_keys > 0
+    assert row.est_pairs % 32 == 0
+    # the estimator is unbiased over keys; demand the right order of
+    # magnitude rather than tight concentration at this sample size
+    assert 0.2 * row.exact_pairs <= row.est_pairs <= 5 * row.exact_pairs
+    assert abs(row.rel_err) <= 4.0
+
+
 def test_skyline_is_mutually_nondominated(spark, sf_dir):
     rows = _run("part_skyline_frontier", spark, sf_dir).collect()
     assert rows
