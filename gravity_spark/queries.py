@@ -11557,6 +11557,69 @@ def events_seasonal_anomaly(spark, sf_dir):
     )
 
 
+@register(
+    "orders_interarrival_stats",
+    """
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ck,
+             CAST(datediff('day', DATE '1970-01-01', o.o_orderdate) AS BIGINT) AS ed,
+             o.o_orderkey AS ok
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT seg,
+             ed - lag(ed) OVER (PARTITION BY ck ORDER BY ed, ok) AS gap
+      FROM o
+    )
+    SELECT seg AS mktsegment, count(*) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS total_gap_days,
+           round(CAST(sum(gap) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+             AS avg_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY seg
+    """,
+)
+def orders_interarrival_stats(spark, sf_dir):
+    """Inter-arrival analysis: days between a customer's consecutive
+    orders, aggregated per market segment — the purchase-cadence
+    statistic behind replenishment forecasting and churn heuristics
+    (`retention_cohorts` counts who returns; this measures HOW FAST).
+
+    Determinism: order dates collapse to exact epoch-day BIGINTs; the
+    lag runs per customer with an (ed, orderkey) total order so
+    same-day ties are stable; the only float is the single avg
+    division, one shared tree rounded at 6.
+
+    Scale shape: ONE customer-partitioned lag window over (custkey,
+    day) pairs — per-customer series are tiny and hash-spread, never a
+    global sort — then a segment-keyed aggregation of the gaps."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ed"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    w = Window.partitionBy("ck").orderBy("ed", "ok")
+    g = base.withColumn("gap", F.col("ed") - F.lag("ed").over(w))
+    return (
+        g.filter(F.col("gap").isNotNull())
+        .groupBy(F.col("seg").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("total_gap_days"),
+            F.round(
+                F.sum("gap") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_gap_days"),
+            F.max("gap").alias("max_gap_days"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
