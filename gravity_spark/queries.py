@@ -11462,17 +11462,22 @@ def graph_label_propagation(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("u", "v")
     )
+    from gravity_spark.functions.dedup import _persistent_rdd_ids, _unpersist_rdds
+
+    base_ids = _persistent_rdd_ids(e0)
     sym = (
         e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
         .localCheckpoint(eager=True)
     )
+    sym_ids = _persistent_rdd_ids(sym) - base_ids
     labels = (
         sym.select(F.col("s").alias("lv")).distinct()
         .select("lv", F.col("lv").alias("lbl"))
     )
     w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl"))
     for _ in range(3):
+        stale = _persistent_rdd_ids(labels) - base_ids - sym_ids
         cnt = (
             sym.join(labels, sym.s == labels.lv)
             .groupBy(F.col("d").alias("v"), "lbl")
@@ -11484,6 +11489,10 @@ def graph_label_propagation(spark, sf_dir):
             .select(F.col("v").alias("lv"), "lbl")
             .localCheckpoint(eager=True)
         )
+        _unpersist_rdds(labels, stale)  # superseded round's checkpoint
+    # final labels are an eager checkpoint — the edge list is no longer
+    # needed by the returned plan
+    _unpersist_rdds(labels, sym_ids)
     wc = Window.partitionBy("lbl")
     return labels.select(
         F.col("lv").alias("vertex"),
