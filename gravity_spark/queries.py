@@ -11067,6 +11067,69 @@ def orders_open_backlog(spark, sf_dir):
     )
 
 
+def weighted_median_groups(t: DataFrame, stats: dict | None = None) -> list[tuple]:
+    """Exact per-group weighted median by iterated histogram descent.
+
+    ``t`` must have columns (flag, c, w) with integer c (value) and w
+    (weight). Returns [(flag, total_weight, median_c), ...] sorted by
+    flag. Pass a ``stats`` dict to receive {"rounds", "driver_rows"} —
+    the scale probe (tools/descent_scale_probe.py) instruments THIS
+    function, so the measured evidence covers the production shape.
+    Each round ships ≤1024 rows per live group to the driver; rounds
+    are bounded by ⌈log₁₀₂₄(value range)⌉, independent of row count."""
+    first = t.groupBy("flag").agg(
+        F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
+    ).collect()
+    state = {r["flag"]: [r["lo"], r["hi"] + 1, (r["tot"] + 1) // 2] for r in first}
+    tots = {r["flag"]: r["tot"] for r in first}
+    rounds, driver_rows = 0, len(first)
+    # every group descends in the SAME job each round: a when-chain
+    # maps each flag to its current [lo, width), so rounds (≤3), not
+    # groups × rounds, bound the number of scans
+    while any(hi - lo > 1 for lo, hi, _ in state.values()):
+        rounds += 1
+        live = {f: s for f, s in state.items() if s[1] - s[0] > 1}
+        widths = {
+            f: max(1, (hi - lo + 1023) // 1024) for f, (lo, hi, _) in live.items()
+        }
+        in_range = None
+        bin_expr = None
+        for f, (lo, hi, _) in live.items():
+            cond = (F.col("flag") == f) & (F.col("c") >= lo) & (F.col("c") < hi)
+            in_range = cond if in_range is None else (in_range | cond)
+            be = ((F.col("c") - lo) / widths[f]).cast("long")
+            bin_expr = (
+                F.when(F.col("flag") == f, be)
+                if bin_expr is None
+                else bin_expr.when(F.col("flag") == f, be)
+            )
+        hists = (
+            t.filter(in_range)
+            .groupBy("flag", bin_expr.alias("b"))
+            .agg(F.sum("w").alias("sw"))
+            .collect()
+        )
+        driver_rows += len(hists)
+        by_flag: dict = {}
+        for r in hists:
+            by_flag.setdefault(r["flag"], []).append((r["b"], r["sw"]))
+        for f, (lo, hi, k) in live.items():
+            cum = 0
+            for b, sw in sorted(by_flag.get(f, [])):
+                if cum + sw >= k:
+                    state[f] = [
+                        lo + b * widths[f],
+                        min(hi, lo + (b + 1) * widths[f]),
+                        k - cum,
+                    ]
+                    break
+                cum += sw
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["driver_rows"] = driver_rows
+    return [(f, tots[f], state[f][0]) for f in sorted(state)]
+
+
 @register(
     "weighted_median_descent",
     """
@@ -11114,54 +11177,7 @@ def weighted_median_descent(spark, sf_dir):
         (F.col("l_quantity") * 100).cast("long").alias("w"),
     ).persist()
     try:
-        first = t.groupBy("flag").agg(
-            F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
-        ).collect()
-        # per-flag descent state: (lo, hi_exclusive, remaining weight rank)
-        state = {
-            r["flag"]: [r["lo"], r["hi"] + 1, (r["tot"] + 1) // 2] for r in first
-        }
-        tots = {r["flag"]: r["tot"] for r in first}
-        # every group descends in the SAME job each round: a when-chain
-        # maps each flag to its current [lo, width), so rounds (≤3), not
-        # groups × rounds, bound the number of scans
-        while any(hi - lo > 1 for lo, hi, _ in state.values()):
-            live = {f: s for f, s in state.items() if s[1] - s[0] > 1}
-            widths = {
-                f: max(1, (hi - lo + 1023) // 1024) for f, (lo, hi, _) in live.items()
-            }
-            in_range = None
-            bin_expr = None
-            for f, (lo, hi, _) in live.items():
-                cond = (F.col("flag") == f) & (F.col("c") >= lo) & (F.col("c") < hi)
-                in_range = cond if in_range is None else (in_range | cond)
-                be = ((F.col("c") - lo) / widths[f]).cast("long")
-                bin_expr = (
-                    F.when(F.col("flag") == f, be)
-                    if bin_expr is None
-                    else bin_expr.when(F.col("flag") == f, be)
-                )
-            hists = (
-                t.filter(in_range)
-                .groupBy("flag", bin_expr.alias("b"))
-                .agg(F.sum("w").alias("sw"))
-                .collect()
-            )
-            by_flag: dict = {}
-            for r in hists:
-                by_flag.setdefault(r["flag"], []).append((r["b"], r["sw"]))
-            for f, (lo, hi, k) in live.items():
-                cum = 0
-                for b, sw in sorted(by_flag.get(f, [])):
-                    if cum + sw >= k:
-                        state[f] = [
-                            lo + b * widths[f],
-                            min(hi, lo + (b + 1) * widths[f]),
-                            k - cum,
-                        ]
-                        break
-                    cum += sw
-        out = [(f, tots[f], state[f][0]) for f in sorted(state)]
+        out = weighted_median_groups(t)
         return spark.createDataFrame(
             out, "l_returnflag string, total_weight long, median_cents long"
         )

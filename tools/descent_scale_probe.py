@@ -52,48 +52,13 @@ def replicate(li, n: int):
 
 
 def weighted_median_probe(t):
-    """The weighted_median_descent core, instrumented for rounds and
-    driver-row counts (same plan shape as the graded query)."""
-    first = t.groupBy("flag").agg(
-        F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
-    ).collect()
-    state = {r["flag"]: [r["lo"], r["hi"] + 1, (r["tot"] + 1) // 2] for r in first}
-    rounds = 0
-    driver_rows = len(first)
-    while any(hi - lo > 1 for lo, hi, _ in state.values()):
-        rounds += 1
-        live = {f: s for f, s in state.items() if s[1] - s[0] > 1}
-        widths = {f: max(1, (hi - lo + 1023) // 1024) for f, (lo, hi, _) in live.items()}
-        in_range = None
-        bin_expr = None
-        for f, (lo, hi, _) in live.items():
-            cond = (F.col("flag") == f) & (F.col("c") >= lo) & (F.col("c") < hi)
-            in_range = cond if in_range is None else (in_range | cond)
-            be = ((F.col("c") - lo) / widths[f]).cast("long")
-            bin_expr = (
-                F.when(F.col("flag") == f, be)
-                if bin_expr is None
-                else bin_expr.when(F.col("flag") == f, be)
-            )
-        hists = (
-            t.filter(in_range)
-            .groupBy("flag", bin_expr.alias("b"))
-            .agg(F.sum("w").alias("sw"))
-            .collect()
-        )
-        driver_rows += len(hists)
-        by_flag: dict = {}
-        for r in hists:
-            by_flag.setdefault(r["flag"], []).append((r["b"], r["sw"]))
-        for f, (lo, hi, k) in live.items():
-            cum = 0
-            for b, sw in sorted(by_flag.get(f, [])):
-                if cum + sw >= k:
-                    state[f] = [lo + b * widths[f],
-                                min(hi, lo + (b + 1) * widths[f]), k - cum]
-                    break
-                cum += sw
-    return rounds, driver_rows, {f: s[0] for f, s in state.items()}
+    """Instrument the PRODUCTION descent core (gravity_spark.queries.
+    weighted_median_groups) — probes must measure the shipped shape."""
+    from gravity_spark.queries import weighted_median_groups
+
+    stats: dict = {}
+    out = weighted_median_groups(t, stats=stats)
+    return stats["rounds"], stats["driver_rows"], {f: m for f, _, m in out}
 
 
 def main() -> None:
