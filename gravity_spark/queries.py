@@ -11645,6 +11645,65 @@ def orders_interarrival_stats(spark, sf_dir):
     )
 
 
+@register(
+    "docs_source_gini",
+    """
+    WITH r AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS i
+      FROM documents
+    ),
+    s AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(i * x) AS BIGINT) AS six
+      FROM r GROUP BY 1
+    )
+    SELECT source, n AS n_docs,
+           round(CAST(2 * six - (n + 1) * sx AS DOUBLE) / (n * sx), 6) AS gini
+    FROM s WHERE sx > 0
+    """,
+)
+def docs_source_gini(spark, sf_dir):
+    """Gini coefficient of document length per source — the
+    contribution-inequality diagnostic for corpus mixing: a source
+    whose token mass is concentrated in a few giant documents behaves
+    very differently under doc-level sampling than its doc count
+    suggests (`corpus_mixture_weights` allocates BY source; this flags
+    WITHIN-source concentration).
+
+    Exact rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx) over the
+    ascending-sorted lengths: every term is an exact BIGINT (ties
+    contribute identically under any order, and (length, doc_id) makes
+    the rank assignment deterministic anyway); one final division
+    rounded at 6.
+
+    Scale shape: one source-partitioned rank window + one per-source
+    aggregation — the same two-shuffle shape as `sample_stratified`.
+    A source too large for one task shards the rank hierarchically à
+    la pack_start_offsets."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select(
+        "source", F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(w).cast("long").alias("i"),
+    )
+    s = r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = F.round(
+        (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast("double")
+        / (F.col("n") * F.col("sx")),
+        6,
+    )
+    return s.filter(F.col("sx") > 0).select(
+        "source", F.col("n").alias("n_docs"), gini.alias("gini")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
