@@ -11704,6 +11704,105 @@ def docs_source_gini(spark, sf_dir):
     )
 
 
+_MMR_K, _MMR_LAM = 5, 700  # top-k size; relevance weight λ in milli
+
+
+def _mmr_sql() -> str:
+    k, lam = _MMR_K, _MMR_LAM
+    d2 = "list_sum(list_transform(list_zip({a}, {b}), s2 -> (s2[1]-s2[2])*(s2[1]-s2[2])))"
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> CAST(round(x * 1000000) AS BIGINT)) AS xi FROM embeddings)",
+        "q AS (SELECT xi AS qxi FROM e WHERE vec_id = 0)",
+        "cand AS (SELECT e.vec_id, e.xi, "
+        + d2.format(a="e.xi", b="q.qxi")
+        + " AS dq_raw FROM e, q WHERE e.vec_id >= 5)",
+        "cand2 AS (SELECT vec_id, xi, CAST(dq_raw AS BIGINT) AS dq FROM cand)",
+        "sel1 AS (SELECT vec_id, xi, dq, CAST(1 AS BIGINT) AS rank"
+        " FROM cand2 ORDER BY dq, vec_id LIMIT 1)",
+    ]
+    for i in range(2, k + 1):
+        p = f"sel{i - 1}"
+        ctes.append(
+            f"m{i} AS (SELECT c.vec_id, c.xi, c.dq, min("
+            + d2.format(a="c.xi", b="s.xi")
+            + f") AS mind FROM cand2 c, {p} s"
+            f" WHERE c.vec_id NOT IN (SELECT vec_id FROM {p})"
+            f" GROUP BY c.vec_id, c.xi, c.dq)"
+        )
+        ctes.append(
+            f"pick{i} AS (SELECT vec_id, xi, dq, CAST({i} AS BIGINT) AS rank"
+            f" FROM m{i} ORDER BY ({1000 - lam} * mind - {lam} * dq) DESC,"
+            f" vec_id LIMIT 1)"
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT * FROM {p} UNION ALL SELECT * FROM pick{i})"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT rank, vec_id, dq AS dist_sq_q FROM sel{k}"
+    )
+
+
+@register("sim_mmr_diverse_topk", _mmr_sql())
+def sim_mmr_diverse_topk(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse top-k retrieval (Carbonell &
+    Goldstein, SIGIR'98): greedily pick the vector maximizing
+    λ·relevance − (1−λ)·redundancy, where relevance is closeness to the
+    query and redundancy is closeness to anything ALREADY picked — the
+    anti-near-duplicate answer set `sim_bruteforce_topk` can't give
+    (its top-k is often k copies of the same neighborhood).
+
+    Determinism: distances are exact-integer `_sq_dist` over the scaled
+    embeddings; the MMR score (1000−λ)·min-dist-to-selected − λ·dist-to-
+    query is pure BIGINT with vec_id tie-break, so the greedy sequence
+    is reproducible and the oracle unrolls the identical k−1 selection
+    steps as CTEs.
+
+    Scale shape: per step one scan of the candidates against a ≤k-row
+    broadcast of the selected set (the sim_pq driver-held-tiny-state
+    discipline) — never candidate×candidate; k scans total."""
+    emb = T(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", sim.scale_embedding(F.col("embedding")).alias("xi"))
+    qdf = e.filter(F.col("vec_id") == 0).select(F.col("xi").alias("qxi"))
+    cand = (
+        e.filter(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(qdf))
+        .withColumn("dq", sim._sq_dist(F.col("xi"), F.col("qxi")))
+        .drop("qxi")
+        .persist()
+    )
+    try:
+        first = cand.orderBy("dq", "vec_id").limit(1).collect()[0]
+        selected = [(1, first["vec_id"], list(first["xi"]), first["dq"])]
+        for i in range(2, _MMR_K + 1):
+            sdf = spark.createDataFrame(
+                [(v, xi) for _, v, xi, _ in selected],
+                "svid bigint, sxi array<bigint>",
+            )
+            rem = cand.join(
+                sdf.select(F.col("svid").alias("vec_id")), "vec_id", "left_anti"
+            )
+            m = (
+                rem.crossJoin(F.broadcast(sdf.select("sxi")))
+                .withColumn("ds", sim._sq_dist(F.col("xi"), F.col("sxi")))
+                .groupBy("vec_id", "dq")
+                .agg(F.min("ds").alias("mind"))
+            )
+            score = (1000 - _MMR_LAM) * F.col("mind") - _MMR_LAM * F.col("dq")
+            win = (
+                m.orderBy(score.desc(), "vec_id").limit(1).collect()[0]
+            )
+            xi = cand.filter(F.col("vec_id") == win["vec_id"]).collect()[0]["xi"]
+            selected.append((i, win["vec_id"], list(xi), win["dq"]))
+        return spark.createDataFrame(
+            [(r, v, d) for r, v, _, d in selected],
+            "rank bigint, vec_id bigint, dist_sq_q bigint",
+        )
+    finally:
+        cand.unpersist()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
