@@ -126,6 +126,24 @@ def test_join_cardinality_estimator_envelope(spark, sf_dir):
     assert abs(row.rel_err) <= 4.0
 
 
+def test_gini_in_unit_interval(spark, sf_dir):
+    rows = _run("docs_source_gini", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_docs > 0
+
+
+def test_mmr_first_pick_is_nearest_and_ranks_distinct(spark, sf_dir):
+    rows = sorted(_run("sim_mmr_diverse_topk", spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    assert len({r.vec_id for r in rows}) == 5
+    # rank 1 is the plain nearest neighbour (MMR has nothing selected
+    # yet, so it reduces to relevance)
+    assert rows[0].dist_sq_q == min(r.dist_sq_q for r in rows)
+
+
 def test_skyline_is_mutually_nondominated(spark, sf_dir):
     rows = _run("part_skyline_frontier", spark, sf_dir).collect()
     assert rows
