@@ -11803,6 +11803,300 @@ def sim_mmr_diverse_topk(spark, sf_dir):
         cand.unpersist()
 
 
+@register(
+    "classifier_auc_eval",
+    """
+    WITH scored AS (
+      SELECT CAST(n_chars AS BIGINT) // 50 AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    hist AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS pos,
+             CAST(sum(1 - y) AS BIGINT) AS neg
+      FROM scored GROUP BY s
+    ),
+    run AS (
+      SELECT pos, neg,
+             CAST(coalesce(sum(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS neg_below
+      FROM hist
+    )
+    SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(neg) AS BIGINT) AS n_neg,
+           round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (2 * sum(pos) * sum(neg)), 6) AS auc
+    FROM run
+    """,
+)
+def classifier_auc_eval(spark, sf_dir):
+    """ROC-AUC of a document classifier, computed distributed via the
+    score-histogram closed form — the eval every filtering-model run
+    needs (reference ships verification tooling for its operators, e.g.
+    dcp/checker; this is the analogous eval for the classifier family:
+    `classifier_hashed_linear`, `perplexity_filter`).
+
+    AUC = P(score_pos > score_neg) + ½·P(tie), i.e. the Mann-Whitney
+    statistic. Instead of ranking N docs (a global sort), aggregate to
+    a per-score histogram (pos_s, neg_s) and fold:
+        AUC = Σ_s pos_s·(neg_below_s + ½·neg_s) / (n_pos·n_neg)
+    kept exact by carrying 2× the numerator in BIGINT; one rounded
+    division at the end. Tie handling is exact (the ½·neg_s term), so
+    coarse integer scores — here length//50, a stand-in for any
+    integer-bucketed model logit — are handled correctly.
+
+    Scale shape: one groupBy(score) with map-side partials, then a
+    running sum over the HISTOGRAM (cardinality = score range, a design
+    constant — length//50 is a few hundred rows regardless of corpus
+    size), never a window over the corpus. The same shape at 100 TB."""
+    docs = T(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.expr("CAST(n_chars AS BIGINT) div 50").alias("s"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").alias("pos"), F.sum(1 - F.col("y")).alias("neg")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    run = hist.select(
+        "pos", "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    return run.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum("neg").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+            .cast("double")
+            / (2 * F.sum("pos") * F.sum("neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register(
+    "score_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT least(CAST(n_chars AS BIGINT), 2000) * 500 AS p_micro,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    binned AS (
+      SELECT least(p_micro // 100000, 9) AS bin, p_micro, y,
+             (p_micro - y * 1000000) * (p_micro - y * 1000000) AS sq
+      FROM scored
+    )
+    SELECT bin, count(*) AS n,
+           round(CAST(sum(p_micro) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS mean_pred,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate,
+           round(CAST(sum(sq) AS DOUBLE) / (count(*) * 1e12), 6) AS brier
+    FROM binned GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark, sf_dir):
+    """Reliability diagram + per-bin Brier score for a probabilistic
+    classifier — the calibration eval that pairs with
+    `classifier_auc_eval` (AUC measures ranking; this measures whether
+    predicted probabilities mean what they say before they gate a
+    corpus).
+
+    The predicted probability is scaled to exact micro-units
+    (p_micro = min(len,2000)·500, i.e. len/2000 × 1e6) so every bin
+    statistic — mean prediction, empirical positive rate, Brier
+    Σ(p−y)² — is an exact BIGINT sum in any partitioning/order; three
+    rounded divisions at the end. (p_micro − y·1e6)² ≤ 1e12, so the
+    per-bin sum stays far from BIGINT overflow at any corpus size.
+
+    Scale shape: a single groupBy over 10 fixed bins with map-side
+    partials — shuffle carries ≤ 10×partitions tiny rows. Nothing here
+    changes at 100 TB."""
+    docs = T(spark, sf_dir, "documents")
+    p = F.least(F.col("n_chars").cast("long"), F.lit(2000)) * 500
+    y = (
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+    )
+    binned = docs.select(
+        p.alias("p_micro"), y.alias("y"),
+        F.least(_int_div(p, 100000), F.lit(9)).alias("bin"),
+    ).withColumn(
+        "sq",
+        (F.col("p_micro") - F.col("y") * 1000000)
+        * (F.col("p_micro") - F.col("y") * 1000000),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("p_micro").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("mean_pred"),
+        F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+            "pos_rate"
+        ),
+        F.round(
+            F.sum("sq").cast("double") / (F.count(F.lit(1)) * F.lit(1e12)), 6
+        ).alias("brier"),
+    )
+
+
+@register(
+    "inventory_running_floor",
+    """
+    WITH tx AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('signup', 'view')
+                    THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events
+      WHERE event_type IN ('signup', 'view', 'purchase')
+    ),
+    sums AS (
+      SELECT user_id, ts, event_id, delta,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM tx
+    ),
+    pre AS (
+      SELECT user_id, delta, s,
+             min(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m,
+             coalesce(min(s) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS m_prev
+      FROM sums
+    )
+    SELECT user_id, count(*) AS n_tx,
+           CAST(sum(delta) - least(0, min(m)) AS BIGINT)
+             AS final_balance_cents,
+           CAST(max(s - least(0, m)) AS BIGINT) AS peak_balance_cents,
+           CAST(sum(CASE WHEN s < least(0, m_prev) THEN 1 ELSE 0 END)
+                AS BIGINT) AS floor_hits
+    FROM pre GROUP BY user_id
+    """,
+)
+def inventory_running_floor(spark, sf_dir):
+    """Running wallet balance with a zero floor — the `max(0, prev +
+    delta)` recurrence (prepaid credits, inventory that can't go
+    negative, rate-limit token buckets). The naive form is a per-row
+    sequential recursion; the engine uses the Skorokhod-reflection
+    closed form instead:
+
+        B_i = S_i − min(0, min_{j≤i} S_j)
+
+    (S = plain prefix sum), which turns the recursion into two stacked
+    window functions — fully parallel within and across users. A floor
+    *hit* (a debit clipped at zero) is exactly a row where
+    S_i < min(0, min_{j<i} S_j). 'signup'/'view' credit cents,
+    'purchase' debits; all arithmetic is BIGINT cents.
+
+    Scale shape: both windows are partitioned by user_id — one shuffle,
+    per-user sequential work only (the reference's batch-table-scheduler
+    per-key ordering discipline, pkg/schedulers: order within key,
+    parallel across keys). No recursion, no iteration, no driver state."""
+    ev = T(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "view", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    tx = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("event_type").isin("signup", "view"), cents)
+        .otherwise(-cents).alias("delta"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = tx.select(
+        "user_id", "ts", "event_id", "delta",
+        F.sum("delta").over(w).alias("s"),
+    ).select(
+        "user_id", "delta", "s",
+        F.min("s").over(w).alias("m"),
+        F.coalesce(F.min("s").over(wp), F.lit(0)).alias("m_prev"),
+    )
+    return pre.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        (F.sum("delta") - F.least(F.lit(0), F.min("m")))
+        .cast("long").alias("final_balance_cents"),
+        F.max(F.col("s") - F.least(F.lit(0), F.col("m")))
+        .cast("long").alias("peak_balance_cents"),
+        F.sum(
+            F.when(F.col("s") < F.least(F.lit(0), F.col("m_prev")), 1)
+            .otherwise(0)
+        ).cast("long").alias("floor_hits"),
+    )
+
+
+@register(
+    "events_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, count(*) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS active_days,
+           count(*) AS n_streaks,
+           CAST(max(len) AS BIGINT) AS max_streak
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_activity_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user — the gaps-and-islands
+    operator (longest streak, streak count) behind retention/engagement
+    reporting, same family as `retention_cohorts` but measuring
+    *contiguity* rather than comeback rate.
+
+    Islands via the row_number trick: within a user's distinct active
+    days sorted ascending, `day − row_number()` is constant exactly on
+    runs of consecutive days, so a groupBy on that delta materializes
+    the streaks without any self-join or iteration. Days are epoch//86400
+    BIGINTs (timezone-free, identical in both engines).
+
+    Scale shape: distinct → window → two groupBys, every one of them
+    partitioned/keyed by user_id, so the whole pipeline is ONE shuffle
+    by user (AQE coalesces the rest). Per-user day counts are bounded
+    (≤ days in the time range), so no skew concern even for bot-grade
+    users at 100 TB."""
+    ev = T(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
