@@ -12097,6 +12097,302 @@ def events_activity_streaks(spark, sf_dir):
     )
 
 
+@register(
+    "revenue_rank_movement",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+               AS month_epoch,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, rank() OVER (PARTITION BY month_epoch
+                             ORDER BY rev_cents DESC, o_custkey) AS rnk
+      FROM rev
+    ),
+    moved AS (
+      SELECT *, lag(rnk) OVER (PARTITION BY o_custkey
+                               ORDER BY month_epoch) AS prev_rank
+      FROM ranked
+    )
+    SELECT month_epoch, o_custkey, rev_cents, rnk AS rank, prev_rank,
+           prev_rank - rnk AS moved
+    FROM moved WHERE rnk <= 10
+    """,
+)
+def revenue_rank_movement(spark, sf_dir):
+    """Month-over-month leaderboard movement: each month's top-10
+    customers by revenue, annotated with their rank in their previous
+    ACTIVE month and the delta — the 'rank tracking' report behind
+    churn/whale dashboards (who entered the top-10, who is sliding).
+
+    Determinism: revenue is BIGINT cents; rank orders by (cents DESC,
+    custkey) so ties are stable; `prev_rank` is lag over the customer's
+    own month sequence (a customer inactive in a month compares to
+    their last active month — stated semantics, identical both engines).
+
+    Scale shape: the fact table collapses to (customer × active-month)
+    rows BEFORE any window — the rank window partitions by month over
+    that aggregate, the lag window by customer, so both are keyed
+    shuffles of the small aggregate, never of the fact table. At 100 TB
+    the month partitions hold |customers| rows, and if even that is too
+    wide the rank filter (<=10) composes with a per-partition top-k
+    pre-prune (TakeOrdered per shuffle partition) without changing
+    results."""
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy(
+        "o_custkey",
+        F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+        .alias("month_epoch"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("rev_cents")
+    )
+    wr = Window.partitionBy("month_epoch").orderBy(
+        F.col("rev_cents").desc(), "o_custkey"
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("month_epoch")
+    ranked = rev.withColumn("rank", F.rank().over(wr))
+    moved = ranked.withColumn("prev_rank", F.lag("rank").over(wl))
+    return moved.filter(F.col("rank") <= 10).select(
+        "month_epoch", "o_custkey", "rev_cents",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("prev_rank").cast("long").alias("prev_rank"),
+        (F.col("prev_rank") - F.col("rank")).cast("long").alias("moved"),
+    )
+
+
+@register(
+    "vocab_growth_heaps",
+    f"""
+    WITH mx AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ),
+    tok_dec AS (
+      SELECT CAST(doc_id * 10 // nd AS BIGINT) AS decile, t
+      FROM toks, mx
+    ),
+    inst AS (
+      SELECT decile, count(*) AS n_tokens FROM tok_dec GROUP BY 1
+    ),
+    first_seen AS (
+      SELECT t, min(decile) AS decile FROM tok_dec GROUP BY t
+    ),
+    novel AS (
+      SELECT decile, count(*) AS new_types FROM first_seen GROUP BY 1
+    ),
+    docs_per AS (
+      SELECT CAST(doc_id * 10 // nd AS BIGINT) AS decile,
+             count(*) AS n_docs
+      FROM documents, mx GROUP BY 1
+    )
+    SELECT d.decile, d.n_docs, i.n_tokens,
+           coalesce(v.new_types, 0) AS new_types,
+           CAST(sum(i.n_tokens) OVER (ORDER BY d.decile) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(coalesce(v.new_types, 0)) OVER (ORDER BY d.decile)
+                AS BIGINT) AS cum_types
+    FROM docs_per d
+    JOIN inst i ON i.decile = d.decile
+    LEFT JOIN novel v ON v.decile = d.decile
+    """,
+)
+def vocab_growth_heaps(spark, sf_dir):
+    """Vocabulary growth curve (Heaps'-law profile): cumulative distinct
+    token types vs cumulative token instances across ten corpus slices
+    in doc_id order. The curve is how corpus builders detect saturation
+    (new data stops contributing vocabulary) and estimate the Heaps
+    exponent for tokenizer/vocab sizing — a direct companion to
+    `corpus_ngram_novelty`, at type rather than n-gram granularity.
+
+    'First seen in decile d' = min(decile) per type, so cum_types at d
+    is exactly |types with first occurrence <= d| — no order-dependent
+    scan, just two groupBys. All counts are exact BIGINTs.
+
+    Scale shape: tokenize+explode → groupBy(token) min — the same
+    token-keyed shuffle every dedup query uses; the cumulative window
+    runs over exactly 10 decile rows. doc_id→decile uses max(doc_id)+1
+    as the denominator, broadcast as a one-row frame."""
+    docs = T(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("nd"))
+    with_dec = docs.crossJoin(F.broadcast(mx)).withColumn(
+        "decile", F.expr("doc_id * 10 div nd")
+    )
+    toks = with_dec.select(
+        "decile", F.explode(tx.tokenize(F.col("text"))).alias("t")
+    )
+    inst = toks.groupBy("decile").agg(F.count(F.lit(1)).alias("n_tokens"))
+    novel = (
+        toks.groupBy("t").agg(F.min("decile").alias("decile"))
+        .groupBy("decile").agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    docs_per = with_dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    joined = (
+        docs_per.join(inst, "decile")
+        .join(novel, "decile", "left")
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+    )
+    w = Window.orderBy("decile")
+    return joined.select(
+        "decile", "n_docs", "n_tokens", "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+
+
+@register(
+    "order_proration_residual",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    base AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.w,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS t,
+             CAST(sum(li.w) OVER (PARTITION BY li.l_orderkey) AS BIGINT)
+               AS tw
+      FROM li JOIN orders o ON o.o_orderkey = li.l_orderkey
+    ),
+    parts AS (
+      SELECT l_orderkey, l_linenumber,
+             t * w // tw AS floor_cents,
+             t * w % tw AS rem,
+             t - CAST(sum(t * w // tw) OVER (PARTITION BY l_orderkey)
+                      AS BIGINT) AS residual
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_cents
+                + CASE WHEN row_number() OVER (PARTITION BY l_orderkey
+                         ORDER BY rem DESC, l_linenumber) <= residual
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+    FROM parts
+    """,
+)
+def order_proration_residual(spark, sf_dir):
+    """Penny-exact proration: allocate each order's total across its
+    line items proportionally to extended price using the
+    largest-remainder (Hamilton) method — floor the proportional shares,
+    then hand the leftover pennies to the largest fractional remainders
+    (tie-broken by line number). The financial-allocation operator every
+    billing/revenue-recognition pipeline needs: per-order allocations
+    sum to the order total EXACTLY, no float drift ever.
+
+    All arithmetic is BIGINT: t·w ≤ ~5e14 stays far under 2^63; floor
+    share = t·w // Σw, remainder = t·w % Σw; the residual (t − Σfloors)
+    is < n_lines by construction so the +1 rank test distributes it
+    fully.
+
+    Scale shape: one keyed join (orderkey) plus three windows all
+    partitioned by orderkey — a single shuffle key end to end, per-order
+    groups are ≤ 7 lines. Row-level output, linear in the fact table."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("t"),
+    )
+    wk = Window.partitionBy("l_orderkey")
+    base = li.join(orders, "l_orderkey").withColumn(
+        "tw", F.sum("w").over(wk)
+    )
+    parts = base.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("t * w div tw").alias("floor_cents"),
+        (F.col("t") * F.col("w") % F.col("tw")).alias("rem"),
+        "t",
+    ).withColumn(
+        "residual", F.col("t") - F.sum("floor_cents").over(wk)
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), "l_linenumber"
+    )
+    return parts.select(
+        "l_orderkey", "l_linenumber",
+        (
+            F.col("floor_cents")
+            + F.when(F.row_number().over(wr) <= F.col("residual"), 1)
+            .otherwise(0)
+        ).cast("long").alias("alloc_cents"),
+    )
+
+
+@register(
+    "source_vocab_jaccard",
+    f"""
+    WITH st AS (
+      SELECT DISTINCT source, unnest({_TOKS}) AS t FROM documents
+    ),
+    sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+    inter AS (
+      SELECT a.source AS s1, b.source AS s2, count(*) AS isect
+      FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.s1, i.s2, i.isect,
+           za.n + zb.n - i.isect AS union_size,
+           round(CAST(i.isect AS DOUBLE) / (za.n + zb.n - i.isect), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sz za ON za.source = i.s1
+    JOIN sz zb ON zb.source = i.s2
+    """,
+)
+def source_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary overlap (exact Jaccard over token TYPE sets)
+    between corpus sources — the source-level companion to the
+    doc-level dedup family: two crawls/dumps with near-identical
+    vocabularies are redundant for mixture building even when no single
+    document is a duplicate (`corpus_mixture_weights` decides BETWEEN
+    sources; this measures how distinct they actually are).
+
+    Scale shape: the corpus collapses to distinct (source, type) pairs
+    first (token-keyed shuffle with map-side distinct). The pair join is
+    an equi-join ON TOKEN — per-token fan-out is bounded by the source
+    count squared (sources are a catalog-sized dimension, ~dozens), so
+    candidate volume is O(types × sources²), never documents². Output is
+    one row per source pair."""
+    docs = T(spark, sf_dir, "documents")
+    st = docs.select(
+        "source", F.explode(tx.tokenize(F.col("text"))).alias("t")
+    ).distinct()
+    sz = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("s1"), "t")
+    b = st.select(F.col("source").alias("s2"), "t")
+    inter = (
+        a.join(b, "t")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    za = sz.select(F.col("source").alias("s1"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("s2"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(za), "s1")
+        .join(F.broadcast(zb), "s2")
+        .select(
+            "s1", "s2", "isect",
+            (F.col("na") + F.col("nb") - F.col("isect"))
+            .alias("union_size"),
+            F.round(
+                F.col("isect").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("isect")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
