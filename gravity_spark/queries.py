@@ -12393,6 +12393,410 @@ def source_vocab_jaccard(spark, sf_dir):
     )
 
 
+@register(
+    "orders_cohort_ltv",
+    """
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    coh AS (
+      SELECT o_custkey, min(midx) AS cohort_idx FROM om GROUP BY 1
+    ),
+    sized AS (
+      SELECT cohort_idx, count(*) AS cohort_size FROM coh GROUP BY 1
+    ),
+    cell AS (
+      SELECT c.cohort_idx, om.midx - c.cohort_idx AS age,
+             CAST(sum(om.cents) AS BIGINT) AS rev_cents,
+             count(DISTINCT om.o_custkey) AS n_active
+      FROM om JOIN coh c ON c.o_custkey = om.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT cell.cohort_idx, cell.age, cell.rev_cents, cell.n_active,
+           CAST(sum(cell.rev_cents) OVER (PARTITION BY cell.cohort_idx
+                ORDER BY cell.age) AS BIGINT) AS cum_rev_cents,
+           s.cohort_size,
+           (2 * CAST(sum(cell.rev_cents) OVER (PARTITION BY cell.cohort_idx
+                ORDER BY cell.age) AS BIGINT) + s.cohort_size)
+             // (2 * s.cohort_size) AS ltv_per_user_cents
+    FROM cell JOIN sized s ON s.cohort_idx = cell.cohort_idx
+    """,
+)
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value triangle: customers grouped by first-order
+    month, revenue accumulated by months-since-first-order — the
+    revenue-weighted companion to `retention_cohorts` (which counts
+    comebacks; this prices them). `ltv_per_user` divides by the FULL
+    cohort size, not just the still-active users, which is the LTV
+    convention.
+
+    Months are the integer index year·12+month (timezone-free, no epoch
+    rounding), revenue is BIGINT cents; `ltv_per_user_cents` is a
+    half-up integer division ((2·cum+size)//(2·size)) so no double ever
+    enters the result — round(x/y, 2) on a double lands on .xx5
+    boundaries differently per engine (hit at sf0.001).
+
+    Scale shape: facts collapse to (customer, month) cents first; the
+    cohort join is customer-keyed; the cumulative window partitions by
+    cohort over ≤ tens-of-months rows per cohort. Nothing window-scans
+    the fact table."""
+    orders = T(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("midx"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("midx").alias("cohort_idx"))
+    sized = coh.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cell = (
+        om.join(coh, "o_custkey")
+        .groupBy("cohort_idx", (F.col("midx") - F.col("cohort_idx")).alias("age"))
+        .agg(
+            F.sum("cents").alias("rev_cents"),
+            F.countDistinct("o_custkey").alias("n_active"),
+        )
+    )
+    w = Window.partitionBy("cohort_idx").orderBy("age")
+    return (
+        cell.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sized), "cohort_idx")
+        .select(
+            "cohort_idx", "age", "rev_cents", "n_active", "cum_rev_cents",
+            "cohort_size",
+            F.expr("(2 * cum_rev_cents + cohort_size) div (2 * cohort_size)")
+            .alias("ltv_per_user_cents"),
+        )
+    )
+
+
+@register(
+    "returns_chi2_independence",
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS rf, l_linestatus AS ls,
+             CAST(count(*) AS BIGINT) AS o
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT rf, ls, o,
+             CAST(sum(o) OVER (PARTITION BY rf) AS BIGINT) AS r,
+             CAST(sum(o) OVER (PARTITION BY ls) AS BIGINT) AS c,
+             CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT rf, ls,
+             CAST(round(
+               (o - CAST(r AS DOUBLE) * c / n)
+               * (o - CAST(r AS DOUBLE) * c / n)
+               / (CAST(r AS DOUBLE) * c / n) * 1000000) AS BIGINT) AS t6,
+             r, c, n
+      FROM tot
+    )
+    SELECT count(*) AS n_cells,
+           (count(DISTINCT rf) - 1) * (count(DISTINCT ls) - 1) AS dof,
+           round(CAST(sum(t6) AS DOUBLE) / 1000000, 6) AS chi2
+    FROM terms
+    """,
+)
+def returns_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between return flag and line
+    status — the categorical-association audit (is 'returned' uniform
+    across fulfillment states, or does one state drive returns?). The
+    data-quality sibling of `orders_benford_audit`.
+
+    Determinism: observed counts and margins are exact BIGINTs; each
+    cell's (O−E)²/E is ONE fixed double expression (IEEE ops are
+    correctly rounded, so both engines produce the identical double),
+    then scaled to integer micro-units BEFORE the cross-cell sum so the
+    reduction is order-independent. E is computed r·c/n in DOUBLE — at
+    100 TB r·c overflows BIGINT (~(6e9)²), the double form doesn't.
+
+    Scale shape: one groupBy collapses the fact table to |rf|×|ls|
+    cells (six here, bounded by the category product always); the margin
+    windows run over that tiny cell frame, never the facts."""
+    li = T(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "rf", "ls", "o",
+        F.sum("o").over(Window.partitionBy("rf")).alias("r"),
+        F.sum("o").over(Window.partitionBy("ls")).alias("c"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    t6 = F.round((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast(
+        "long"
+    )
+    terms = tot.select("rf", "ls", t6.alias("t6"))
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("rf") - 1) * (F.countDistinct("ls") - 1)
+        ).alias("dof"),
+        F.round(F.sum("t6").cast("double") / 1000000, 6).alias("chi2"),
+    )
+
+
+@register(
+    "segment_welch_ttest",
+    """
+    WITH v AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    mom AS (
+      SELECT seg, count(*) AS n,
+             CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx
+      FROM v GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+        max(CASE WHEN seg = 'BUILDING' THEN sx END) AS sx1,
+        max(CASE WHEN seg = 'BUILDING' THEN sxx END) AS sxx1,
+        max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+        max(CASE WHEN seg = 'MACHINERY' THEN sx END) AS sx2,
+        max(CASE WHEN seg = 'MACHINERY' THEN sxx END) AS sxx2
+      FROM mom
+    )
+    SELECT n1, n2,
+           round(CAST(sx1 AS DOUBLE) / n1 / 100, 2) AS mean1,
+           round(CAST(sx2 AS DOUBLE) / n2 / 100, 2) AS mean2,
+           round(
+             (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+             / sqrt(
+                 (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) / n1 * sx1)
+                   / (n1 - 1) / n1
+               + (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) / n2 * sx2)
+                   / (n2 - 1) / n2
+             ), 6) AS t_stat
+    FROM wide
+    """,
+)
+def segment_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-statistic comparing order value between two
+    market segments — the A/B-test read-out as a distributed aggregate
+    (segments as arms). Upstream of any experimentation platform this
+    exact reduction is what the scorecard runs.
+
+    Determinism: the only shuffled quantities are the three exact
+    BIGINT moments (n, Σx, Σx²) per segment in cents (cents² ≤ ~2.5e15
+    per row — the SUM needs ~6e9 rows × 2.5e15 to overflow, far beyond
+    any SF here; at true 100 TB the moment pair switches to DECIMAL(38)
+    sums, same shape). The t-statistic itself is one fixed double
+    expression over six scalars — IEEE-identical on both engines.
+
+    Scale shape: customer-keyed join, then a 2-row aggregate; the
+    'wide' pivot is a one-row fold. Map-side partials do all the work."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    v = (
+        orders.join(
+            F.broadcast(
+                cust.filter(
+                    F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+                ).select("c_custkey", "c_mktsegment")
+            ),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    mom = v.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+    )
+    wide = mom.agg(
+        *[
+            F.max(F.when(F.col("seg") == s, F.col(c))).alias(f"{c}{i}")
+            for i, s in [(1, "BUILDING"), (2, "MACHINERY")]
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    se2_1 = (
+        (F.col("sxx1").cast("double") - m1 * F.col("sx1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    se2_2 = (
+        (F.col("sxx2").cast("double") - m2 * F.col("sx2"))
+        / (F.col("n2") - 1) / F.col("n2")
+    )
+    return wide.select(
+        "n1", "n2",
+        F.round(m1 / 100, 2).alias("mean1"),
+        F.round(m2 / 100, 2).alias("mean2"),
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+    )
+
+
+@register(
+    "streaming_late_data_audit",
+    """
+    -- Late-data accounting for a watermarked daily-count aggregation
+    -- fed in three epochs: A = even event_ids (whole time range, sets
+    -- the watermark at max(ts_A) - 5d), B = odd ids in the newer half
+    -- (ts_us > cut, merged while their windows are still in state),
+    -- C = odd ids in the older half (arrive AFTER their windows were
+    -- evicted -> dropped). Per surviving day window: admitted = evens
+    -- + late-but-premerged odds, late = post-eviction odds. Windows
+    -- within 1 day of the epoch-A watermark or younger than
+    -- max(ts) - 6d are excluded on both engines (watermark boundary).
+    WITH bounds AS (
+      SELECT (min(CAST(epoch_us(ts) AS BIGINT))
+              + max(CAST(epoch_us(ts) AS BIGINT))) // 2 AS cut,
+             CAST(floor(epoch(max(CASE WHEN event_id % 2 = 0 THEN ts END)))
+                  AS BIGINT) - 5 * 86400 AS wm_a,
+             CAST(floor(epoch(max(ts))) AS BIGINT) - 6 * 86400 AS cut_new
+      FROM events
+    ),
+    rows_w AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS wstart,
+             CASE WHEN event_id % 2 = 0
+                    OR CAST(epoch_us(ts) AS BIGINT) > (SELECT cut FROM bounds)
+                  THEN 1 ELSE 0 END AS admitted
+      FROM events
+    )
+    SELECT wstart AS window_epoch,
+           CAST(sum(admitted) AS BIGINT) AS n_admitted,
+           count(*) AS n_total,
+           CAST(sum(1 - admitted) AS BIGINT) AS n_late
+    FROM rows_w, bounds
+    WHERE abs(wstart + 86400 - wm_a) > 86400
+      AND wstart + 86400 <= cut_new
+    GROUP BY 1
+    """,
+)
+def streaming_late_data_audit(spark, sf_dir):
+    """Late-data accounting: run a REAL three-epoch Structured Streaming
+    daily-count aggregation (watermark 5 days, append mode) and report
+    per-window how many rows were admitted vs dropped as late — the
+    watermark-health dashboard every streaming deployment runs next to
+    its pipeline (the reference's dcp checker plays this role for CDC
+    completeness, dcp/README; this is the event-time twin).
+
+    Epoch design encodes Spark's ACTUAL late-data contract, established
+    empirically ("late data MAY be dropped" — the guarantee is only
+    one-sided): epoch A (even ids, spanning the whole range) builds
+    state and pushes the watermark to max(ts_A)−5d; epoch B (odd ids,
+    newer half) is late relative to the watermark but its windows are
+    STILL IN STATE — eviction happens in the same commit that merges
+    the batch, so these rows are admitted; epoch C (odd ids, older
+    half) arrives after its windows were evicted and is dropped. So
+    the deterministic rule per row: admitted iff even OR ts_us > cut
+    (cut = integer midpoint of the micros range, exact both engines).
+    n_late is measured against the batch recount joined in after
+    termination — streaming truth, not a replayed formula.
+
+    Boundary discipline (the established outer-join rule): watermark
+    comparisons are millisecond-truncated with an unspecified open
+    side, so windows within ±1 day of the epoch-A watermark, and
+    windows younger than max(ts)−6d (final-emission region), are
+    excluded from the graded output ON BOTH ENGINES.
+
+    Scale shape: the streaming agg keeps one state row per open day
+    window — bounded by the watermark horizon regardless of volume;
+    the audit join is window-keyed over day-cardinality frames."""
+    import glob
+    import shutil
+    import uuid
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    tmin, tmax_us = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cut = (tmin + tmax_us) // 2
+
+    tmp = _scratch_dir("late_audit_")
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    preds = [
+        F.col("event_id") % 2 == 0,
+        (F.col("event_id") % 2 == 1) & (F.col("ts_us") > cut),
+        (F.col("event_id") % 2 == 1) & (F.col("ts_us") <= cut),
+    ]
+    for idx, pred in enumerate(preds):
+        part = f"{tmp}/w{idx}"
+        ev.filter(pred).coalesce(1).write.mode("overwrite").json(part)
+        src = glob.glob(f"{part}/part-*.json")[0]
+        dst = f"{stream_dir}/{idx:03d}.json"
+        shutil.move(src, dst)
+        os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(stream_dir)
+        .select(F.timestamp_micros(F.col("ts_us")).alias("ts"))
+        .withWatermark("ts", "5 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_admitted"))
+    )
+    name = f"lda_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+    admitted = spark.table(name).select(
+        F.unix_timestamp(F.col("w.start")).alias("window_epoch"),
+        "n_admitted",
+    )
+
+    full = T(spark, sf_dir, "events")
+    scalars = full.agg(
+        F.unix_timestamp(F.max("ts")).alias("tmax_s"),
+        F.unix_timestamp(
+            F.max(F.when(F.col("event_id") % 2 == 0, F.col("ts")))
+        ).alias("tmax_a_s"),
+    ).collect()[0]
+    wm_a = scalars["tmax_a_s"] - 5 * 86400
+    cut_new = scalars["tmax_s"] - 6 * 86400
+    totals = (
+        full.groupBy(
+            F.expr("unix_timestamp(ts) div 86400 * 86400")
+            .alias("window_epoch")
+        )
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .filter(
+            (F.abs(F.col("window_epoch") + 86400 - wm_a) > 86400)
+            & (F.col("window_epoch") + 86400 <= cut_new)
+        )
+    )
+    return (
+        totals.join(admitted, "window_epoch", "left")
+        .select(
+            "window_epoch",
+            F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+            "n_total",
+            (F.col("n_total") - F.coalesce("n_admitted", F.lit(0)))
+            .alias("n_late"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
