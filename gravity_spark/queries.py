@@ -11067,20 +11067,28 @@ def orders_open_backlog(spark, sf_dir):
     )
 
 
-def weighted_median_groups(t: DataFrame, stats: dict | None = None) -> list[tuple]:
-    """Exact per-group weighted median by iterated histogram descent.
+def weighted_median_groups(
+    t: DataFrame, stats: dict | None = None, k_fn=None
+) -> list[tuple]:
+    """Exact per-group weighted quantile by iterated histogram descent.
 
     ``t`` must have columns (flag, c, w) with integer c (value) and w
-    (weight). Returns [(flag, total_weight, median_c), ...] sorted by
-    flag. Pass a ``stats`` dict to receive {"rounds", "driver_rows"} —
-    the scale probe (tools/descent_scale_probe.py) instruments THIS
-    function, so the measured evidence covers the production shape.
-    Each round ships ≤1024 rows per live group to the driver; rounds
-    are bounded by ⌈log₁₀₂₄(value range)⌉, independent of row count."""
+    (weight). Returns [(flag, total_weight, value_c), ...] sorted by
+    flag, where value_c is the smallest c whose cumulative weight
+    reaches ``k_fn(total_weight)`` (default: the weighted median rank
+    (tot+1)//2 — pass e.g. ``lambda tot: (tot*95 + 99) // 100`` for the
+    lower p95). Pass a ``stats`` dict to receive {"rounds",
+    "driver_rows"} — the scale probe (tools/descent_scale_probe.py)
+    instruments THIS function, so the measured evidence covers the
+    production shape. Each round ships ≤1024 rows per live group to the
+    driver; rounds are bounded by ⌈log₁₀₂₄(value range)⌉, independent
+    of row count."""
+    if k_fn is None:
+        k_fn = lambda tot: (tot + 1) // 2  # noqa: E731
     first = t.groupBy("flag").agg(
         F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
     ).collect()
-    state = {r["flag"]: [r["lo"], r["hi"] + 1, (r["tot"] + 1) // 2] for r in first}
+    state = {r["flag"]: [r["lo"], r["hi"] + 1, k_fn(r["tot"])] for r in first}
     tots = {r["flag"]: r["tot"] for r in first}
     rounds, driver_rows = 0, len(first)
     # every group descends in the SAME job each round: a when-chain
@@ -12795,6 +12803,185 @@ def streaming_late_data_audit(spark, sf_dir):
             .alias("n_late"),
         )
     )
+
+
+@register(
+    "market_basket_triples",
+    """
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem
+    ),
+    n_ord AS (SELECT count(DISTINCT o_orderkey) AS nn FROM orders),
+    freq AS (
+      SELECT item FROM b, n_ord GROUP BY item, nn
+      HAVING count(*) * 1000 >= nn
+    ),
+    fb AS MATERIALIZED (SELECT b.ok, b.item FROM b JOIN freq USING (item)),
+    tri AS (
+      SELECT a.item AS p1, c.item AS p2, d.item AS p3, count(*) AS m
+      FROM fb a
+      JOIN fb c ON c.ok = a.ok AND c.item > a.item
+      JOIN fb d ON d.ok = a.ok AND d.item > c.item
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 2
+    )
+    SELECT p1, p2, p3, m,
+           CAST((m * 1000000 - (m * 1000000) % nn) / nn AS BIGINT)
+             AS support_ppm
+    FROM tri, n_ord
+    """,
+)
+def market_basket_triples(spark, sf_dir):
+    """Frequent 3-itemsets over order baskets — the level-3 A-priori
+    step `market_basket_rules` (pairs) doesn't reach, and the exact
+    shape distributed FP-growth replaces at extreme scale. Level-wise
+    pruning is the point: items below 0.1% order-support are dropped
+    BEFORE any pair/triple expansion (the A-priori monotonicity
+    argument: no triple can be frequent if a member isn't), so the
+    within-basket combinatorics run on the pruned basket only.
+
+    Support is an exact floor-division ppm; counts are BIGINT.
+
+    Scale shape: baskets are bounded (≤7 lines/order here; padded-cart
+    limits in general), so the triple expansion is O(orders · k³) with
+    k = pruned basket size — the two self-joins are orderkey-keyed
+    (one shuffle key), and the frequent-item prune is a broadcast
+    semi-join. The m ≥ 2 floor keeps the output sparse as volume
+    grows."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
+    ).distinct()
+    nn = T(spark, sf_dir, "orders").select("o_orderkey").distinct().count()
+    freq = (
+        li.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(F.col("nf") * 1000 >= nn)
+        .select("item")
+    )
+    fb = li.join(F.broadcast(freq), "item").persist()
+    try:
+        a = fb.select("ok", F.col("item").alias("p1"))
+        c = fb.select("ok", F.col("item").alias("p2"))
+        d = fb.select("ok", F.col("item").alias("p3"))
+        tri = (
+            a.join(c, "ok")
+            .filter(F.col("p2") > F.col("p1"))
+            .join(d, "ok")
+            .filter(F.col("p3") > F.col("p2"))
+            .groupBy("p1", "p2", "p3")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .filter(F.col("m") >= 2)
+        )
+        return tri.select(
+            "p1", "p2", "p3", "m",
+            _int_div(F.col("m") * 1000000, nn).alias("support_ppm"),
+        ).localCheckpoint()
+    finally:
+        fb.unpersist()
+
+
+@register(
+    "orders_winsorized_stats",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS flag,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ),
+    g AS (SELECT flag, c, count(*) AS w FROM t GROUP BY 1, 2),
+    cw AS (
+      SELECT flag, c, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY c) AS BIGINT)
+               AS cum,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g
+    ),
+    qs AS (
+      SELECT flag, max(tot) AS n,
+             min(CASE WHEN 100 * cum >= 5 * tot THEN c END) AS p05,
+             min(CASE WHEN 100 * cum >= 95 * tot THEN c END) AS p95
+      FROM cw GROUP BY 1
+    )
+    SELECT t.flag AS o_orderpriority, qs.n, qs.p05 AS p05_cents,
+           qs.p95 AS p95_cents,
+           (2 * CAST(sum(least(greatest(t.c, qs.p05), qs.p95)) AS BIGINT)
+             + qs.n) // (2 * qs.n) AS winsorized_mean_cents,
+           (2 * CAST(sum(t.c) AS BIGINT) + qs.n) // (2 * qs.n)
+             AS raw_mean_cents
+    FROM t JOIN qs ON qs.flag = t.flag
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def orders_winsorized_stats(spark, sf_dir):
+    """Winsorized robust statistics per order priority: exact p05/p95
+    (lower weighted quantile: smallest value whose cumulative count
+    reaches ⌈q·n⌉), values clipped into [p05, p95], and the winsorized
+    vs raw mean — the outlier-robust scorecard a metrics pipeline uses
+    when a few whale orders would otherwise swing the average.
+
+    The exact quantiles come from the SHARED histogram-descent core
+    (`weighted_median_groups`, generalized to arbitrary ranks): no
+    global sort, no partition-less window — per round one filtered
+    1024-bin aggregation shared by ALL groups, ≤3 rounds to a width-1
+    bin (the scale probe in BASELINE.md §8 measures this core flat from
+    60k to 3.84M rows). Means are half-up integer divisions; nothing
+    double ever crosses engines.
+
+    Scale shape: descent scans the (flag, c, count) aggregate (one
+    shuffle from the facts, persisted across rounds/ranks); the final
+    clip+mean is one more pass with the six quantile scalars broadcast
+    as literals."""
+    orders = T(spark, sf_dir, "orders")
+    t = orders.select(
+        F.col("o_orderpriority").alias("flag"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    g = t.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("w")).persist()
+    try:
+        p05 = {
+            f: v
+            for f, _, v in weighted_median_groups(
+                g, k_fn=lambda tot: (5 * tot + 99) // 100
+            )
+        }
+        p95rows = weighted_median_groups(
+            g, k_fn=lambda tot: (95 * tot + 99) // 100
+        )
+    finally:
+        g.unpersist()
+    p95 = {f: v for f, _, v in p95rows}
+    ns = {f: tot for f, tot, _ in p95rows}
+    lo_expr, hi_expr = None, None
+    for f in sorted(p05):
+        lo_expr = (
+            F.when(F.col("flag") == f, F.lit(p05[f]))
+            if lo_expr is None
+            else lo_expr.when(F.col("flag") == f, F.lit(p05[f]))
+        )
+        hi_expr = (
+            F.when(F.col("flag") == f, F.lit(p95[f]))
+            if hi_expr is None
+            else hi_expr.when(F.col("flag") == f, F.lit(p95[f]))
+        )
+    clipped = t.select(
+        "flag", "c",
+        F.least(F.greatest(F.col("c"), lo_expr), hi_expr).alias("cc"),
+    )
+    agg = clipped.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cc").alias("scc"),
+        F.sum("c").alias("sc"),
+    )
+    return agg.select(
+        F.col("flag").alias("o_orderpriority"),
+        "n",
+        lo_expr.alias("p05_cents"),
+        hi_expr.alias("p95_cents"),
+        F.expr("(2 * scc + n) div (2 * n)").alias("winsorized_mean_cents"),
+        F.expr("(2 * sc + n) div (2 * n)").alias("raw_mean_cents"),
+    ).withColumn(
+        "p05_cents", F.col("p05_cents").cast("long")
+    ).withColumn("p95_cents", F.col("p95_cents").cast("long"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
