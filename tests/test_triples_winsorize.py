@@ -28,7 +28,7 @@ def test_triples_match_local_enumeration(spark, sf_dir):
     for items in baskets.values():
         for it in items:
             support[it] += 1
-    frequent = {it for it, n in support.items() if n * 1000 >= n_orders}
+    frequent = {it for it, n in support.items() if n >= 20}
     tri_count = defaultdict(int)
     for items in baskets.values():
         pruned = sorted(i for i in items if i in frequent)
