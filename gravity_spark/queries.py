@@ -12986,6 +12986,132 @@ def orders_winsorized_stats(spark, sf_dir):
     ).withColumn("p95_cents", F.col("p95_cents").cast("long"))
 
 
+@register(
+    "quantile_normalize_map",
+    """
+    WITH t AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS c, doc_id FROM documents
+    ),
+    src AS (
+      SELECT source, c,
+             ntile(10) OVER (PARTITION BY source ORDER BY c, doc_id)
+               AS tile
+      FROM t
+    ),
+    gq AS (
+      SELECT c, ntile(10) OVER (ORDER BY c, doc_id) AS tile FROM t
+    ),
+    sm AS (
+      SELECT source, tile, count(*) AS n, max(c) AS src_hi
+      FROM src GROUP BY 1, 2
+    ),
+    gm AS (SELECT tile, max(c) AS glob_hi FROM gq GROUP BY 1)
+    SELECT sm.source, sm.tile, sm.n, sm.src_hi, gm.glob_hi
+    FROM sm JOIN gm ON gm.tile = sm.tile
+    """,
+)
+def quantile_normalize_map(spark, sf_dir):
+    """Quantile-normalization lookup table: per-source score deciles
+    mapped onto the GLOBAL score distribution — how a mixing pipeline
+    calibrates quality scores across corpora whose scorers drift (a
+    '0.8 quality' from source A and source B mean different things;
+    after rank-mapping they don't). Output: for each (source, decile),
+    the source-local decile edge and the global edge it normalizes to;
+    applying the map is then a per-row broadcast-range lookup.
+
+    Per-source ranks use a window PARTITIONED by source (scale-safe:
+    sources shard the corpus); the global decile comes from
+    `_dist_ntile` — the distributed exact-ntile (value-bucket →
+    in-bucket rank → ≤64 broadcast offsets), NEVER a partition-less
+    ntile window over the corpus (the customer_rfm_segments replan
+    discipline). Both engines order by (score, doc_id), so tile
+    assignment is bit-stable."""
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.col("n_chars").cast("long").alias("c"), "doc_id"
+    )
+    wsrc = Window.partitionBy("source").orderBy("c", "doc_id")
+    sm = (
+        t.withColumn("tile", F.ntile(10).over(wsrc))
+        .groupBy("source", "tile")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c").alias("src_hi"))
+    )
+    gm = (
+        _dist_ntile(t, "c", "doc_id", "tile", 10)
+        .groupBy("tile")
+        .agg(F.max("c").alias("glob_hi"))
+    )
+    return sm.join(F.broadcast(gm), "tile").select(
+        "source", F.col("tile").cast("long").alias("tile"), "n",
+        "src_hi", "glob_hi"
+    )
+
+
+@register(
+    "docs_source_lang_drift",
+    """
+    WITH cells AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT source, lang, o,
+             CAST(sum(o) OVER (PARTITION BY source) AS BIGINT) AS st,
+             CAST(sum(o) OVER (PARTITION BY lang) AS BIGINT) AS lt,
+             CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT source, st,
+             CAST(round(
+               (o - CAST(st AS DOUBLE) * lt / n)
+               * (o - CAST(st AS DOUBLE) * lt / n)
+               / (CAST(st AS DOUBLE) * lt / n) * 1000000) AS BIGINT) AS t6
+      FROM m
+    )
+    SELECT source, max(st) AS n_docs,
+           round(CAST(sum(t6) AS DOUBLE) / 1000000, 6) AS chi2
+    FROM terms GROUP BY 1
+    """,
+)
+def docs_source_lang_drift(spark, sf_dir):
+    """Per-source language-mix drift: each source's language histogram
+    scored by chi-square against the corpus-wide mix — the ingestion
+    monitor that flags a crawl whose composition silently shifted (a
+    source suddenly 80% one language when the corpus is 40%). The
+    per-source reduction of `returns_chi2_independence`'s global test,
+    and the statistical upgrade of `corpus_mixture_weights`' raw
+    shares.
+
+    Same determinism discipline: exact BIGINT cells and margins, each
+    (O−E)²/E one fixed IEEE tree micro-int-scaled before the per-source
+    sum; E in double (margin products overflow BIGINT at corpus scale).
+
+    Scale shape: the corpus collapses to |sources|×|langs| cells in one
+    map-side-partial groupBy; every window below runs on that bounded
+    cell frame."""
+    docs = T(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "source", "o",
+        F.sum("o").over(Window.partitionBy("source")).alias("st"),
+        F.sum("o").over(Window.partitionBy("lang")).alias("lt"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("st").cast("double") * F.col("lt") / F.col("n")
+    t6 = F.round((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast(
+        "long"
+    )
+    return (
+        m.select("source", "st", t6.alias("t6"))
+        .groupBy("source")
+        .agg(
+            F.max("st").alias("n_docs"),
+            F.round(F.sum("t6").cast("double") / 1000000, 6).alias("chi2"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
