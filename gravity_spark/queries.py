@@ -11850,7 +11850,8 @@ def classifier_auc_eval(spark, sf_dir):
     a per-score histogram (pos_s, neg_s) and fold:
         AUC = Σ_s pos_s·(neg_below_s + ½·neg_s) / (n_pos·n_neg)
     kept exact by carrying 2× the numerator in BIGINT; one rounded
-    division at the end. Tie handling is exact (the ½·neg_s term), so
+    division at the end (the numerator is bounded by 2·n_pos·n_neg —
+    past ~3e9 docs it moves to a DECIMAL(38) sum, same shape). Tie handling is exact (the ½·neg_s term), so
     coarse integer scores — here length//50, a stand-in for any
     integer-bucketed model logit — are handled correctly.
 
@@ -11915,9 +11916,11 @@ def score_calibration_bins(spark, sf_dir):
     The predicted probability is scaled to exact micro-units
     (p_micro = min(len,2000)·500, i.e. len/2000 × 1e6) so every bin
     statistic — mean prediction, empirical positive rate, Brier
-    Σ(p−y)² — is an exact BIGINT sum in any partitioning/order; three
-    rounded divisions at the end. (p_micro − y·1e6)² ≤ 1e12, so the
-    per-bin sum stays far from BIGINT overflow at any corpus size.
+    Σ(p−y)² — is an exact integer sum in any partitioning/order; three
+    rounded divisions at the end. (p_micro − y·1e6)² ≤ 1e12 per row, so
+    the Σsq accumulator runs in DECIMAL(38) (HUGEINT in the oracle) —
+    a BIGINT sum would overflow past ~9e6 rows per bin at true corpus
+    scale (the segment_welch_ttest lesson).
 
     Scale shape: a single groupBy over 10 fixed bins with map-side
     partials — shuffle carries ≤ 10×partitions tiny rows. Nothing here
@@ -11947,7 +11950,9 @@ def score_calibration_bins(spark, sf_dir):
             "pos_rate"
         ),
         F.round(
-            F.sum("sq").cast("double") / (F.count(F.lit(1)) * F.lit(1e12)), 6
+            F.sum(F.col("sq").cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e12)),
+            6,
         ).alias("brier"),
     )
 
@@ -12568,7 +12573,7 @@ def returns_chi2_independence(spark, sf_dir):
     mom AS (
       SELECT seg, count(*) AS n,
              CAST(sum(cents) AS BIGINT) AS sx,
-             CAST(sum(cents * cents) AS BIGINT) AS sxx
+             sum(CAST(cents AS HUGEINT) * cents) AS sxx
       FROM v GROUP BY 1
     ),
     wide AS (
@@ -12602,10 +12607,11 @@ def segment_welch_ttest(spark, sf_dir):
     exact reduction is what the scorecard runs.
 
     Determinism: the only shuffled quantities are the three exact
-    BIGINT moments (n, Σx, Σx²) per segment in cents (cents² ≤ ~2.5e15
-    per row — the SUM needs ~6e9 rows × 2.5e15 to overflow, far beyond
-    any SF here; at true 100 TB the moment pair switches to DECIMAL(38)
-    sums, same shape). The t-statistic itself is one fixed double
+    moments (n, Σx, Σx²) per segment in cents. Σx² is summed in
+    DECIMAL(38) (HUGEINT in the oracle): cents² reaches ~2.5e15 per
+    row, so a BIGINT sum overflows around 30k rows — ANSI mode threw at
+    sf0.1 until this switch; DECIMAL(38) holds to ~1e38, good for any
+    SF. The t-statistic itself is one fixed double
     expression over six scalars — IEEE-identical on both engines.
 
     Scale shape: customer-keyed join, then a 2-row aggregate; the
@@ -12629,7 +12635,8 @@ def segment_welch_ttest(spark, sf_dir):
     mom = v.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sx"),
-        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents"))
+        .alias("sxx"),
     )
     wide = mom.agg(
         *[
@@ -13109,6 +13116,277 @@ def docs_source_lang_drift(spark, sf_dir):
             F.max("st").alias("n_docs"),
             F.round(F.sum("t6").cast("double") / 1000000, 6).alias("chi2"),
         )
+    )
+
+
+def _hll_merge_sql() -> str:
+    idx = (
+        "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1))"
+    )
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5(t), {i + 3}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    v = "(" + " + ".join(terms) + ")"
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT DISTINCT source, t FROM (
+        SELECT source, unnest({_TOKS}) AS t FROM documents
+      )
+    ),
+    hashed AS MATERIALIZED (
+      SELECT source, {idx} AS idx,
+             CASE WHEN {v} = 0 THEN 33
+                  ELSE 33 - length(bin({v})) END AS rho
+      FROM toks
+    ),
+    sregs AS (SELECT source, idx, max(rho) AS m FROM hashed
+              GROUP BY source, idx),
+    merged AS (SELECT idx, max(m) AS m FROM sregs GROUP BY idx),
+    direct AS (SELECT idx, max(rho) AS m FROM hashed GROUP BY idx),
+    msum AS (
+      SELECT CAST(sum(CAST(round(2.0 ** (33 - m)) AS BIGINT)) AS BIGINT)
+               + (256 - count(*)) * 8589934592 AS s, count(*) AS occ
+      FROM merged
+    ),
+    dsum AS (
+      SELECT CAST(sum(CAST(round(2.0 ** (33 - m)) AS BIGINT)) AS BIGINT)
+               + (256 - count(*)) * 8589934592 AS s, count(*) AS occ
+      FROM direct
+    ),
+    exact AS (SELECT count(DISTINCT t) AS n_exact FROM toks)
+    SELECT exact.n_exact,
+           round(CAST({_HLL_NUM} AS DOUBLE) / CAST(msum.s AS DOUBLE), 2)
+             AS hll_merged,
+           round(CAST({_HLL_NUM} AS DOUBLE) / CAST(dsum.s AS DOUBLE), 2)
+             AS hll_direct,
+           msum.occ AS occupied,
+           CASE WHEN msum.s = dsum.s THEN 1 ELSE 0 END AS is_lossless
+    FROM exact, msum, dsum
+    """
+
+
+@register("hll_merge_rollup", _hll_merge_sql())
+def hll_merge_rollup(spark, sf_dir):
+    """HLL sketch MERGEABILITY as a graded operator: per-source
+    register sets (the same portable construction as
+    `hll_distinct_portable`) are max-merged into one global sketch,
+    and the merged estimate is compared against a sketch built
+    directly over the global token set. is_lossless MUST be 1 —
+    register-wise max is exactly the sketch of the union, which is
+    the property that lets a 1000-executor rollup combine per-shard
+    sketches without ever re-scanning tokens (and lets a cube store
+    one sketch per cell and answer any slice union). On this synthetic
+    vocab (tens of types) the raw estimate sits in HLL's small-range
+    regime — `occupied` is emitted exactly so consumers can apply the
+    linear-counting correction m·ln(m/empty), which the test verifies
+    recovers the exact count; the graded property is mergeability, not
+    small-n accuracy.
+
+    Scale shape: tokens reduce to ≤ sources×256 register rows in one
+    map-side-combine agg; the merge is a 256-row agg. Everything after
+    the scan is register-sized, and the final comparison is a one-row
+    cross of three scalar frames."""
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select("source", F.explode(tx.tokenize(F.col("text"))).alias("t"))
+        .distinct()
+    )
+    h = F.md5(F.col("t"))
+    hexpos = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(h, i, 1)) - 1  # noqa: E731
+    idx = hexpos(1) * 16 + hexpos(2)
+    v = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(33)).otherwise(33 - F.length(F.bin(v)))
+    hashed = toks.select(
+        "source", "t", idx.alias("idx"), rho.alias("rho")
+    ).persist()
+    try:
+        sregs = hashed.groupBy("source", "idx").agg(F.max("rho").alias("m"))
+        merged = sregs.groupBy("idx").agg(F.max("m").alias("m"))
+        direct = hashed.groupBy("idx").agg(F.max("rho").alias("m"))
+
+        def ssum(regs, occ_name):
+            return regs.agg(
+                (
+                    F.sum(F.pow(F.lit(2), 33 - F.col("m")).cast("long"))
+                    + (256 - F.count(F.lit(1))) * F.lit(8589934592)
+                ).alias("s"),
+                F.count(F.lit(1)).alias(occ_name),
+            )
+
+        msum = ssum(merged, "occupied")
+        dsum = ssum(direct, "occ_d").withColumnRenamed("s", "sd")
+        exact = hashed.select("t").distinct().agg(
+            F.count(F.lit(1)).alias("n_exact")
+        )
+        est = lambda c: F.round(  # noqa: E731
+            F.lit(float(_HLL_NUM)) / F.col(c).cast("double"), 2
+        )
+        out = (
+            exact.crossJoin(F.broadcast(msum))
+            .crossJoin(F.broadcast(dsum))
+            .select(
+                "n_exact",
+                est("s").alias("hll_merged"),
+                est("sd").alias("hll_direct"),
+                "occupied",
+                F.when(F.col("s") == F.col("sd"), 1).otherwise(0)
+                .alias("is_lossless"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        hashed.unpersist()
+
+
+@register(
+    "events_stickiness_dau_mau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    cal AS (SELECT DISTINCT d FROM ud),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    cover AS (
+      SELECT DISTINCT ud.user_id, ud.d + g.i AS d0
+      FROM ud JOIN (SELECT unnest(range(0, 7)) AS i) g ON TRUE
+    ),
+    wau AS (
+      SELECT c.d0 AS d, count(*) AS wau
+      FROM cover c JOIN cal ON cal.d = c.d0
+      GROUP BY 1
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           (2000 * dau.dau + wau.wau) // (2 * wau.wau)
+             AS stickiness_milli
+    FROM dau JOIN wau ON wau.d = dau.d
+    """,
+)
+def events_stickiness_dau_mau(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio product teams
+    track (what fraction of the trailing week's actives came back
+    today). Exact trailing-window distinct counts WITHOUT a sliding
+    distinct window: each (user, day) activity row is replicated to
+    the ≤7 future days whose trailing window it covers, deduplicated,
+    and counted — turning 'distinct over a sliding range' into two
+    hash aggregations (the replicate-to-window trick; replication
+    factor = window length, a constant). Early days keep their
+    truncated windows (stated semantics, identical in both engines).
+    Stickiness is a half-up milli integer division — no doubles.
+
+    Scale shape: user-day dedup is one (user, day) hash agg off the
+    scan; the 7× replication happens AFTER dedup, so the shuffle is
+    7×|user-days|, not 7×|events|. All joins are day-keyed against the
+    day calendar."""
+    ev = T(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).distinct().persist()
+    try:
+        cal = ud.select("d").distinct()
+        dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+        cover = (
+            ud.select(
+                "user_id",
+                F.explode(F.sequence(F.col("d"), F.col("d") + 6)).alias("d0"),
+            )
+            .distinct()
+        )
+        wau = (
+            cover.join(cal.withColumnRenamed("d", "d0"), "d0")
+            .groupBy("d0")
+            .agg(F.count(F.lit(1)).alias("wau"))
+            .withColumnRenamed("d0", "d")
+        )
+        out = dau.join(wau, "d").select(
+            F.col("d").alias("day"), "dau", "wau",
+            F.expr("(2000 * dau + wau) div (2 * wau)")
+            .alias("stickiness_milli"),
+        )
+        return out.localCheckpoint()
+    finally:
+        ud.unpersist()
+
+
+@register(
+    "classifier_decile_lift",
+    """
+    WITH t AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS c,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    tiled AS (
+      SELECT y, 11 - ntile(10) OVER (ORDER BY c, doc_id) AS decile
+      FROM t
+    ),
+    cell AS (
+      SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+      FROM tiled GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS np
+      FROM cell
+    ),
+    cum AS (
+      SELECT decile, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+      FROM cell
+    )
+    SELECT decile, n, n_pos,
+           (2000 * cum_pos + np) // (2 * np) AS capture_milli,
+           (2000 * cum_pos * nn + cum_n * np) // (2 * cum_n * np)
+             AS cum_lift_milli
+    FROM cum, tot
+    """,
+)
+def classifier_decile_lift(spark, sf_dir):
+    """Decile lift table — the campaign-targeting eval that completes
+    the classifier triptych (`classifier_auc_eval` ranks,
+    `score_calibration_bins` calibrates, this answers 'how much of the
+    positive class do the top-k score deciles capture, and at what
+    lift over random'). Decile 1 = highest scores.
+
+    capture = cumulative positives / all positives; lift = capture
+    rate over random expectation (cum_pos/cum_n)/(np/nn) — both exact
+    half-up milli integer divisions (the cross-multiplied form; no
+    doubles cross engines).
+
+    Scale shape: decile assignment reuses `_dist_ntile` (value-bucket →
+    in-bucket rank → ≤64 broadcast offsets) — no partition-less ntile
+    over the corpus; everything downstream runs on the 10-row cell
+    frame."""
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("c"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("y"),
+    )
+    tiled = _dist_ntile(t, "c", "doc_id", "tile", 10).select(
+        "y", (11 - F.col("tile")).alias("decile")
+    )
+    cell = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    tot = cell.agg(
+        F.sum("n").alias("nn"), F.sum("n_pos").alias("np")
+    )
+    w = Window.orderBy("decile")
+    cum = cell.select(
+        "decile", "n", "n_pos",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n_pos").over(w).alias("cum_pos"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "n_pos",
+        F.expr("(2000 * cum_pos + np) div (2 * np)").alias("capture_milli"),
+        F.expr(
+            "(2000 * cum_pos * nn + cum_n * np) div (2 * cum_n * np)"
+        ).alias("cum_lift_milli"),
     )
 
 
