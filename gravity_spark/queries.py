@@ -13390,6 +13390,178 @@ def classifier_decile_lift(spark, sf_dir):
     )
 
 
+@register(
+    "customer_copurchase_jaccard",
+    """
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT pk, count(*) AS d FROM cp GROUP BY pk),
+    kept AS MATERIALIZED (
+      SELECT cp.ck, cp.pk FROM cp JOIN deg USING (pk) WHERE deg.d <= 60
+    ),
+    sz AS (SELECT ck, count(*) AS n FROM kept GROUP BY ck),
+    pairs AS (
+      SELECT a.ck AS c1, b.ck AS c2, count(*) AS shared
+      FROM kept a JOIN kept b ON b.pk = a.pk AND b.ck > a.ck
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT p.c1, p.c2, p.shared,
+           sa.n + sb.n - p.shared AS union_size,
+           (2000 * p.shared + (sa.n + sb.n - p.shared))
+             // (2 * (sa.n + sb.n - p.shared)) AS jaccard_milli
+    FROM pairs p
+    JOIN sz sa ON sa.ck = p.c1
+    JOIN sz sb ON sb.ck = p.c2
+    """,
+)
+def customer_copurchase_jaccard(spark, sf_dir):
+    """Customer-customer similarity by bipartite projection of the
+    customer↔part purchase graph — the user-user half of collaborative
+    filtering (`market_basket_rules` is the item-item half). Pairs are
+    generated per shared PART, so candidate volume is Σ_p deg(p)² —
+    and the classic hub problem (one bestseller part linking every
+    customer to every customer) is cut by the stop-item cap deg ≤ 60
+    BEFORE the self-join, exactly like stopword removal in text dedup
+    (`graph_link_prediction` uses the same Chiba–Nishizeki-style
+    bound). Jaccard is a half-up milli integer division.
+
+    Scale shape: distinct (customer, part) edges → part-keyed
+    self-join bounded by cap² per part → pair hash-agg. The shared ≥ 3
+    floor keeps the output to genuinely similar pairs. At 100 TB the
+    cap is the knob: candidate volume is parts × cap², independent of
+    customer count."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    cp = (
+        li.join(orders, "l_orderkey")
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    deg = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+    kept = cp.join(
+        F.broadcast(deg.filter(F.col("d") <= 60).select("pk")), "pk"
+    ).persist()
+    try:
+        sz = kept.groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
+        a = kept.select(F.col("ck").alias("c1"), "pk")
+        b = kept.select(F.col("ck").alias("c2"), "pk")
+        pairs = (
+            a.join(b, "pk")
+            .filter(F.col("c2") > F.col("c1"))
+            .groupBy("c1", "c2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= 3)
+        )
+        sa = sz.select(F.col("ck").alias("c1"), F.col("n").alias("na"))
+        sb = sz.select(F.col("ck").alias("c2"), F.col("n").alias("nb"))
+        u = F.col("na") + F.col("nb") - F.col("shared")
+        out = (
+            pairs.join(sa, "c1")
+            .join(sb, "c2")
+            .select(
+                "c1", "c2", "shared",
+                u.alias("union_size"),
+                F.expr(
+                    "(2000 * shared + (na + nb - shared))"
+                    " div (2 * (na + nb - shared))"
+                ).alias("jaccard_milli"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        kept.unpersist()
+
+
+@register(
+    "events_error_burst",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, event_id
+      FROM events WHERE event_type = 'error'
+    ),
+    marked AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 3600000000 THEN 1
+                  ELSE 0 END AS new_burst
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    grp AS (
+      SELECT user_id, us,
+             sum(new_burst) OVER (PARTITION BY user_id
+               ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked
+    ),
+    bursts AS (
+      SELECT user_id, g, count(*) AS len,
+             CAST(min(us) // 1000000 AS BIGINT) AS start_s
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS n_episodes,
+           CAST(sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bursts,
+           CAST(max(len) AS BIGINT) AS max_burst,
+           CAST(min(CASE WHEN len >= 3 THEN start_s END) AS BIGINT)
+             AS first_burst_epoch
+    FROM bursts GROUP BY user_id
+    """,
+)
+def events_error_burst(spark, sf_dir):
+    """Error-burst detection: consecutive errors per user chained while
+    gaps stay under 1 hour; an episode of ≥3 errors is a burst — the
+    alerting primitive for rage-click / crash-loop / retry-storm
+    detection, and the thresholded sibling of `sessionization` (same
+    gap-chain trick, applied to an error stream with an episode-size
+    trigger).
+
+    Gap comparisons run on exact BIGINT microseconds; the chain id is
+    a running sum of new-episode markers — both windows partitioned by
+    user (one shuffle); burst stats are two keyed aggregations.
+
+    Scale shape: errors are a filtered fraction of the stream; every
+    window/agg is user-keyed. In streaming form this is
+    session_window + a count trigger — the batch shape here grades the
+    same semantics."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    e = ev.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    marked = e.withColumn(
+        "new_burst",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 3600000000),
+            1,
+        ).otherwise(0),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = marked.withColumn("g", F.sum("new_burst").over(wr))
+    bursts = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.expr("min(us) div 1000000").alias("start_s"),
+    )
+    return bursts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_episodes"),
+        F.sum(F.when(F.col("len") >= 3, 1).otherwise(0)).alias("n_bursts"),
+        F.max("len").alias("max_burst"),
+        F.min(F.when(F.col("len") >= 3, F.col("start_s"))).alias(
+            "first_burst_epoch"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
