@@ -13562,6 +13562,179 @@ def events_error_burst(spark, sf_dir):
     )
 
 
+@register(
+    "parts_price_index",
+    """
+    WITH pm AS (
+      SELECT l.l_partkey AS pk,
+             CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT)
+               AS midx,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS price_cents,
+             CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_c
+      FROM lineitem l GROUP BY 1, 2
+    ),
+    m0 AS (SELECT min(midx) AS base FROM pm),
+    base AS (
+      SELECT pm.pk, pm.price_cents AS p0, pm.qty_c AS q0
+      FROM pm, m0 WHERE pm.midx = m0.base
+    ),
+    matched AS (
+      SELECT pm.midx, pm.pk, pm.price_cents AS pt, b.p0, b.q0
+      FROM pm JOIN base b ON b.pk = pm.pk
+    ),
+    sums AS (
+      SELECT midx, count(*) AS n_parts,
+             sum(CAST(pt AS HUGEINT) * q0) AS num,
+             sum(CAST(p0 AS HUGEINT) * q0) AS den
+      FROM matched GROUP BY 1
+    )
+    SELECT midx AS month_idx, n_parts,
+           CAST((2000 * num + den) // (2 * den) AS BIGINT) AS index_milli
+    FROM sums
+    """,
+)
+def parts_price_index(spark, sf_dir):
+    """Laspeyres price index per month (base = first shipping month,
+    base-month quantities as fixed weights): Σpₜ·q₀ / Σp₀·q₀ over the
+    parts present in the base month — the CPI-style inflation tracker a
+    pricing/finance pipeline derives from the fact table. Per part-month
+    the 'price' is the revenue aggregate (unit prices vary per line;
+    the revenue-weighted aggregate is the stated index basis).
+
+    Determinism: part-month sums are BIGINT cents; the pₜ·q₀ products
+    run in HUGEINT/DECIMAL(38) (cents × centi-quantities reach ~1e13
+    per part and sum across parts — the segment_welch_ttest overflow
+    lesson applied up front); the index is a half-up milli integer
+    division, so no doubles cross engines.
+
+    Scale shape: facts collapse to part×month in one map-side-partial
+    agg; the base join is part-keyed; the index is a month-keyed agg of
+    bounded width. Nothing scans facts twice."""
+    li = T(spark, sf_dir, "lineitem")
+    pm = li.groupBy(
+        F.col("l_partkey").alias("pk"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long").alias("midx"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("price_cents"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+    ).persist()
+    try:
+        base_m = pm.agg(F.min("midx")).collect()[0][0]
+        base = pm.filter(F.col("midx") == base_m).select(
+            "pk",
+            F.col("price_cents").alias("p0"),
+            F.col("qty_c").alias("q0"),
+        )
+        matched = pm.join(base, "pk").select(
+            "midx",
+            (F.col("price_cents").cast("decimal(19,0)") * F.col("q0"))
+            .alias("num_t"),
+            (F.col("p0").cast("decimal(19,0)") * F.col("q0")).alias("den_t"),
+        )
+        sums = matched.groupBy("midx").agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("num_t").alias("num"),
+            F.sum("den_t").alias("den"),
+        )
+        out = sums.select(
+            F.col("midx").alias("month_idx"),
+            "n_parts",
+            F.expr("(2000 * num + den) div (2 * den)")
+            .cast("long").alias("index_milli"),
+        )
+        return out.localCheckpoint()
+    finally:
+        pm.unpersist()
+
+
+@register(
+    "customer_segment_migration",
+    """
+    WITH half AS (
+      SELECT CAST((min(CAST(epoch_us(o_orderdate) AS BIGINT))
+                  + max(CAST(epoch_us(o_orderdate) AS BIGINT))) // 2
+                  AS BIGINT) AS cut
+      FROM orders
+    ),
+    rev AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(epoch_us(o_orderdate) AS BIGINT)
+                       <= (SELECT cut FROM half) THEN 1 ELSE 2 END AS period,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    tiled AS (
+      SELECT o_custkey, period,
+             ntile(3) OVER (PARTITION BY period
+                            ORDER BY cents DESC, o_custkey) AS seg
+      FROM rev
+    ),
+    p1 AS (SELECT o_custkey, seg FROM tiled WHERE period = 1),
+    p2 AS (SELECT o_custkey, seg FROM tiled WHERE period = 2)
+    SELECT coalesce(p1.seg, 0) AS seg_from,
+           coalesce(p2.seg, 0) AS seg_to,
+           count(*) AS n_customers
+    FROM p1 FULL OUTER JOIN p2 ON p2.o_custkey = p1.o_custkey
+    GROUP BY 1, 2
+    """,
+)
+def customer_segment_migration(spark, sf_dir):
+    """Segment-migration matrix: customers tiered into revenue tertiles
+    (1 = top) independently in the first and second half of the time
+    range, then counted by (from, to) transition — the churn/upsell
+    matrix behind 'how many gold customers slipped to bronze'. Segment
+    0 means absent in that period (new or churned customers), so the
+    matrix includes acquisition and churn rows, not just movement.
+
+    Determinism: cut = integer midpoint of the order-date micros range;
+    tertiles order by (cents DESC, custkey) — bit-stable. The FULL
+    OUTER join is PK-keyed (one customer row per period by
+    construction).
+
+    Scale shape: facts collapse to customer×period BEFORE the tertile
+    window (which partitions by period over the aggregate — the
+    revenue_rank_movement discipline; swap in _dist_ntile per period if
+    even the aggregate outgrows a partition); the matrix is ≤16 rows."""
+    orders = T(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias("hi"),
+    ).collect()[0]
+    cut = (bounds["lo"] + bounds["hi"]) // 2
+    rev = orders.groupBy(
+        "o_custkey",
+        F.when(F.unix_micros(F.col("o_orderdate").cast("timestamp")) <= cut, 1)
+        .otherwise(2)
+        .alias("period"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents")
+    )
+    w = Window.partitionBy("period").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    tiled = rev.withColumn("seg", F.ntile(3).over(w))
+    p1 = tiled.filter(F.col("period") == 1).select(
+        "o_custkey", F.col("seg").alias("seg_from")
+    )
+    p2 = tiled.filter(F.col("period") == 2).select(
+        "o_custkey", F.col("seg").alias("seg_to")
+    )
+    return (
+        p1.join(p2, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("seg_from", F.lit(0)).cast("long").alias("seg_from"),
+            F.coalesce("seg_to", F.lit(0)).cast("long").alias("seg_to"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
