@@ -13735,6 +13735,185 @@ def customer_segment_migration(spark, sf_dir):
     )
 
 
+@register("quality_compression_ratio", None)
+def quality_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal: deflate(text) size / text size
+    per document — the classic repetitive-boilerplate detector from the
+    Gopher/MassiveText filtering rules (machine-generated or
+    template-spam text compresses far below natural prose; extremely
+    high ratios flag random/encrypted junk). Rows-only: zlib is not
+    expressible in SQL, so the contract is pinned by pytest (exact
+    ratios on known strings, monotonicity under repetition) instead of
+    a DuckDB oracle — the honest boundary `bpe_tokenize` also sits on.
+
+    Implementation is the vectorized Python escape hatch done right: an
+    Arrow-batched pandas UDF (one zlib call per row inside a columnar
+    batch, no per-row Python round trips), level pinned at 6 so the
+    byte count is reproducible. ratio_milli is a half-up integer
+    division computed JVM-side from the UDF's single BIGINT output.
+
+    Scale shape: embarrassingly parallel map over the corpus — no
+    shuffle at all until the final (tiny) per-source aggregation the
+    consumer adds; the UDF ships one int per doc back to the JVM, never
+    the compressed bytes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def deflate_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        ).astype("int64")
+
+    docs = T(spark, sf_dir, "documents")
+    n = F.length("text").cast("long")
+    out = docs.select(
+        "doc_id", "source",
+        n.alias("n_chars_exact"),
+        deflate_len(F.col("text")).alias("deflate_bytes"),
+    ).withColumn(
+        "ratio_milli",
+        F.expr("(2000 * deflate_bytes + n_chars_exact)"
+               " div (2 * n_chars_exact)"),
+    ).withColumn(
+        "is_repetitive", (F.col("ratio_milli") < 300).cast("int")
+    )
+    return out
+
+
+_RING_P = 2147483647  # portable-hash modulus == ring size
+_N_ARCS = 256
+
+
+@register(
+    "contrastive_negative_sampling",
+    f"""
+    WITH ring AS MATERIALIZED (
+      SELECT doc_id, {_phash_sql('doc_id')} AS rpos FROM documents
+    ),
+    probes AS MATERIALIZED (
+      SELECT d.doc_id AS probe_id, g.i AS neg_k,
+             {_phash_sql('(d.doc_id * 4 + g.i + 1)')} AS pos
+      FROM documents d
+      JOIN (SELECT unnest(range(0, 4)) AS i) g ON TRUE
+      WHERE d.doc_id % 20 = 0
+    ),
+    nxt AS (
+      SELECT p.probe_id, p.neg_k, p.pos,
+             (SELECT min(r.rpos) FROM ring r WHERE r.rpos >= p.pos)
+               AS hit_pos
+      FROM probes p
+    ),
+    wrap AS (SELECT min(rpos) AS first_pos FROM ring)
+    SELECT n.probe_id, n.neg_k, r.doc_id AS neg_id,
+           coalesce(n.hit_pos, wrap.first_pos) AS neg_pos
+    FROM nxt n
+    JOIN wrap ON TRUE
+    JOIN ring r ON r.rpos = coalesce(n.hit_pos, wrap.first_pos)
+    """,
+)
+def contrastive_negative_sampling(spark, sf_dir):
+    """Deterministic random-negative sampling for contrastive training:
+    every 20th document draws k=4 negatives by consistent hashing —
+    probe positions on the portable-hash ring resolve to the next
+    document clockwise (wrapping), so the pairing is reproducible
+    across runs, engines, and repartitionings, and each document's
+    draw probability is proportional to its ring gap (uniform in
+    expectation). This is the random-negative baseline the hard-negative
+    miners (`sim_*`, `dedup_embedding_near`) are judged against.
+
+    The ring lookup is an ASOF join DONE DISTRIBUTED: the ring shards
+    into 256 contiguous arcs (arc = rpos·256 div P — monotone in
+    position, so 'next clockwise' stays arc-local or falls to the next
+    arc's first element); probes hash-join nothing — they union with
+    the ring rows and one arc-partitioned DESCENDING window carries the
+    smallest ring position ≥ each probe (last non-null while walking
+    down: the cdc_scd2_lookup union-sort discipline, one shuffle on the
+    arc, never a global sort). Probes beyond their arc's last doc (and
+    the ring wrap) resolve through the ≤256-row arc-minima table folded
+    driver-side and broadcast (the _dist_ntile offsets pattern). Hash
+    collisions return every doc at the hit position on BOTH engines
+    (the final equi-join on neg_pos), so multiplicities match the
+    oracle's correlated-min semantics exactly.
+
+    Scale shape: |docs| + |probes| rows through one keyed shuffle and
+    one window; the only driver state is the 256 arc minima."""
+    docs = T(spark, sf_dir, "documents")
+    ring = docs.select("doc_id", _phash_col(F.col("doc_id")).alias("rpos"))
+    ring_a = ring.select(
+        "doc_id", "rpos", F.expr(f"rpos * {_N_ARCS} div {_RING_P}").alias("arc")
+    )
+    probes = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("neg_k"),
+        )
+        .withColumn(
+            "pos",
+            _phash_col(F.col("probe_id") * 4 + F.col("neg_k") + 1),
+        )
+        .withColumn("arc", F.expr(f"pos * {_N_ARCS} div {_RING_P}"))
+    )
+    # union-sort: walk each arc from high position to low; the last
+    # ring position seen is the smallest one >= the current probe
+    u = ring_a.select(
+        "arc", F.col("rpos").alias("pos"), F.lit(1).alias("is_ring"),
+        F.col("rpos").alias("ring_pos"),
+        F.lit(None).cast("long").alias("probe_id"),
+        F.lit(None).cast("long").alias("neg_k"),
+    ).unionByName(
+        probes.select(
+            "arc", "pos", F.lit(0).alias("is_ring"),
+            F.lit(None).cast("long").alias("ring_pos"),
+            "probe_id", F.col("neg_k").cast("long").alias("neg_k"),
+        )
+    )
+    w = (
+        Window.partitionBy("arc")
+        .orderBy(F.col("pos").desc(), F.col("is_ring").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = (
+        u.withColumn("hit_pos", F.last("ring_pos", ignorenulls=True).over(w))
+        .filter(F.col("is_ring") == 0)
+        .select("probe_id", "neg_k", "hit_pos")
+    )
+    # arc-minima fold: fallback for probes past their arc's last doc —
+    # the first ring element of the next non-empty arc; wrap = global
+    # first. <=256 rows collected, the _dist_ntile offsets pattern.
+    minima = sorted(
+        (r["arc"], r["m"])
+        for r in ring_a.groupBy("arc").agg(F.min("rpos").alias("m")).collect()
+    )
+    global_first = minima[0][1]
+    fallback_rows = []
+    for a in range(_N_ARCS):
+        nxt = next((m for arc, m in minima if arc > a), global_first)
+        fallback_rows.append((a, nxt))
+    fb = spark.createDataFrame(fallback_rows, "arc long, fb_pos long")
+    probes_fb = probes.join(F.broadcast(fb), "arc").select(
+        "probe_id", "neg_k", "fb_pos"
+    )
+    resolved = (
+        hits.join(probes_fb, ["probe_id", "neg_k"])
+        .select(
+            "probe_id", "neg_k",
+            F.coalesce("hit_pos", "fb_pos").alias("neg_pos"),
+        )
+    )
+    out = resolved.join(
+        ring.withColumnRenamed("rpos", "neg_pos"), "neg_pos"
+    ).select(
+        "probe_id",
+        F.col("neg_k").cast("long").alias("neg_k"),
+        F.col("doc_id").alias("neg_id"),
+        "neg_pos",
+    )
+    return out.localCheckpoint()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
