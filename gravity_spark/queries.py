@@ -13914,6 +13914,169 @@ def contrastive_negative_sampling(spark, sf_dir):
     return out.localCheckpoint()
 
 
+def _langid_confusion_sql() -> str:
+    inner = _langid_sql()
+    return f"""
+    WITH pred AS ({inner}),
+    cell AS (
+      SELECT labeled_lang, detected_lang, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_label FROM cell
+      GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.detected_lang, c.n,
+           (2000 * c.n + m.n_label) // (2 * m.n_label) AS share_milli
+    FROM cell c JOIN marg m ON m.labeled_lang = c.labeled_lang
+    """
+
+
+@register("langid_confusion_matrix", _langid_confusion_sql())
+def langid_confusion_matrix(spark, sf_dir):
+    """Confusion matrix for the n-gram language detector — the eval
+    that closes the loop on `text_langid` (which emits per-doc
+    predictions; this grades them): counts per (labeled, detected)
+    pair plus each cell's share of its labeled row, so per-language
+    recall sits on the diagonal. The same reduction an ingestion
+    pipeline runs on a labeled holdout before trusting langid gates.
+
+    share_milli is a half-up integer division against the row margin —
+    no doubles. Scale shape: per-doc prediction is row-local column
+    logic; the corpus collapses to ≤|langs|² cells in one
+    map-side-partial groupBy; the margin join runs on that cell frame."""
+    docs = T(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "lang", tx.tokenize(F.col("text")).alias("__toks"), "text"
+    )
+    pred = with_toks.select(
+        F.col("lang").alias("labeled_lang"),
+        tx.detect_language(F.col("text"), F.col("__toks"))
+        .alias("detected_lang"),
+    )
+    cell = pred.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = cell.groupBy("labeled_lang").agg(F.sum("n").alias("n_label"))
+    return cell.join(F.broadcast(marg), "labeled_lang").select(
+        "labeled_lang", "detected_lang", "n",
+        F.expr("(2000 * n + n_label) div (2 * n_label)")
+        .alias("share_milli"),
+    )
+
+
+_TRUNC_DIMS = [8, 16, 32, 64]
+
+
+@register(
+    "embedding_truncation_recall",
+    f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id,
+             {', '.join(
+                 'CAST(list_sum(list_transform(list_zip(c.xi[1:%d], p.xi[1:%d]),'
+                 ' s2 -> (s2[1]-s2[2])*(s2[1]-s2[2]))) AS BIGINT) AS d%d'
+                 % (d, d, d) for d in _TRUNC_DIMS)}
+      FROM e p JOIN e c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id % 25 = 0
+    ),
+    top AS (
+      SELECT probe_id,
+             {', '.join(
+                 'min(struct_pack(d := d%d, v := vec_id)) AS t%d' % (d, d)
+                 for d in _TRUNC_DIMS)}
+      FROM pairs GROUP BY probe_id
+    ),
+    m AS (
+      SELECT count(*) AS n_probes,
+             {', '.join(
+                 'CAST(sum(CASE WHEN (t%d).v = (t64).v THEN 1 ELSE 0 END)'
+                 ' AS BIGINT) AS m%d' % (d, d) for d in _TRUNC_DIMS)}
+      FROM top
+    )
+    SELECT u.dims, m.n_probes, u.n_match,
+           (2000 * u.n_match + m.n_probes) // (2 * m.n_probes)
+             AS recall_milli
+    FROM m, (
+      {' UNION ALL '.join(
+          'SELECT CAST(%d AS BIGINT) AS dims, m%d AS n_match FROM m'
+          % (d, d) for d in _TRUNC_DIMS)}
+    ) u
+    """,
+)
+def embedding_truncation_recall(spark, sf_dir):
+    """Matryoshka-style truncation eval: recall@1 of nearest-neighbor
+    search using only the first 8/16/32/64 embedding dimensions,
+    graded against the full-width truth — the measurement that decides
+    how far an MRL-trained (or merely front-loaded) embedding can be
+    truncated for cheap prefiltering before full-width rerank (the
+    sim_pq/sim_ivf cost knob, evaluated instead of assumed).
+
+    Determinism: distances are exact BIGINTs over the scaled vectors;
+    top-1 per probe is min(struct(dist, vec_id)) — dist then vec_id,
+    bit-stable on both engines; recall is a half-up milli division.
+
+    Scale shape: probes are a fixed hash-stride sample (every 25th
+    id); candidate volume is |probes|×|corpus| with all four truncated
+    distances computed in ONE pass over the pair stream (the slices
+    reuse the same array), then one probe-keyed aggregation. At 100 TB
+    the probe sample stays constant-size and the corpus side streams —
+    same discipline as sim_bruteforce_topk's graded baseline."""
+    emb = T(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", sim.scale_embedding(F.col("embedding")).alias("xi")
+    )
+    probes = e.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("xi").alias("pxi")
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    for d in _TRUNC_DIMS:
+        pairs = pairs.withColumn(
+            f"d{d}",
+            sim._sq_dist(
+                F.slice(F.col("xi"), 1, d), F.slice(F.col("pxi"), 1, d)
+            ),
+        )
+    top = pairs.groupBy("probe_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{d}").alias("d"), F.col("vec_id").alias("v")))
+            .alias(f"t{d}")
+            for d in _TRUNC_DIMS
+        ]
+    )
+    m = top.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        *[
+            F.sum(
+                F.when(F.col(f"t{d}.v") == F.col("t64.v"), 1).otherwise(0)
+            ).alias(f"m{d}")
+            for d in _TRUNC_DIMS
+        ],
+    )
+    rows = []
+    for d in _TRUNC_DIMS:
+        rows.append(
+            m.select(
+                F.lit(d).cast("long").alias("dims"),
+                F.col("n_probes"),
+                F.col(f"m{d}").alias("n_match"),
+                F.expr(f"(2000 * m{d} + n_probes) div (2 * n_probes)")
+                .alias("recall_milli"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
