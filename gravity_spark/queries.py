@@ -14077,6 +14077,178 @@ def embedding_truncation_recall(spark, sf_dir):
     return out
 
 
+@register(
+    "orders_keyspace_gaps",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_orderkey AS k,
+             CAST(o_orderkey AS BIGINT) // 4096 AS shard
+      FROM orders
+      WHERE (2654435761 * (o_orderkey % 2147483647)) % 2147483647
+            % 97 <> 0
+    ),
+    nk AS (
+      SELECT k, shard,
+             lead(k) OVER (PARTITION BY shard ORDER BY k) AS nxt
+      FROM k
+    ),
+    intra AS (
+      SELECT k + 1 AS gap_start, nxt - 1 AS gap_end
+      FROM nk WHERE nxt IS NOT NULL AND nxt > k + 1
+    ),
+    ends AS (
+      SELECT shard, min(k) AS lo, max(k) AS hi FROM k GROUP BY shard
+    ),
+    inter AS (
+      SELECT e.hi + 1 AS gap_start,
+             lead(e.lo) OVER (ORDER BY e.shard) - 1 AS gap_end
+      FROM ends e
+    ),
+    gaps AS (
+      SELECT * FROM intra
+      UNION ALL
+      SELECT gap_start, gap_end FROM inter
+      WHERE gap_end IS NOT NULL AND gap_end >= gap_start
+    )
+    SELECT gap_start, gap_end, gap_end - gap_start + 1 AS missing
+    FROM gaps
+    """,
+)
+def orders_keyspace_gaps(spark, sf_dir):
+    """Keyspace-gap audit: list every missing run in the order-key
+    sequence — the row-level completeness report behind the
+    reference's dcp checker / padder pairing (dcp counts per range,
+    `cdc_padder_backfill` refills; this names the exact [start, end]
+    runs a backfill must fetch, which is what you hand a chunked
+    re-scan).
+
+    The scan is SHARDED: keys land in 4096-wide shards, intra-shard
+    gaps come from a shard-partitioned lead window, and the ≤|keys|/4096
+    shard boundary rows close the inter-shard seams with one tiny
+    ordered window — never a single global-order window over the key
+    column (the orders_open_backlog hierarchical discipline).
+
+    The synthetic keyspace is dense (0..N−1, zero real gaps at every
+    SF), so the audit SIMULATES loss deterministically on both engines
+    — keys with portable-hash % 97 == 0 are dropped before the scan —
+    and must name exactly those runs; `missing` sums to the simulated
+    loss count (tested). On real data the filter disappears and the
+    same plan audits the actual keyspace."""
+    orders = T(spark, sf_dir, "orders")
+    k = (
+        orders.filter(_phash_col(F.col("o_orderkey")) % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.expr("CAST(o_orderkey AS BIGINT) div 4096").alias("shard"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("shard").orderBy("k")
+    nk = k.withColumn("nxt", F.lead("k").over(w))
+    intra = nk.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("k") + 1)
+    ).select(
+        (F.col("k") + 1).alias("gap_start"), (F.col("nxt") - 1).alias("gap_end")
+    )
+    ends = k.groupBy("shard").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+    we = Window.orderBy("shard")
+    inter = (
+        ends.withColumn("nlo", F.lead("lo").over(we))
+        .filter(F.col("nlo").isNotNull() & (F.col("nlo") > F.col("hi") + 1))
+        .select(
+            (F.col("hi") + 1).alias("gap_start"),
+            (F.col("nlo") - 1).alias("gap_end"),
+        )
+    )
+    gaps = intra.unionByName(inter)
+    return gaps.select(
+        "gap_start", "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),
+    )
+
+
+@register(
+    "orders_duplicate_payment_audit",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+      FROM orders
+    ),
+    o AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, cents, d + 1
+      FROM base
+      WHERE (2654435761 * (o_orderkey % 2147483647)) % 2147483647
+            % 211 = 0
+    ),
+    pairs AS (
+      SELECT a.o_custkey, a.cents,
+             a.o_orderkey AS k1, b.o_orderkey AS k2,
+             abs(b.d - a.d) AS day_gap
+      FROM o a JOIN o b
+        ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+       AND b.o_orderkey > a.o_orderkey
+       AND b.d BETWEEN a.d - 2 AND a.d + 2
+    )
+    SELECT o_custkey, cents, k1, k2, day_gap FROM pairs
+    """,
+)
+def orders_duplicate_payment_audit(spark, sf_dir):
+    """Duplicate-payment detection: pairs of orders by the same
+    customer for the same exact amount within ±2 days — the financial
+    double-charge audit (and the CDC-world symptom of a replayed
+    insert that slipped past idempotency, the failure
+    `cdc_dead_letter_quarantine` and the merge sink's (key, seq)
+    dedup exist to prevent). The synthetic amounts are continuous
+    doubles (zero organic exact-amount collisions at any SF), so the
+    audit REPLAYS a deterministic subset on both engines — rows with
+    portable-hash % 211 == 0 re-enter one day later under a shifted
+    key — and must surface exactly those pairs; on real data the
+    injection disappears and the same plan runs the audit.
+
+    The pair join is an equi-join on (customer, exact cents) with the
+    day band as a residual predicate — candidates are confined to
+    same-customer-same-amount groups (tiny by nature; an amount that
+    repeats across a customer's history is exactly the suspicious
+    case), never a time-banded self-join of the whole fact table.
+    Amounts are exact BIGINT cents; days are epoch//86400.
+
+    Scale shape: one shuffle on the composite key; group sizes bound
+    the quadratic work, and a pathological group (auto-pay same amount
+    daily) is the signal itself, surfaced not hidden."""
+    orders = T(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d"),
+    )
+    dups = base.filter(_phash_col(F.col("o_orderkey")) % 211 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey", "cents", (F.col("d") + 1).alias("d"),
+    )
+    o = base.unionByName(dups)
+    a = o.select(
+        "o_custkey", "cents",
+        F.col("o_orderkey").alias("k1"), F.col("d").alias("d1"),
+    )
+    b = o.select(
+        "o_custkey", "cents",
+        F.col("o_orderkey").alias("k2"), F.col("d").alias("d2"),
+    )
+    pairs = a.join(b, ["o_custkey", "cents"]).filter(
+        (F.col("k2") > F.col("k1"))
+        & (F.col("d2") >= F.col("d1") - 2)
+        & (F.col("d2") <= F.col("d1") + 2)
+    )
+    return pairs.select(
+        "o_custkey", "cents", "k1", "k2",
+        F.abs(F.col("d2") - F.col("d1")).alias("day_gap"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
