@@ -14249,6 +14249,103 @@ def orders_duplicate_payment_audit(spark, sf_dir):
     )
 
 
+def _quality_gate_sql() -> str:
+    stop = "['the','a','an','and','or','of','to','in','is','it']"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_TOKS} AS toks,
+             CAST(length(text) AS BIGINT) AS n,
+             CAST(length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+                  AS BIGINT) AS clean
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS tok,
+             CAST(len(list_filter(toks,
+                  t -> list_contains({stop}, t))) AS BIGINT) AS stop_cnt,
+             CAST(length(array_to_string(toks, '')) AS BIGINT) AS charsum,
+             n, clean
+      FROM base
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN tok >= 5 THEN 0 ELSE 1 END AS r_len,
+             CASE WHEN stop_cnt * 1000 >= 10 * tok THEN 0 ELSE 2 END
+               AS r_stop,
+             CASE WHEN (n - clean) * 1000 <= 300 * n THEN 0 ELSE 4 END
+               AS r_punct,
+             CASE WHEN 2 * tok <= charsum AND charsum <= 12 * tok
+                  THEN 0 ELSE 8 END AS r_wordlen
+      FROM feat
+    )
+    SELECT doc_id,
+           r_len + r_stop + r_punct + r_wordlen AS reject_mask,
+           CASE WHEN r_len + r_stop + r_punct + r_wordlen = 0
+                THEN 1 ELSE 0 END AS passed
+    FROM flags
+    """
+
+
+@register("corpus_quality_gate", _quality_gate_sql())
+def corpus_quality_gate(spark, sf_dir):
+    """Composite quality gate: the C4/Gopher-style document filter
+    pipeline as ONE operator emitting a reject bitmask per document —
+    min token count (bit 1), stopword density ≥1% (bit 2), punctuation
+    ratio ≤30% (bit 4), mean word length in [2, 12] chars (bit 8);
+    passed = mask 0. Reason codes, not a bare boolean, because corpus
+    builders tune gates from the rejection histogram (which rule fires,
+    together or alone), and because re-running one relaxed rule means
+    masking a bit, not re-scoring the corpus.
+
+    Every rule is an exact integer cross-multiplication over token
+    counts / char counts shared in one projection (the token array is
+    materialized once and feeds all rules) — no doubles, no per-rule
+    re-tokenization.
+
+    Scale shape: entirely row-local column logic over one scan; zero
+    shuffles. The rejection histogram downstream is one 16-cell
+    groupBy. The quality family splits measurement
+    (`text_stats`/`quality_repetition`/`quality_compression_ratio`)
+    from gating (this); the gate composes their thresholds."""
+    docs = T(spark, sf_dir, "documents")
+    toks = tx.tokenize(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length("text").cast("long").alias("n"),
+        F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
+        .cast("long").alias("clean"),
+    )
+    feat = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("tok"),
+        F.size(F.filter("toks", lambda t: t.isin(*tx.STOPWORDS)))
+        .cast("long").alias("stop_cnt"),
+        F.length(F.array_join("toks", "")).cast("long").alias("charsum"),
+        "n", "clean",
+    )
+    r_len = F.when(F.col("tok") >= 5, 0).otherwise(1)
+    r_stop = F.when(F.col("stop_cnt") * 1000 >= 10 * F.col("tok"), 0).otherwise(2)
+    r_punct = F.when(
+        (F.col("n") - F.col("clean")) * 1000 <= 300 * F.col("n"), 0
+    ).otherwise(4)
+    r_wordlen = F.when(
+        (2 * F.col("tok") <= F.col("charsum"))
+        & (F.col("charsum") <= 12 * F.col("tok")),
+        0,
+    ).otherwise(8)
+    mask = (r_len + r_stop + r_punct + r_wordlen).alias("reject_mask")
+    out = feat.select("doc_id", mask)
+    return out.select(
+        "doc_id",
+        F.col("reject_mask").cast("long").alias("reject_mask"),
+        F.when(F.col("reject_mask") == 0, 1).otherwise(0)
+        .cast("long").alias("passed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
