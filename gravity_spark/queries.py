@@ -14036,12 +14036,19 @@ def embedding_truncation_recall(spark, sf_dir):
     )
     pairs = e.crossJoin(F.broadcast(probes)).filter(
         F.col("vec_id") != F.col("probe_id")
+    ).withColumn(
+        # ONE elementwise squared-diff pass shared by all four widths —
+        # per-width distances are then prefix folds over slices of it
+        # (4x fewer HOF element ops than four zip_with passes)
+        "sq", F.zip_with("xi", "pxi", lambda x, y: (x - y) * (x - y))
     )
     for d in _TRUNC_DIMS:
         pairs = pairs.withColumn(
             f"d{d}",
-            sim._sq_dist(
-                F.slice(F.col("xi"), 1, d), F.slice(F.col("pxi"), 1, d)
+            F.aggregate(
+                F.slice(F.col("sq"), 1, d),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
             ),
         )
     top = pairs.groupBy("probe_id").agg(
