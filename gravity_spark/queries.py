@@ -14353,6 +14353,103 @@ def corpus_quality_gate(spark, sf_dir):
     )
 
 
+_RL_COST = 2 * 3600 * 1000000  # 1 admit costs a 2-hour refill budget
+_RL_CAP = 2 * _RL_COST  # bucket holds 2 admits
+
+
+@register(
+    "streaming_rate_limit_stateful",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    rec AS (
+      SELECT user_id, event_id, us, rn,
+             CASE WHEN {_RL_CAP} >= {_RL_COST} THEN 1 ELSE 0 END
+               AS admitted,
+             {_RL_CAP} - CASE WHEN {_RL_CAP} >= {_RL_COST}
+                              THEN {_RL_COST} ELSE 0 END AS tokens
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.us, e.rn,
+             CASE WHEN least({_RL_CAP}, r.tokens + (e.us - r.us))
+                       >= {_RL_COST} THEN 1 ELSE 0 END,
+             least({_RL_CAP}, r.tokens + (e.us - r.us))
+               - CASE WHEN least({_RL_CAP}, r.tokens + (e.us - r.us))
+                           >= {_RL_COST} THEN {_RL_COST} ELSE 0 END
+      FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, admitted FROM rec
+    """,
+)
+def streaming_rate_limit_stateful(spark, sf_dir):
+    """Token-bucket rate limiting as a REAL two-epoch stateful stream:
+    per user a bucket of 2 admits refilling one admit per 2 hours
+    (integer micro-tokens, 1 µtok = 1 µs), every event emitted with its
+    admit/reject decision. This is the TWO-SIDED clamp recurrence
+    (cap above, zero below) — unlike `inventory_running_floor`'s
+    one-sided floor it has NO window closed form (the reflection trick
+    needs one free boundary), so it genuinely requires sequential
+    per-key state: the arbitrary-stateful-operator slot
+    (applyInPandasWithState; the reference fills it with gRPC sidecar
+    plugins, SURVEY §2.2).
+
+    The stream arrives as two event_id-split micro-batches (event_id is
+    time-monotone in this feed, so per-user order survives the split);
+    state (tokens, last_ts) persists across the epoch boundary, and the
+    decisions must equal the oracle's recursive-CTE sequential replay —
+    cross-batch state continuity graded at event granularity, not
+    counters.
+
+    Scale shape: state is two BIGINTs per user; per batch each user's
+    rows sort locally inside the Arrow group. The recursion lives in
+    the ORACLE only — the engine does one pass."""
+    import glob
+    import shutil
+    import uuid
+
+    from gravity_spark.streaming.windows import rate_limit_stateful
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+
+    tmp = _scratch_dir("ratelimit_")
+    stream_dir = f"{tmp}/stream"
+    os.makedirs(stream_dir)
+    for idx, pred in enumerate(
+        [F.col("event_id") <= mid, F.col("event_id") > mid]
+    ):
+        part = f"{tmp}/w{idx}"
+        ev.filter(pred).coalesce(1).write.mode("overwrite").json(part)
+        src = glob.glob(f"{part}/part-*.json")[0]
+        dst = f"{stream_dir}/{idx:03d}.json"
+        shutil.move(src, dst)
+        os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(stream_dir)
+    )
+    out = rate_limit_stateful(stream, _RL_CAP, _RL_COST)
+    name = f"rls_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 300)
+    return spark.table(name).select("user_id", "event_id", "admitted")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 

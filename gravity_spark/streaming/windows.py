@@ -196,3 +196,77 @@ def minhash_bucket_gate(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return banded.groupBy("band", "bh").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def rate_limit_stateful(
+    events: DataFrame,
+    cap_utok: int,
+    cost_utok: int,
+) -> DataFrame:
+    """Per-user token-bucket rate limiter as a custom stateful
+    operator: one state cell per user carrying (tokens, last_ts_us) in
+    integer micro-tokens where 1 µtok == 1 µs of refill — the bucket
+    refills by exactly the elapsed microseconds, so every decision is
+    pure BIGINT arithmetic (no float drift between the stream and the
+    batch-replay oracle). An event is admitted iff
+    min(cap, tokens + elapsed_us) >= cost; admitted events spend
+    `cost_utok`. Buckets start full.
+
+    This is the streaming twin of the batch `inventory_running_floor`
+    ledger — the same clamp recurrence, but TWO-sided (cap above, zero
+    below), which has no window closed form and therefore genuinely
+    needs sequential per-key state: exactly the arbitrary-stateful slot
+    applyInPandasWithState fills (the reference's gRPC-sidecar plugin
+    surface, SURVEY §2.2).
+
+    Emits one row per EVENT (user_id, event_id, admitted) — decision
+    provenance, not just counters. Input must carry
+    (user_id, event_id, ts_us); batches are processed in
+    (ts_us, event_id) order within each user, and state persists across
+    micro-batches, so any epoch split of a time-ordered feed converges
+    to the same decisions (graded against a recursive-CTE replay)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("admitted", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("tokens", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        tokens, last_us = state.get if state.exists else (cap_utok, None)
+        uids, eids, flags = [], [], []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid, us in zip(pdf["event_id"], pdf["ts_us"]):
+                us = int(us)
+                if last_us is not None:
+                    tokens = min(cap_utok, tokens + (us - last_us))
+                if tokens >= cost_utok:
+                    admitted = 1
+                    tokens -= cost_utok
+                else:
+                    admitted = 0
+                last_us = us
+                uids.append(int(key[0]))
+                eids.append(int(eid))
+                flags.append(admitted)
+        state.update((tokens, last_us))
+        yield pd.DataFrame(
+            {"user_id": uids, "event_id": eids, "admitted": flags}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
