@@ -14450,6 +14450,125 @@ def streaming_rate_limit_stateful(spark, sf_dir):
     return spark.table(name).select("user_id", "event_id", "admitted")
 
 
+@register(
+    "events_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT event_type AS e1, e2, e3, count(*) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM tri)
+    SELECT e1, e2, e3, n,
+           (2000000 * n + nn) // (2 * nn) AS share_micro
+    FROM tri, tot
+    WHERE n * 200 >= nn
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """Behavioral trigram mining: the most common three-step event
+    sequences per user journey (≥0.5% of all trigrams) — one order up
+    from `events_markov_transitions`' bigram matrix, which is where
+    funnels that first-order Markov chains can't see (view→click→error
+    vs view→click→purchase) become visible.
+
+    Sequences are built with two stacked leads over the per-user
+    (ts, event_id) order — one user-keyed shuffle; the trigram space is
+    bounded by |event_types|³ (125 here), so everything after the lead
+    projection is cell-frame math. share_micro is a half-up integer
+    division."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    tot = tri.agg(F.sum("n").alias("nn"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 200 >= F.col("nn"))
+        .select(
+            "e1", "e2", "e3", "n",
+            F.expr("(2000000 * n + nn) div (2 * nn)").alias("share_micro"),
+        )
+    )
+
+
+@register(
+    "orders_priority_drift_by_month",
+    """
+    WITH cells AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx,
+             o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT midx, prio, o,
+             CAST(sum(o) OVER (PARTITION BY midx) AS BIGINT) AS mt,
+             CAST(sum(o) OVER (PARTITION BY prio) AS BIGINT) AS pt,
+             CAST(sum(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    terms AS (
+      SELECT midx, mt,
+             CAST(round(
+               (o - CAST(mt AS DOUBLE) * pt / n)
+               * (o - CAST(mt AS DOUBLE) * pt / n)
+               / (CAST(mt AS DOUBLE) * pt / n) * 1000000) AS BIGINT) AS t6
+      FROM m
+    )
+    SELECT midx AS month_idx, max(mt) AS n_orders,
+           round(CAST(sum(t6) AS DOUBLE) / 1000000, 6) AS chi2
+    FROM terms GROUP BY 1
+    """,
+)
+def orders_priority_drift_by_month(spark, sf_dir):
+    """Per-month priority-mix drift: each month's order-priority
+    histogram chi-squared against the all-time mix — the time-axis twin
+    of `docs_source_lang_drift` (that one watches ingestion sources;
+    this watches a business distribution drift over time, the canonical
+    'did the mix shift or did volume just grow?' monitoring question).
+
+    Same discipline: exact BIGINT cells/margins on the bounded
+    month×priority frame, each (O−E)²/E one IEEE tree micro-int-scaled
+    before the per-month sum, E in double (margin products overflow
+    BIGINT at fact scale). One map-side-partial groupBy collapses the
+    facts; every window below runs on ≤ months×priorities rows."""
+    orders = T(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("midx"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    m = cells.select(
+        "midx", "o",
+        F.sum("o").over(Window.partitionBy("midx")).alias("mt"),
+        F.sum("o").over(Window.partitionBy("prio")).alias("pt"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("mt").cast("double") * F.col("pt") / F.col("n")
+    t6 = F.round((F.col("o") - e) * (F.col("o") - e) / e * 1000000).cast(
+        "long"
+    )
+    return (
+        m.select("midx", "mt", t6.alias("t6"))
+        .groupBy(F.col("midx").alias("month_idx"))
+        .agg(
+            F.max("mt").alias("n_orders"),
+            F.round(F.sum("t6").cast("double") / 1000000, 6).alias("chi2"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
