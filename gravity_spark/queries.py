@@ -14660,6 +14660,234 @@ def cdc_replayed_epoch_idempotent(spark, sf_dir):
     )
 
 
+@register(
+    "graph_components_incremental",
+    """
+    WITH RECURSIVE cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT pk, count(*) AS d FROM cp GROUP BY pk),
+    kept AS MATERIALIZED (
+      SELECT cp.ck, cp.pk FROM cp JOIN deg USING (pk) WHERE deg.d <= 60
+    ),
+    bmin AS (SELECT pk, min(ck) AS bm FROM kept GROUP BY pk),
+    dmin AS (
+      SELECT k.ck, min(b.bm) AS dm
+      FROM kept k JOIN bmin b USING (pk) GROUP BY k.ck
+    ),
+    cedges AS (
+      SELECT DISTINCT d.dm AS s, b.bm AS d2
+      FROM kept k JOIN dmin d USING (ck) JOIN bmin b USING (pk)
+      WHERE d.dm <> b.bm
+    ),
+    csym AS (SELECT s, d2 FROM cedges UNION ALL SELECT d2, s FROM cedges),
+    reach(origin, node) AS (
+      SELECT dm, dm FROM (SELECT DISTINCT dm FROM dmin)
+      UNION
+      SELECT r.origin, e.d2 FROM reach r JOIN csym e ON e.s = r.node
+    ),
+    ccomp AS (
+      SELECT origin AS dm, min(node) AS component FROM reach GROUP BY origin
+    )
+    SELECT d.ck AS custkey, c.component
+    FROM dmin d JOIN ccomp c USING (dm)
+    """,
+)
+def graph_components_incremental(spark, sf_dir):
+    """INCREMENTAL connected components: base components are built from
+    half the edge set (even parts of the capped customer↔part graph),
+    then the odd-part edges arrive as a delta and are merged WITHOUT
+    recomputing from scratch — the delta runs label-level components
+    over the (base_label, new_part) bipartite graph, whose vertex set
+    is components touched by the delta, not customers. This is the IVM
+    shape for graph clustering: a CDC feed of new co-purchase edges
+    updates the cluster table by merging component LABELS (two-level
+    union), the same contraction argument the oracle's recursive
+    closure uses statically. Final labels must equal the one-shot
+    components over the FULL edge set — the convergence grading.
+
+    Scale shape: the base pass is the standard bipartite min-label
+    propagation (O(edges) shuffle per round); the incremental pass
+    shuffles only delta edges + one row per touched label, then one
+    broadcast-joinable relabel map back onto the customer table. At
+    100 TB a daily edge delta touches a vanishing fraction of labels —
+    that asymmetry is the point of maintaining instead of rebuilding."""
+    from gravity_spark.functions.dedup import connected_components_bipartite
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    cp = (
+        li.join(orders, "l_orderkey")
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    deg = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+    kept = cp.join(
+        F.broadcast(deg.filter(F.col("d") <= 60).select("pk")), "pk"
+    ).persist()
+    try:
+        verts = kept.select("ck").distinct()
+        base = kept.filter(F.col("pk") % 2 == 0).select(
+            F.col("ck").alias("doc_id"),
+            F.col("pk").cast("string").alias("bucket"),
+        )
+        singleton = verts.select(
+            F.col("ck").alias("doc_id"),
+            F.lit(None).cast("string").alias("bucket"),
+        )
+        l1 = connected_components_bipartite(
+            base.unionByName(singleton)
+        ).select(F.col("doc_id").alias("ck"), F.col("component").alias("lab"))
+
+        delta = kept.filter(F.col("pk") % 2 == 1)
+        dmemb = (
+            delta.join(l1, "ck")
+            .select(
+                F.col("lab").alias("doc_id"),
+                F.col("pk").cast("string").alias("bucket"),
+            )
+            .distinct()
+        )
+        relabel = connected_components_bipartite(dmemb).select(
+            F.col("doc_id").alias("lab"), F.col("component").alias("newlab")
+        )
+        out = (
+            l1.join(F.broadcast(relabel), "lab", "left")
+            .select(
+                F.col("ck").alias("custkey"),
+                F.coalesce("newlab", "lab").alias("component"),
+            )
+        )
+        return out.localCheckpoint()
+    finally:
+        kept.unpersist()
+
+
+@register(
+    "attribution_position_based",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS grp
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, coalesce(grp, 0) AS grp, event_id AS tid,
+             row_number() OVER (PARTITION BY user_id, coalesce(grp, 0)
+                                ORDER BY ts, event_id) AS pos,
+             count(*) OVER (PARTITION BY user_id, coalesce(grp, 0)) AS n
+      FROM seq WHERE event_type IN ('click', 'view')
+    ),
+    purchases AS (
+      SELECT user_id, coalesce(grp, 0) AS grp, event_id AS pid, cents
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    wtd AS (
+      SELECT p.pid, p.cents, t.tid, t.pos, t.n,
+             CASE WHEN t.n <= 2 THEN 1
+                  WHEN t.pos = 1 OR t.pos = t.n THEN 2 * (t.n - 2)
+                  ELSE 1 END AS w,
+             CASE WHEN t.n <= 2 THEN t.n ELSE 5 * (t.n - 2) END AS tw
+      FROM purchases p JOIN touches t
+        ON t.user_id = p.user_id AND t.grp = p.grp
+    ),
+    parts AS (
+      SELECT pid, tid, cents,
+             cents * w // tw AS floor_cents,
+             cents * w % tw AS rem,
+             cents - CAST(sum(cents * w // tw)
+               OVER (PARTITION BY pid) AS BIGINT) AS residual
+      FROM wtd
+    )
+    SELECT pid AS purchase_id, tid AS touch_id,
+           CAST(floor_cents
+                + CASE WHEN row_number() OVER (PARTITION BY pid
+                         ORDER BY rem DESC, tid) <= residual
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc_cents
+    FROM parts
+    """,
+)
+def attribution_position_based(spark, sf_dir):
+    """Position-based (U-shaped) attribution with penny-exact credit:
+    each purchase's cents split over the click/view touches since the
+    user's previous purchase — first and last touch 40% each, middles
+    sharing 20% — completing the attribution family
+    (`attribution_touchpoints` = first/last-only models). The 40/20/40
+    split is encoded as INTEGER weights (first=last=2(n−2), middle=1,
+    total 5(n−2); n≤2 degenerates to equal split), so the allocation is
+    the same largest-remainder (Hamilton) machinery as
+    `order_proration_residual`: per purchase the credited cents sum to
+    the purchase amount EXACTLY.
+
+    Touch grouping is the touchpoints query's discipline: a running
+    purchase count BEFORE each row assigns every touch to its next
+    purchase — two window passes on (user) then (user, group) keys, no
+    events×events self-join. Purchases with no touches simply yield no
+    credit rows (unattributable, surfaced by absence)."""
+    ev = T(spark, sf_dir, "events")
+    wu = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id", "event_id", "event_type", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.coalesce(
+            F.count(
+                F.when(F.col("event_type") == "purchase", 1)
+            ).over(wu),
+            F.lit(0),
+        ).alias("grp"),
+    )
+    wg = Window.partitionBy("user_id", "grp").orderBy("ts", "event_id")
+    touches = seq.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "grp",
+        F.col("event_id").alias("tid"),
+        F.row_number().over(wg).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id", "grp")).alias("n"),
+    )
+    purchases = seq.filter(F.col("event_type") == "purchase").select(
+        "user_id", "grp", F.col("event_id").alias("pid"), "cents"
+    )
+    w_expr = (
+        F.when(F.col("n") <= 2, 1)
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), 2 * (F.col("n") - 2))
+        .otherwise(1)
+    )
+    tw_expr = F.when(F.col("n") <= 2, F.col("n")).otherwise(5 * (F.col("n") - 2))
+    wtd = purchases.join(touches, ["user_id", "grp"]).select(
+        "pid", "cents", "tid",
+        w_expr.alias("w"), tw_expr.alias("tw"),
+    )
+    wp = Window.partitionBy("pid")
+    parts = wtd.select(
+        "pid", "tid",
+        F.expr("cents * w div tw").alias("floor_cents"),
+        (F.col("cents") * F.col("w") % F.col("tw")).alias("rem"),
+        "cents",
+    ).withColumn(
+        "residual", F.col("cents") - F.sum("floor_cents").over(wp)
+    )
+    wr = Window.partitionBy("pid").orderBy(F.col("rem").desc(), "tid")
+    return parts.select(
+        F.col("pid").alias("purchase_id"),
+        F.col("tid").alias("touch_id"),
+        (
+            F.col("floor_cents")
+            + F.when(F.row_number().over(wr) <= F.col("residual"), 1)
+            .otherwise(0)
+        ).cast("long").alias("alloc_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
