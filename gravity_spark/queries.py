@@ -14888,6 +14888,232 @@ def attribution_position_based(spark, sf_dir):
     )
 
 
+@register(
+    "quantile_normalize_apply",
+    """
+    WITH t AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS c, doc_id FROM documents
+    ),
+    src AS (
+      SELECT source, c, doc_id,
+             ntile(10) OVER (PARTITION BY source ORDER BY c, doc_id)
+               AS tile
+      FROM t
+    ),
+    gq AS (
+      SELECT c, ntile(10) OVER (ORDER BY c, doc_id) AS tile FROM t
+    ),
+    gm AS (SELECT tile, max(c) AS glob_hi FROM gq GROUP BY 1)
+    SELECT s.doc_id, s.source, s.c AS raw_score, s.tile,
+           gm.glob_hi AS norm_score
+    FROM src s JOIN gm ON gm.tile = s.tile
+    """,
+)
+def quantile_normalize_apply(spark, sf_dir):
+    """The APPLY half of quantile normalization: every document's raw
+    score replaced by the global decile edge its source-relative decile
+    maps to — after this, a given normalized value means the same
+    population position regardless of which source's scorer produced
+    it (`quantile_normalize_map` builds the lookup; this runs it over
+    the corpus, the op a mixing pipeline actually executes per row).
+
+    Scale shape: identical machinery to the map — source-partitioned
+    ntile window + `_dist_ntile` global deciles — plus ONE broadcast
+    join of the 10-row edge table onto the corpus. Row-local from
+    there; output is corpus-sized by design (it IS the normalized
+    corpus)."""
+    docs = T(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.col("n_chars").cast("long").alias("c"), "doc_id"
+    )
+    wsrc = Window.partitionBy("source").orderBy("c", "doc_id")
+    src = t.withColumn("tile", F.ntile(10).over(wsrc))
+    gm = (
+        _dist_ntile(t, "c", "doc_id", "tile", 10)
+        .groupBy("tile")
+        .agg(F.max("c").alias("norm_score"))
+    )
+    return src.join(F.broadcast(gm), "tile").select(
+        "doc_id", "source", F.col("c").alias("raw_score"),
+        F.col("tile").cast("long").alias("tile"), "norm_score",
+    )
+
+
+@register(
+    "shipping_cycle_percentiles",
+    """
+    WITH t AS (
+      SELECT l.l_returnflag AS flag,
+             CAST(floor(epoch(l.l_shipdate)) AS BIGINT) // 86400
+               - CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+               AS c
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    g AS (SELECT flag, c, count(*) AS w FROM t GROUP BY 1, 2),
+    cw AS (
+      SELECT flag, c,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY c) AS BIGINT)
+               AS cum,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tot
+      FROM g
+    )
+    SELECT flag AS l_returnflag, max(tot) AS n,
+           min(CASE WHEN 2 * cum >= tot THEN c END) AS p50_days,
+           min(CASE WHEN 10 * cum >= 9 * tot THEN c END) AS p90_days
+    FROM cw GROUP BY 1
+    """,
+)
+def shipping_cycle_percentiles(spark, sf_dir):
+    """Order-to-ship cycle-time percentiles (p50/p90 days) per return
+    flag — the fulfillment-SLA scorecard, computed with the SHARED
+    histogram-descent core (`weighted_median_groups` with two rank
+    functions) over the (flag, cycle-days, count) aggregate: exact
+    order statistics, no global sort, no partition-less window, the
+    BASELINE.md §8-probed shape. Cycle time is an exact integer
+    day-difference (epoch//86400 on both engines).
+
+    Scale shape: one orderkey join + one (flag, days) aggregate
+    (day-cardinality per flag, tiny); descent rounds scan only that
+    aggregate, persisted across the two ranks."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.expr("unix_timestamp(l_shipdate) div 86400").alias("sd"),
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("od"),
+    )
+    t = li.join(orders, "l_orderkey").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("sd") - F.col("od")).alias("c"),
+    )
+    g = t.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("w")).persist()
+    try:
+        p50 = weighted_median_groups(g)  # default (tot+1)//2
+        p90 = weighted_median_groups(
+            g, k_fn=lambda tot: (9 * tot + 9) // 10
+        )
+    finally:
+        g.unpersist()
+    rows = [
+        (f, tot, m, dict((ff, vv) for ff, _, vv in p90)[f])
+        for f, tot, m in p50
+    ]
+    return spark.createDataFrame(
+        rows, "l_returnflag string, n long, p50_days long, p90_days long"
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(epoch_us(ts) AS BIGINT)
+                       - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS a,
+             CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS b
+      FROM g GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT a AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT b AS t, -1 FROM sess
+    ),
+    byt AS (SELECT t, CAST(sum(d) AS BIGINT) AS dd FROM delta GROUP BY t),
+    run AS (
+      SELECT t, CAST(sum(dd) OVER (ORDER BY t) AS BIGINT) AS conc
+      FROM byt
+    )
+    SELECT t // 86400 AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrent,
+           count(*) AS n_transitions
+    FROM run GROUP BY 1
+    """,
+)
+def events_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day — capacity planning's first
+    question, answered by COMPOSING two existing shapes: gap-chain
+    sessionization (30-min gap, sessions live until last event + 30
+    min) feeds the delta-sweep interval-overlap counter from
+    `orders_open_backlog` (±1 at session start/end, prefix sum over the
+    collapsed transition points, max per day). Never sessions×time.
+
+    The prefix sum runs over DISTINCT transition timestamps (bounded by
+    2×sessions, collapsed by groupBy first); at 100 TB the same
+    hierarchical 128-shard fold as orders_open_backlog replaces the
+    single ordered window (documented there; the transition table here
+    is orders-of-magnitude smaller than the event stream).
+
+    All boundaries are integer epoch seconds; both engines chain
+    sessions with identical (ts, event_id) total order."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    s = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((us - F.unix_micros(F.lag("ts").over(w))) > 1800000000),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = s.withColumn("sid", F.sum("new_s").over(wr))
+    sess = g.groupBy("user_id", "sid").agg(
+        F.unix_timestamp(F.min("ts")).alias("a"),
+        (F.unix_timestamp(F.max("ts")) + 1800).alias("b"),
+    )
+    delta = sess.select(F.col("a").alias("t"), F.lit(1).alias("d")).unionByName(
+        sess.select(F.col("b").alias("t"), F.lit(-1).alias("d"))
+    )
+    byt = delta.groupBy("t").agg(F.sum("d").alias("dd"))
+    # hierarchical prefix sum (orders_open_backlog discipline): 128-day
+    # shards carry an in-shard running sum; shard totals fold to
+    # exclusive offsets on the driver and broadcast back — no
+    # partition-less window over the transition stream
+    sh = byt.withColumn("shard", F.expr("t div 86400 div 128"))
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = sh.withColumn("run", F.sum("dd").over(w_in))
+    tot_rows = sorted(
+        (r["shard"], r["stot"])
+        for r in sh.groupBy("shard").agg(F.sum("dd").alias("stot")).collect()
+    )
+    offs, acc = [], 0
+    for shard, stot in tot_rows:
+        offs.append((shard, acc))
+        acc += stot
+    odf = spark.createDataFrame(offs, "shard bigint, soff bigint")
+    run = within.join(F.broadcast(odf), "shard").withColumn(
+        "conc", F.col("soff") + F.col("run")
+    )
+    return run.groupBy(F.expr("t div 86400").alias("day")).agg(
+        F.max("conc").cast("long").alias("peak_concurrent"),
+        F.count(F.lit(1)).alias("n_transitions"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
