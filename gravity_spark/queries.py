@@ -15114,6 +15114,285 @@ def events_peak_concurrency(spark, sf_dir):
     )
 
 
+@register(
+    "revenue_waterfall_monthly",
+    """
+    WITH rows_c AS (
+      SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)
+               AS midx,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS gross_c,
+             CAST(round(l_discount * 1000000) AS BIGINT) AS disc_u,
+             CAST(round(l_tax * 1000000) AS BIGINT) AS tax_u
+      FROM lineitem
+    ),
+    eff AS (
+      SELECT midx, gross_c,
+             gross_c * disc_u // 1000000 AS disc_c,
+             (gross_c - gross_c * disc_u // 1000000) * tax_u // 1000000
+               AS tax_c
+      FROM rows_c
+    )
+    SELECT midx AS month_idx,
+           CAST(sum(gross_c) AS BIGINT) AS gross_cents,
+           CAST(sum(disc_c) AS BIGINT) AS discount_cents,
+           CAST(sum(gross_c - disc_c) AS BIGINT) AS net_cents,
+           CAST(sum(tax_c) AS BIGINT) AS tax_cents,
+           CAST(sum(gross_c - disc_c + tax_c) AS BIGINT) AS charged_cents
+    FROM eff GROUP BY 1
+    """,
+)
+def revenue_waterfall_monthly(spark, sf_dir):
+    """Monthly revenue waterfall (gross → −discount → net → +tax →
+    charged) — the finance bridge every P&L pipeline materializes, with
+    the bridge identities holding EXACTLY by construction: per row the
+    discount and tax amounts are floor-scaled integer products
+    (micro-rate × cents // 1e6, the row-level rounding a billing system
+    performs), so net = gross − discount and charged = net + tax are
+    column-level identities, not approximations that drift at scale.
+
+    Scale shape: pure row-local arithmetic then one month-keyed
+    map-side-partial groupBy. The gross·rate products peak ~5e13 —
+    BIGINT-safe; the monthly SUMS stay under ~1e17 per 1e9 rows/month
+    (switch the sums to DECIMAL(38) beyond that, the welch lesson)."""
+    li = T(spark, sf_dir, "lineitem")
+    gross = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_u = F.round(F.col("l_discount") * 1000000).cast("long")
+    tax_u = F.round(F.col("l_tax") * 1000000).cast("long")
+    rows_c = li.select(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long").alias("midx"),
+        gross.alias("gross_c"), disc_u.alias("disc_u"), tax_u.alias("tax_u"),
+    )
+    eff = rows_c.select(
+        "midx", "gross_c",
+        F.expr("gross_c * disc_u div 1000000").alias("disc_c"),
+        F.expr(
+            "(gross_c - gross_c * disc_u div 1000000) * tax_u div 1000000"
+        ).alias("tax_c"),
+    )
+    return eff.groupBy(F.col("midx").alias("month_idx")).agg(
+        F.sum("gross_c").alias("gross_cents"),
+        F.sum("disc_c").alias("discount_cents"),
+        F.sum(F.col("gross_c") - F.col("disc_c")).alias("net_cents"),
+        F.sum("tax_c").alias("tax_cents"),
+        F.sum(F.col("gross_c") - F.col("disc_c") + F.col("tax_c"))
+        .alias("charged_cents"),
+    )
+
+
+@register(
+    "brand_price_volume_bridge",
+    """
+    WITH half AS (
+      SELECT (min(CAST(epoch_us(l_shipdate) AS BIGINT))
+              + max(CAST(epoch_us(l_shipdate) AS BIGINT))) // 2 AS cut
+      FROM lineitem
+    ),
+    pp AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN CAST(epoch_us(l.l_shipdate) AS BIGINT)
+                       <= (SELECT cut FROM half) THEN 1 ELSE 2 END
+               AS period,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r,
+             CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT))
+                  AS BIGINT) AS q
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT brand,
+             max(CASE WHEN period = 1 THEN r END) AS r1,
+             max(CASE WHEN period = 1 THEN q END) AS q1,
+             max(CASE WHEN period = 2 THEN r END) AS r2,
+             max(CASE WHEN period = 2 THEN q END) AS q2
+      FROM pp GROUP BY brand
+      HAVING max(CASE WHEN period = 1 THEN q END) IS NOT NULL
+         AND max(CASE WHEN period = 2 THEN q END) IS NOT NULL
+    )
+    SELECT brand, r1, r2, r2 - r1 AS change_cents,
+           r2 - CAST(CAST(r1 AS HUGEINT) * q2 // q1 AS BIGINT)
+             AS price_effect_cents,
+           CAST(CAST(r1 AS HUGEINT) * q2 // q1 AS BIGINT) - r1
+             AS volume_effect_cents
+    FROM wide
+    """,
+)
+def brand_price_volume_bridge(spark, sf_dir):
+    """Price-volume bridge per brand between the two halves of the
+    shipping range — the FP&A decomposition 'how much of the revenue
+    change came from charging more vs selling more': volume effect
+    holds period-1 prices at period-2 volume (R1·Q2//Q1 − R1), price
+    effect is the exact complement (R2 − R1·Q2//Q1), so the two
+    effects sum to the total change TO THE CENT by construction (the
+    floor lands in the price term — stated convention; a penny-exact
+    bridge beats two independently-rounded effects that don't add up).
+
+    Determinism: BIGINT cents and centi-units; R1·Q2 runs in HUGEINT /
+    DECIMAL(38) (≈1e10·1e9 exceeds BIGINT at warehouse scale — the
+    welch lesson applied up front); cut = integer micros midpoint.
+
+    Scale shape: facts collapse to brand×period in one groupBy (part
+    dim broadcast); the bridge math runs on the |brands|-row frame."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = li.agg(
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("hi"),
+    ).collect()[0]
+    cut = (b["lo"] + b["hi"]) // 2
+    pp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.when(
+                F.unix_micros(F.col("l_shipdate").cast("timestamp")) <= cut, 1
+            ).otherwise(2).alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("r"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        )
+    )
+    wide = pp.groupBy("brand").agg(
+        F.max(F.when(F.col("period") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("period") == 1, F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("period") == 2, F.col("r"))).alias("r2"),
+        F.max(F.when(F.col("period") == 2, F.col("q"))).alias("q2"),
+    ).filter(F.col("q1").isNotNull() & F.col("q2").isNotNull())
+    # exact floor division in DECIMAL(38): subtract the exact modulus
+    # first so the final / is integral (decimal HALF_UP then can't
+    # round across the floor boundary)
+    held = F.expr(
+        "CAST((CAST(r1 AS DECIMAL(38,0)) * q2"
+        " - (CAST(r1 AS DECIMAL(38,0)) * q2) % q1) / q1 AS BIGINT)"
+    )
+    return wide.select(
+        "brand", "r1", "r2",
+        (F.col("r2") - F.col("r1")).alias("change_cents"),
+        (F.col("r2") - held).alias("price_effect_cents"),
+        (held - F.col("r1")).alias("volume_effect_cents"),
+    )
+
+
+@register(
+    "events_signup_to_purchase_hazard",
+    """
+    WITH horizon AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) // 86400 AS hday
+      FROM events
+    ),
+    su AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) // 86400 AS sday,
+             min(ts) AS sts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id,
+             CAST(floor(epoch(min(e.ts))) AS BIGINT) // 86400 - s.sday
+               AS dd
+      FROM su s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.sts
+      GROUP BY s.user_id, s.sday
+    ),
+    ends AS (
+      SELECT s.user_id,
+             coalesce(c.dd, (SELECT hday FROM horizon) - s.sday)
+               AS end_day,
+             CASE WHEN c.dd IS NOT NULL THEN c.dd END AS dd
+      FROM su s LEFT JOIN conv c ON c.user_id = s.user_id
+    ),
+    ecnt AS (SELECT end_day, count(*) AS ne FROM ends GROUP BY end_day),
+    days AS (SELECT DISTINCT end_day AS d FROM ends),
+    risk AS (
+      SELECT d.d,
+             (SELECT CAST(sum(e.ne) AS BIGINT) FROM ecnt e
+              WHERE e.end_day >= d.d) AS at_risk
+      FROM days d
+    ),
+    cv AS (SELECT dd AS d, count(*) AS conv FROM ends
+           WHERE dd IS NOT NULL GROUP BY dd)
+    SELECT r.d AS day, r.at_risk,
+           CAST(coalesce(c.conv, 0) AS BIGINT) AS conversions,
+           (2000 * CAST(coalesce(c.conv, 0) AS BIGINT) + r.at_risk)
+             // (2 * r.at_risk) AS hazard_milli
+    FROM risk r LEFT JOIN cv c ON c.d = r.d
+    """,
+)
+def events_signup_to_purchase_hazard(spark, sf_dir):
+    """Discrete-time hazard table for signup→purchase conversion: for
+    each day-since-signup, the users still unconverted AND still
+    observable (at risk), the conversions that day, and the hazard
+    rate — the survival-analysis primitive (the life table feeding
+    Kaplan-Meier) with right-censoring at the observation horizon:
+    users who never purchase are censored at (horizon − signup day),
+    not dropped — dropping them is THE classic conversion-rate bias.
+
+    Everything is integer day arithmetic; at_risk(d) is a suffix sum
+    over the bounded end-day histogram (≤ observation-window days,
+    ~30 rows here — a calendar-bounded frame, never a per-user scan
+    per day); hazard is a half-up milli division. The cumulative
+    survival curve is deliberately NOT emitted: it is a running
+    PRODUCT of rationals, which no cross-engine float reduction
+    reproduces bit-stably — consumers fold it from this table.
+
+    Scale shape: two user-keyed aggregations (first signup, first
+    subsequent purchase) + histogram math."""
+    ev = T(spark, sf_dir, "events")
+    hday = ev.agg(
+        F.expr("max(unix_timestamp(ts)) div 86400").alias("h")
+    ).collect()[0]["h"]
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(
+            F.expr("min(unix_timestamp(ts)) div 86400").alias("sday"),
+            F.min("ts").alias("sts"),
+        )
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        su.join(pur, "user_id")
+        .filter(F.col("pts") >= F.col("sts"))
+        .groupBy("user_id", "sday")
+        .agg(
+            (F.expr("min(unix_timestamp(pts)) div 86400") - F.col("sday"))
+            .alias("dd")
+        )
+        .select("user_id", "dd")
+    )
+    ends = su.join(conv, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("dd"), F.lit(hday) - F.col("sday")).alias("end_day"),
+        "dd",
+    )
+    ecnt = ends.groupBy("end_day").agg(F.count(F.lit(1)).alias("ne"))
+    # suffix sum over the bounded end-day histogram
+    wsuf = Window.orderBy(F.col("end_day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = ecnt.select(
+        F.col("end_day").alias("d"), F.sum("ne").over(wsuf).alias("at_risk")
+    )
+    cv = (
+        ends.filter(F.col("dd").isNotNull())
+        .groupBy(F.col("dd").alias("d"))
+        .agg(F.count(F.lit(1)).alias("conv"))
+    )
+    return risk.join(cv, "d", "left").select(
+        F.col("d").alias("day"), "at_risk",
+        F.coalesce("conv", F.lit(0)).alias("conversions"),
+        F.expr(
+            "(2000 * coalesce(conv, 0) + at_risk) div (2 * at_risk)"
+        ).alias("hazard_milli"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
