@@ -15393,6 +15393,199 @@ def events_signup_to_purchase_hazard(spark, sf_dir):
     )
 
 
+@register(
+    "customer_feature_store",
+    """
+    WITH horizon AS (
+      SELECT CAST(floor(epoch(max(o_orderdate))) AS BIGINT) // 86400
+        AS hday FROM orders
+    ),
+    od AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS midx
+      FROM orders
+    ),
+    f AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             (SELECT hday FROM horizon) - max(d) AS recency_days,
+             max(d) - min(d) AS span_days,
+             count(DISTINCT midx) AS active_months
+      FROM od GROUP BY o_custkey
+    )
+    SELECT o_custkey, n_orders, total_cents, recency_days, span_days,
+           active_months,
+           CASE WHEN n_orders > 1
+                THEN (2000 * span_days + (n_orders - 1))
+                     // (2 * (n_orders - 1))
+           END AS avg_gap_milli_days,
+           (2 * total_cents + n_orders) // (2 * n_orders)
+             AS avg_order_cents
+    FROM f
+    """,
+)
+def customer_feature_store(spark, sf_dir):
+    """Feature-store materialization: one row per customer with the
+    standard behavioral features (order count, monetary total, recency
+    vs the data horizon, activity span, active months, average
+    inter-order gap, average ticket) — the table a training pipeline
+    snapshots before a model run, assembled as ONE keyed aggregation
+    (every feature folds in the same groupBy; no per-feature joins, no
+    fan-out — the anti-pattern is N separate feature queries joined
+    after the fact). Gaps and tickets are half-up integer divisions;
+    first-order customers get NULL gap (stated, not zero — zero would
+    poison the feature).
+
+    Scale shape: one map-side-partial groupBy over the fact table plus
+    a broadcast horizon scalar. Adding a feature is adding an
+    aggregate expression, not a join."""
+    orders = T(spark, sf_dir, "orders")
+    hday = orders.agg(
+        F.expr("max(unix_timestamp(o_orderdate)) div 86400").alias("h")
+    ).collect()[0]["h"]
+    od = orders.select(
+        "o_custkey",
+        F.expr("unix_timestamp(o_orderdate) div 86400").alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("midx"),
+    )
+    f = od.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        (F.lit(hday) - F.max("d")).alias("recency_days"),
+        (F.max("d") - F.min("d")).alias("span_days"),
+        F.countDistinct("midx").alias("active_months"),
+    )
+    return f.select(
+        "o_custkey", "n_orders", "total_cents", "recency_days",
+        "span_days", "active_months",
+        F.when(
+            F.col("n_orders") > 1,
+            F.expr(
+                "(2000 * span_days + (n_orders - 1))"
+                " div (2 * (n_orders - 1))"
+            ),
+        ).alias("avg_gap_milli_days"),
+        F.expr("(2 * total_cents + n_orders) div (2 * n_orders)")
+        .alias("avg_order_cents"),
+    )
+
+
+@register(
+    "ab_sample_ratio_mismatch",
+    """
+    WITH assign AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 2
+               AS variant
+      FROM events
+    ),
+    cells AS (
+      SELECT d,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM assign GROUP BY d
+    )
+    SELECT d AS day, a, b,
+           round(CAST((a - b) AS DOUBLE) * (a - b) / (a + b), 6)
+             AS chi2,
+           CASE WHEN CAST((a - b) AS DOUBLE) * (a - b) / (a + b) > 3.841
+                THEN 1 ELSE 0 END AS srm_flag
+    FROM cells
+    """,
+)
+def ab_sample_ratio_mismatch(spark, sf_dir):
+    """Sample-ratio-mismatch (SRM) guard for a 50/50 experiment split:
+    per day, the chi-square of observed variant counts against equal
+    allocation, flagged at the 1-dof 95% critical value — the first
+    sanity check every experimentation platform runs before reading a
+    metric (an SRM day means assignment or logging is broken and the
+    experiment is invalid, regardless of lift). Variant here is the
+    provenance tag's parity (`props.k % 2`), the same field
+    `cdc_txn_tag_filter` reads.
+
+    chi2 for a 2-cell uniform expectation reduces to (a−b)²/(a+b) —
+    one fixed IEEE expression over two exact BIGINTs, identical both
+    engines; the flag is a pure threshold on it.
+
+    Scale shape: row-local variant extraction, one day-keyed groupBy
+    with map-side partials. Nothing else."""
+    ev = T(spark, sf_dir, "events")
+    variant = (
+        F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long") % 2
+    )
+    cells = ev.select(
+        F.expr("unix_timestamp(ts) div 86400").alias("d"),
+        variant.alias("variant"),
+    ).groupBy("d").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("b"),
+    )
+    chi2 = (
+        (F.col("a") - F.col("b")).cast("double")
+        * (F.col("a") - F.col("b"))
+        / (F.col("a") + F.col("b"))
+    )
+    return cells.select(
+        F.col("d").alias("day"), "a", "b",
+        F.round(chi2, 6).alias("chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).alias("srm_flag"),
+    )
+
+
+@register(
+    "cdc_source_freshness",
+    """
+    WITH g AS (SELECT max(event_id) AS gseq,
+                      CAST(floor(epoch(max(ts))) AS BIGINT) AS gts
+               FROM events)
+    SELECT event_type AS stream,
+           count(*) AS n_rows,
+           max(event_id) AS last_seq,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS last_ts_epoch,
+           (SELECT gseq FROM g) - max(event_id) AS seq_lag,
+           (SELECT gts FROM g)
+             - CAST(floor(epoch(max(ts))) AS BIGINT) AS ts_lag_seconds
+    FROM events GROUP BY event_type
+    """,
+)
+def cdc_source_freshness(spark, sf_dir):
+    """Per-stream freshness report: each logical stream's (event type
+    here; (db, table) in a real deployment) row count, high-water seq,
+    last event time, and its lag behind the global high-water marks —
+    the dashboard the reference drives from its position store and
+    binlog checker (pkg/positions + the heartbeat/watermark health
+    checks): a stream whose seq_lag grows is stuck, one whose ts_lag
+    grows is slow, and the two failure modes are distinguishable only
+    with BOTH columns.
+
+    Scale shape: one groupBy over the stream with map-side max/count
+    partials, plus two broadcast global scalars. The same plan shape
+    at any volume."""
+    ev = T(spark, sf_dir, "events")
+    g = ev.agg(
+        F.max("event_id").alias("gseq"),
+        F.expr("max(unix_timestamp(ts))").alias("gts"),
+    )
+    per = ev.groupBy(F.col("event_type").alias("stream")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("event_id").alias("last_seq"),
+        F.expr("max(unix_timestamp(ts))").alias("last_ts_epoch"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "stream", "n_rows", "last_seq", "last_ts_epoch",
+        (F.col("gseq") - F.col("last_seq")).alias("seq_lag"),
+        (F.col("gts") - F.col("last_ts_epoch")).alias("ts_lag_seconds"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
