@@ -15586,6 +15586,138 @@ def cdc_source_freshness(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_distance_histogram",
+    """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 1000000) AS BIGINT)) AS xi
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT CAST(list_sum(list_transform(list_zip(c.xi, p.xi),
+               s2 -> (s2[1]-s2[2])*(s2[1]-s2[2]))) AS BIGINT) AS d2
+      FROM e p JOIN e c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id % 125 = 0
+    ),
+    binned AS (
+      SELECT CASE WHEN d2 = 0 THEN 0
+                  ELSE length(bin(d2)) END AS bin_log2
+      FROM pairs
+    ),
+    tot AS (SELECT count(*) AS nn FROM binned)
+    SELECT bin_log2, count(*) AS n,
+           (2000000 * count(*) + nn) // (2 * nn) AS share_micro
+    FROM binned, tot GROUP BY bin_log2, nn
+    """,
+)
+def embedding_distance_histogram(spark, sf_dir):
+    """Pairwise-distance spectrum of the embedding space: squared
+    distances from a fixed probe sample to the corpus, bucketed by
+    bit-length (log₂ bins) — the diagnostic that reveals whether a
+    space has usable neighborhood structure (a spectrum concentrated
+    in one bin means distances barely discriminate — the
+    curse-of-dimensionality signature — and predicts poor LSH/IVF
+    recall BEFORE building indexes; read next to
+    `embedding_truncation_recall` and BASELINE.md §9's measured
+    recall).
+
+    Exact integers end to end: scaled-integer squared distances,
+    bit-length binning (length(bin(x)) — both engines agree on BIGINT
+    bit strings), half-up micro shares.
+
+    Scale shape: |probes|×|corpus| pair stream (constant probe set)
+    folded straight into a ≤64-bin histogram — map-side partials, no
+    pair materialization."""
+    emb = T(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", sim.scale_embedding(F.col("embedding")).alias("xi")
+    )
+    probes = e.filter(F.col("vec_id") % 125 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("xi").alias("pxi")
+    )
+    pairs = e.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("probe_id")
+    ).select(sim._sq_dist(F.col("xi"), F.col("pxi")).alias("d2"))
+    binned = pairs.select(
+        F.when(F.col("d2") == 0, 0)
+        .otherwise(F.length(F.bin(F.col("d2"))))
+        .alias("bin_log2")
+    )
+    hist = binned.groupBy("bin_log2").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("nn"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("bin_log2").cast("long").alias("bin_log2"), "n",
+        F.expr("(2000000 * n + nn) div (2 * nn)").alias("share_micro"),
+    )
+
+
+@register(
+    "parts_margin_audit",
+    """
+    WITH sale AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS r,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS q,
+             count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_partkey, p.p_brand,
+           CAST(round(p.p_retailprice * 100) AS BIGINT) AS retail_cents,
+           s.r AS revenue_cents, s.q AS qty_centi, s.n_lines,
+           CASE WHEN s.r * 100 <
+                     CAST(round(p.p_retailprice * 100) AS BIGINT) * s.q
+                THEN 1 ELSE 0 END AS below_retail,
+           CAST((20000 * CAST(s.r AS HUGEINT) * 100
+                 + CAST(round(p.p_retailprice * 100) AS BIGINT) * s.q)
+                // (2 * CAST(round(p.p_retailprice * 100) AS BIGINT)
+                    * s.q) AS BIGINT) AS realized_pct_bp
+    FROM part p JOIN sale s ON s.pk = p.p_partkey
+    """,
+)
+def parts_margin_audit(spark, sf_dir):
+    """Realized-price audit per part: revenue-weighted average unit
+    sale price compared against the catalog retail price WITHOUT ever
+    forming the rational unit price — below_retail is the exact
+    cross-multiplication R·100 < retail·Q (cents·centi-qty on both
+    sides), and realized_pct_bp is the half-up basis-point ratio
+    (10000·R·100 / (retail·Q)) computed in HUGEINT/DECIMAL(38). The
+    pricing-leakage report: parts consistently selling far below
+    retail are discount-policy leaks.
+
+    Scale shape: one part-keyed aggregate of the fact table + a
+    broadcast dim join; all audit math is row-local on the part
+    frame."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        .alias("retail_cents"),
+    )
+    sale = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .alias("r"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    j = sale.join(F.broadcast(part), "p_partkey")
+    num = F.expr("CAST(r AS DECIMAL(38,0)) * 100")
+    den = F.col("retail_cents") * F.col("q")
+    return j.select(
+        "p_partkey", "p_brand", "retail_cents",
+        F.col("r").alias("revenue_cents"),
+        F.col("q").alias("qty_centi"), "n_lines",
+        F.when(F.col("r") * 100 < den, 1).otherwise(0).alias("below_retail"),
+        F.expr(
+            "CAST((20000 * CAST(r AS DECIMAL(38,0)) * 100"
+            " + CAST(retail_cents AS DECIMAL(38,0)) * q)"
+            " div (2 * CAST(retail_cents AS DECIMAL(38,0)) * q) AS BIGINT)"
+        ).alias("realized_pct_bp"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
