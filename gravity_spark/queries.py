@@ -15718,6 +15718,166 @@ def parts_margin_audit(spark, sf_dir):
     )
 
 
+@register(
+    "ab_uplift_by_decile",
+    """
+    WITH u AS (
+      SELECT user_id,
+             max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+               % 2 AS variant,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    tiled AS (
+      SELECT variant, converted,
+             ntile(5) OVER (ORDER BY n_events DESC, user_id) AS quintile
+      FROM u
+    ),
+    cell AS (
+      SELECT quintile,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_t,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c_t,
+             CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_c,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS c_c
+      FROM tiled GROUP BY 1
+    )
+    SELECT quintile, n_t, c_t, n_c, c_c,
+           CASE WHEN n_t > 0 THEN (2000 * c_t + n_t) // (2 * n_t) END
+             AS rate_t_milli,
+           CASE WHEN n_c > 0 THEN (2000 * c_c + n_c) // (2 * n_c) END
+             AS rate_c_milli,
+           CASE WHEN n_t > 0 AND n_c > 0
+                THEN (2000 * c_t + n_t) // (2 * n_t)
+                     - (2000 * c_c + n_c) // (2 * n_c) END AS uplift_milli
+    FROM cell
+    """,
+)
+def ab_uplift_by_decile(spark, sf_dir):
+    """Uplift read-out by engagement quintile: users split into
+    treatment/control by the provenance tag's parity (the same field
+    `ab_sample_ratio_mismatch` validates FIRST — SRM then uplift is
+    the reading order), ranked by activity, and per quintile the
+    conversion-rate difference — the heterogeneous-treatment-effect
+    table behind targeting decisions (uplift concentrated in one
+    engagement band means treat only that band). The causal-eval
+    companion to `classifier_decile_lift` (which ranks a MODEL; this
+    ranks an INTERVENTION).
+
+    Rates are half-up milli divisions on exact counts (NULL for an
+    empty arm — at tiny SFs a quintile may hold one variant only, and
+    ANSI mode turns the naive division into a runtime error); the
+    quintile
+    window orders by (activity DESC, user_id) over the USER aggregate
+    (customer-cardinality, the revenue_rank_movement discipline —
+    swap in _dist_ntile if even that outgrows a partition).
+
+    Scale shape: one user-keyed aggregate, one aggregate-frame window,
+    a 5-row cell table."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.max(
+                F.regexp_extract(F.col("props"), r'"k": (\d+)', 1)
+                .cast("long")
+            )
+            % 2
+        ).alias("variant"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    tiled = u.withColumn("quintile", F.ntile(5).over(w))
+    cell = tiled.groupBy("quintile").agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("c_t"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("c_c"),
+    )
+    rt = F.when(
+        F.col("n_t") > 0, F.expr("(2000 * c_t + n_t) div (2 * n_t)")
+    )
+    rc = F.when(
+        F.col("n_c") > 0, F.expr("(2000 * c_c + n_c) div (2 * n_c)")
+    )
+    return cell.select(
+        F.col("quintile").cast("long").alias("quintile"),
+        "n_t", "c_t", "n_c", "c_c",
+        rt.alias("rate_t_milli"), rc.alias("rate_c_milli"),
+        (rt - rc).alias("uplift_milli"),
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    """
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (SELECT ck, count(*) AS d FROM cp GROUP BY ck),
+    binned AS (SELECT length(bin(d)) AS bin_log2, d FROM deg),
+    tot AS (SELECT count(*) AS nv, CAST(sum(d) AS BIGINT) AS ne FROM deg)
+    SELECT b.bin_log2, count(*) AS n_vertices,
+           CAST(min(b.d) AS BIGINT) AS min_deg,
+           CAST(max(b.d) AS BIGINT) AS max_deg,
+           (SELECT nv FROM tot) AS total_vertices,
+           (SELECT ne FROM tot) AS total_edges
+    FROM binned b GROUP BY b.bin_log2
+    """,
+)
+def graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the customer→part purchase graph in
+    log₂ bins — the first diagnostic run before ANY graph algorithm
+    ships: a heavy tail here is what motivates the engine's
+    degree-oriented triangle counting, the k-core peel bounds, and the
+    copurchase hub cap (deg ≤ 60 was chosen FROM this histogram's
+    shape, not guessed). Bin edges are bit-lengths, exact in both
+    engines.
+
+    Scale shape: one distinct-edge aggregate → one degree aggregate →
+    a ≤64-bin histogram with map-side partials; the global totals ride
+    a broadcast one-row frame."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    cp = (
+        li.join(orders, "l_orderkey")
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    deg = cp.groupBy("ck").agg(F.count(F.lit(1)).alias("d"))
+    binned = deg.select(
+        F.length(F.bin(F.col("d"))).alias("bin_log2"), "d"
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).alias("total_vertices"),
+        F.sum("d").alias("total_edges"),
+    )
+    hist = binned.groupBy("bin_log2").agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.min("d").cast("long").alias("min_deg"),
+        F.max("d").cast("long").alias("max_deg"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("bin_log2").cast("long").alias("bin_log2"),
+        "n_vertices", "min_deg", "max_deg",
+        "total_vertices", "total_edges",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
