@@ -15878,6 +15878,209 @@ def graph_degree_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "conformal_interval_orders",
+    f"""
+    WITH t AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_phash_sql('o_orderkey')} % 2 AS grp
+      FROM orders
+    ),
+    cal AS (SELECT cents FROM t WHERE grp = 1),
+    tst AS (SELECT cents FROM t WHERE grp = 0),
+    pred AS (
+      SELECT (2 * CAST(sum(cents) AS BIGINT) + count(*))
+               // (2 * count(*)) AS p, count(*) AS n_cal
+      FROM cal
+    ),
+    resid AS (
+      SELECT abs(cal.cents - pred.p) AS r, pred.n_cal FROM cal, pred
+    ),
+    ranked AS (
+      SELECT r, n_cal, row_number() OVER (ORDER BY r) AS rn FROM resid
+    ),
+    qhat AS (
+      SELECT n_cal, min(r) AS q FROM ranked
+      WHERE rn >= least(n_cal, (9 * (n_cal + 1) + 9) // 10)
+      GROUP BY n_cal
+    )
+    SELECT qhat.n_cal, count(*) AS n_test, pred.p AS pred_cents,
+           qhat.q AS q_hat_cents,
+           (2000 * CAST(sum(CASE WHEN abs(tst.cents - pred.p) <= qhat.q
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+            + count(*)) // (2 * count(*)) AS coverage_milli
+    FROM tst, pred, qhat
+    GROUP BY qhat.n_cal, pred.p, qhat.q
+    """,
+)
+def conformal_interval_orders(spark, sf_dir):
+    """Split conformal prediction at 90%: a point predictor (here the
+    calibration mean — a stand-in; the conformal machinery is the
+    operator, wrap any model the same way) gets a DISTRIBUTION-FREE
+    interval by taking q̂ = the ⌈0.9·(n+1)⌉-th smallest calibration
+    residual; the graded output includes the realized coverage on the
+    held-out split, which the conformal guarantee lower-bounds at ~90%
+    regardless of the data's distribution — the uncertainty layer a
+    quality-score or cost model needs before its thresholds gate a
+    corpus.
+
+    The calibration/test split is the portable hash's parity (exact,
+    leakage-free); q̂ is an exact order statistic — on the Spark side
+    via the SHARED descent core (one 'all' group, rank
+    ⌈0.9·(n+1)⌉), never a global sort; the oracle states the
+    row_number form. All arithmetic integer cents; coverage a half-up
+    milli division.
+
+    Scale shape: two scans of the order aggregate (mean+residual
+    histogram rounds) and a broadcast of three scalars over the test
+    side."""
+    orders = T(spark, sf_dir, "orders")
+    t = orders.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (_phash_col(F.col("o_orderkey")) % 2).alias("grp"),
+    ).persist()
+    try:
+        cal = t.filter(F.col("grp") == 1)
+        stats = cal.agg(
+            F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        n_cal = stats["n"]
+        pred = (2 * stats["s"] + n_cal) // (2 * n_cal)
+        resid = cal.select(
+            F.lit("all").alias("flag"),
+            F.abs(F.col("cents") - F.lit(pred)).alias("c"),
+            F.lit(1).alias("w"),
+        )
+        g = resid.groupBy("flag", "c").agg(F.sum("w").alias("w"))
+        k = min(n_cal, (9 * (n_cal + 1) + 9) // 10)
+        rows = weighted_median_groups(g, k_fn=lambda tot: k)
+        q_hat = rows[0][2]
+        tst = t.filter(F.col("grp") == 0)
+        out = tst.agg(
+            F.lit(n_cal).alias("n_cal"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.lit(pred).alias("pred_cents"),
+            F.lit(q_hat).alias("q_hat_cents"),
+            F.expr(
+                f"(2000 * sum(CASE WHEN abs(cents - {pred}) <= {q_hat}"
+                " THEN 1 ELSE 0 END) + count(*)) div (2 * count(*))"
+            ).alias("coverage_milli"),
+        )
+        return out.localCheckpoint()
+    finally:
+        t.unpersist()
+
+
+_QSK_W, _QSK_B = 1074, 1024  # fixed bin width (cents), bin count
+
+
+@register(
+    "quantile_sketch_merge_rollup",
+    f"""
+    WITH t AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS v
+      FROM customer
+    ),
+    shard AS (
+      SELECT seg, least(v // {_QSK_W}, {_QSK_B - 1}) AS b, count(*) AS n
+      FROM t GROUP BY 1, 2
+    ),
+    merged AS (SELECT b, CAST(sum(n) AS BIGINT) AS n FROM shard GROUP BY b),
+    direct AS (
+      SELECT least(v // {_QSK_W}, {_QSK_B - 1}) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1
+    ),
+    lossless AS (
+      SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END AS ok
+      FROM (SELECT b, n FROM merged EXCEPT SELECT b, n FROM direct)
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM merged),
+    cum AS (
+      SELECT b, sum(n) OVER (ORDER BY b) AS c, nn FROM merged, tot
+    ),
+    est AS (
+      SELECT min(b) AS mb, max(nn) AS nn FROM cum WHERE 2 * c >= nn
+    ),
+    exact AS (
+      SELECT v AS med FROM (
+        SELECT v, row_number() OVER (ORDER BY v) AS rn,
+               count(*) OVER () AS n
+        FROM t
+      ) WHERE rn = (n + 1) // 2
+    )
+    SELECT est.nn AS n, (est.mb + 1) * {_QSK_W} - 1 AS est_p50_v,
+           exact.med AS exact_p50_v,
+           (est.mb + 1) * {_QSK_W} - 1 - exact.med AS err_v,
+           lossless.ok AS is_lossless
+    FROM est, exact, lossless
+    """,
+)
+def quantile_sketch_merge_rollup(spark, sf_dir):
+    """Mergeable quantile sketch rollup: per-segment fixed-bin integer
+    histograms (width/count are DATA-INDEPENDENT constants, so
+    histograms from any shards merge by pure bin-wise addition — the
+    property that lets every executor, partition, or day keep its own
+    summary and any rollup slice answer quantile queries) merged
+    across segments, graded lossless against the directly-built global
+    histogram, with the sketch's p50 estimate vs the exact median —
+    the error is bounded by one bin width BY CONSTRUCTION, which the
+    test asserts. The quantile companion to `hll_merge_rollup`
+    (distinct counts) and the static core of `quantile_histogram`'s
+    descent.
+
+    Values are shifted cents (acctbal can be negative); estimate = the
+    upper edge of the first bin whose cumulative reaches n/2. The
+    cumulative runs over the ≤1024-bin frame. Oracle's exact median
+    uses a window; the engine-side error grading keeps both numbers in
+    one row.
+
+    Scale shape: one (segment, bin) groupBy with map-side partials;
+    everything downstream is ≤1024-row frames."""
+    cust = T(spark, sf_dir, "customer")
+    t = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        (F.round(F.col("c_acctbal") * 100).cast("long") + 100000).alias("v"),
+    ).persist()
+    try:
+        shard = t.groupBy(
+            "seg",
+            F.least(
+                F.expr(f"v div {_QSK_W}"), F.lit(_QSK_B - 1)
+            ).alias("b"),
+        ).agg(F.count(F.lit(1)).alias("n"))
+        merged = shard.groupBy("b").agg(F.sum("n").alias("n"))
+        direct = t.groupBy(
+            F.least(F.expr(f"v div {_QSK_W}"), F.lit(_QSK_B - 1)).alias("b")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        diff = merged.exceptAll(direct).count()
+        tot = merged.agg(F.sum("n").alias("nn")).collect()[0]["nn"]
+        wcum = Window.orderBy("b").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = merged.withColumn("c", F.sum("n").over(wcum))
+        mb = (
+            cum.filter(2 * F.col("c") >= tot)
+            .agg(F.min("b"))
+            .collect()[0][0]
+        )
+        # exact median via the shared descent core (single group)
+        g = t.select(
+            F.lit("all").alias("flag"), F.col("v").alias("c"),
+            F.lit(1).alias("w"),
+        ).groupBy("flag", "c").agg(F.sum("w").alias("w"))
+        med = weighted_median_groups(g)[0][2]
+        est = (mb + 1) * _QSK_W - 1
+        return spark.createDataFrame(
+            [(tot, est, med, est - med, 1 if diff == 0 else 0)],
+            "n long, est_p50_v long, exact_p50_v long, err_v long,"
+            " is_lossless long",
+        )
+    finally:
+        t.unpersist()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
