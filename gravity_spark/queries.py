@@ -16081,6 +16081,227 @@ def quantile_sketch_merge_rollup(spark, sf_dir):
         t.unpersist()
 
 
+@register(
+    "brand_name_token_affinity",
+    """
+    WITH toks AS (
+      SELECT p_brand AS brand,
+             unnest(list_filter(string_split_regex(lower(p_name),
+                    '[^a-z0-9]+'), x -> x <> '')) AS t
+      FROM part
+    ),
+    bt AS (SELECT brand, t, count(*) AS n FROM toks GROUP BY 1, 2),
+    gt AS (SELECT t, CAST(sum(n) AS BIGINT) AS gn FROM bt GROUP BY t),
+    btot AS (SELECT brand, CAST(sum(n) AS BIGINT) AS bn FROM bt GROUP BY 1),
+    gtot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM bt)
+    SELECT bt.brand, bt.t AS token, bt.n,
+           CAST((2000 * bt.n * gtot.nn
+                 + CAST(btot.bn AS HUGEINT) * gt.gn)
+                // (2 * CAST(btot.bn AS HUGEINT) * gt.gn) AS BIGINT)
+             AS affinity_milli
+    FROM bt
+    JOIN gt ON gt.t = bt.t
+    JOIN btot ON btot.brand = bt.brand
+    JOIN gtot ON TRUE
+    WHERE bt.n >= 3
+    """,
+)
+def brand_name_token_affinity(spark, sf_dir):
+    """Brand↔token affinity over product names: for each (brand,
+    token), the lift of the token's in-brand share over its corpus
+    share ((n/bn)/(gn/nn), half-up milli by cross-multiplication) —
+    the category-profiling operator behind catalog tagging and
+    brand-voice audits (affinity ≫ 1000 means the token is
+    brand-distinctive, ~1000 means generic). The dimension-table twin
+    of `doc_keywords_tfidf`.
+
+    Scale shape: name tokenization is row-local; three hash
+    aggregations ((brand, token), token, brand) all with map-side
+    partials; the lift join is keyed on token/brand with the global
+    total broadcast. The n ≥ 3 floor keeps the profile to stable
+    tokens. Cross-products run in HUGEINT/DECIMAL(38) — bn·gn reaches
+    ~1e9·1e9 at catalog scale (the welch lesson)."""
+    part = T(spark, sf_dir, "part")
+    toks = part.select(
+        F.col("p_brand").alias("brand"),
+        F.explode(tx.tokenize(F.col("p_name"))).alias("t"),
+    )
+    bt = toks.groupBy("brand", "t").agg(F.count(F.lit(1)).alias("n"))
+    gt = bt.groupBy("t").agg(F.sum("n").alias("gn"))
+    btot = bt.groupBy("brand").agg(F.sum("n").alias("bn"))
+    gtot = bt.agg(F.sum("n").alias("nn"))
+    return (
+        bt.filter(F.col("n") >= 3)
+        .join(F.broadcast(gt), "t")
+        .join(F.broadcast(btot), "brand")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "brand", F.col("t").alias("token"), "n",
+            F.expr(
+                "CAST((2000 * CAST(n AS DECIMAL(38,0)) * nn"
+                " + CAST(bn AS DECIMAL(38,0)) * gn)"
+                " div (2 * CAST(bn AS DECIMAL(38,0)) * gn) AS BIGINT)"
+            ).alias("affinity_milli"),
+        )
+    )
+
+
+@register(
+    "events_transition_gini",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    c AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT cur, CAST(sum(n) AS BIGINT) AS tot,
+             CAST(sum(n * n) AS BIGINT) AS sq,
+             count(*) AS n_successors
+      FROM c GROUP BY cur
+    )
+    SELECT cur AS event_type, tot AS n_transitions, n_successors,
+           (1000000 * (tot * tot - sq) + (tot * tot) // 2)
+             // (tot * tot) AS gini_micro
+    FROM m
+    """,
+)
+def events_transition_gini(spark, sf_dir):
+    """Transition diversity per event type: Gini impurity (1 − Σp²) of
+    the next-event distribution — the entropy-style diagnostic of
+    `events_markov_transitions`' rows WITHOUT logarithms (libm log is
+    not bit-portable across engines; impurity is an exact rational):
+    impurity ≈ 0 means the type funnels deterministically into one
+    successor, high impurity means it branches — which rows of the
+    Markov matrix are worth modeling at all.
+
+    gini_micro = ⌊(1e6·(tot²−Σc²) + tot²/2) / tot²⌋ — all BIGINT
+    (tot ≤ 1e5 here; the cross terms move to DECIMAL(38) past ~3e9
+    transitions per type).
+
+    Scale shape: one user-keyed lead window, one (cur, nxt) groupBy
+    (≤|types|² cells), then cell-frame math."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("cur").agg(
+        F.sum("n").alias("tot"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+        F.count(F.lit(1)).alias("n_successors"),
+    )
+    return m.select(
+        F.col("cur").alias("event_type"),
+        F.col("tot").alias("n_transitions"),
+        "n_successors",
+        F.expr(
+            "(1000000 * (tot * tot - sq) + (tot * tot) div 2)"
+            " div (tot * tot)"
+        ).alias("gini_micro"),
+    )
+
+
+@register(
+    "docs_length_anova_f",
+    """
+    WITH g AS (
+      SELECT lang, count(*) AS n,
+             CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS sxx
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(sx) AS BIGINT) AS tsx,
+             sum(sxx) AS tsxx,
+             count(*) AS k
+      FROM g
+    ),
+    terms AS (
+      SELECT CAST(sum(CAST(sx AS HUGEINT) * sx * 1000000 // n)
+                  AS HUGEINT) AS st
+      FROM g
+    ),
+    parts AS (
+      SELECT tot.k, tot.nn,
+             CAST(terms.st
+               - CAST(tot.tsx AS HUGEINT) * tot.tsx * 1000000 // tot.nn
+               AS DOUBLE) AS ssb_u,
+             CAST(CAST(tot.tsxx AS HUGEINT) * 1000000 - terms.st
+               AS DOUBLE) AS ssw_u
+      FROM tot, terms
+    )
+    SELECT k AS n_groups, nn AS n_docs,
+           round(ssb_u / (k - 1) / (ssw_u / (nn - k)), 6) AS f_stat
+    FROM parts
+    """,
+)
+def docs_length_anova_f(spark, sf_dir):
+    """One-way ANOVA F-statistic for document length across languages —
+    the k-group generalization of `segment_welch_ttest` (is length
+    driven by language at all, before any pairwise comparison?): F =
+    (SSB/(k−1)) / (SSW/(n−k)) from exact per-group moments (n, Σx,
+    Σx² — the Σx² in HUGEINT/DECIMAL(38) up front, the welch lesson).
+
+    Determinism: the group moments are exact integers, and the
+    between/within sums of squares are assembled from FLOOR-SCALED
+    micro-integer terms (⌊sx²·1e6/n⌋ per group — exact-modulus
+    division in DECIMAL(38)/HUGEINT), so the cross-group sum is an
+    order-independent integer reduction (a double Σ(sx²/n) would
+    depend on addition order — the returns_chi2 discipline). The
+    F-statistic is one double expression over two exact integers.
+
+    Scale shape: one groupBy over the corpus; everything else is the
+    k-row frame."""
+    docs = T(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("sx"),
+        F.sum(
+            F.col("n_chars").cast("decimal(19,0)") * F.col("n_chars")
+        ).alias("sxx"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"), F.sum("sx").alias("tsx"),
+        F.sum("sxx").alias("tsxx"), F.count(F.lit(1)).alias("k"),
+    )
+    terms = g.agg(
+        F.sum(
+            F.expr(
+                "(CAST(sx AS DECIMAL(38,0)) * sx * 1000000"
+                " - (CAST(sx AS DECIMAL(38,0)) * sx * 1000000) % n) / n"
+            )
+        ).alias("st")
+    )
+    parts = tot.crossJoin(F.broadcast(terms))
+    ssb_u = (
+        F.col("st")
+        - F.expr(
+            "(CAST(tsx AS DECIMAL(38,0)) * tsx * 1000000"
+            " - (CAST(tsx AS DECIMAL(38,0)) * tsx * 1000000) % nn) / nn"
+        )
+    ).cast("double")
+    ssw_u = (
+        F.expr("CAST(tsxx AS DECIMAL(38,0)) * 1000000") - F.col("st")
+    ).cast("double")
+    return parts.select(
+        F.col("k").alias("n_groups"),
+        F.col("nn").alias("n_docs"),
+        F.round(
+            ssb_u / (F.col("k") - 1) / (ssw_u / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
