@@ -16302,6 +16302,150 @@ def docs_length_anova_f(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_sliding_window_counts",
+    """
+    -- sliding 2h window, 1h slide: every event lands in exactly two
+    -- windows; graded region excludes windows whose final emission
+    -- depends on the terminal watermark (the outer-join boundary rule)
+    WITH cut AS (
+      SELECT CAST(floor(epoch(max(ts))) AS BIGINT) - 4 * 3600 AS c
+      FROM events
+    ),
+    hits AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 * 3600 - g.off
+               AS wstart
+      FROM events
+      JOIN (SELECT unnest([0, 3600]) AS off) g ON TRUE
+    )
+    SELECT wstart AS window_epoch, count(*) AS n
+    FROM hits, cut
+    WHERE wstart + 7200 <= cut.c
+    GROUP BY wstart
+    """,
+)
+def streaming_sliding_window_counts(spark, sf_dir):
+    """SLIDING event-time windows as a real stream (2-hour window,
+    1-hour slide, 1-hour watermark): each event contributes to exactly
+    window/slide = 2 overlapping windows — the window type the
+    tumbling (`streaming_window_counts`) and session
+    (`session_window_native`, `streaming_sessionize_stateful`)
+    operators don't cover, completing the reference's windowed-agg
+    surface. Trailing metrics ('errors in the last 2h, refreshed
+    hourly') are exactly this shape.
+
+    Grading follows the established watermark-boundary rule: windows
+    closing within 4h of the stream's end are excluded on both engines
+    (their emission depends on where the terminal watermark lands);
+    everything older is deterministically flushed by the availableNow
+    no-data batch. The oracle replicates each event's two window
+    assignments explicitly.
+
+    Scale shape: state = one row per OPEN window (window/slide × the
+    watermark horizon per key-space) — the replication factor lives in
+    the state keys, not the input stream."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    stream = _normalize_ts(stream)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    with _stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_stream(q, 120)
+    cut = (
+        T(spark, sf_dir, "events")
+        .agg((F.expr("max(unix_timestamp(ts))") - 4 * 3600).alias("c"))
+        .collect()[0]["c"]
+    )
+    return (
+        spark.table(name)
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_epoch"), "n")
+        .filter(F.col("window_epoch") + 7200 <= cut)
+    )
+
+
+@register(
+    "part_type_hierarchy_rollup",
+    """
+    WITH px AS (
+      SELECT string_split(p.p_type, ' ') AS seg, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    lv AS (
+      SELECT seg[1] AS l1, seg[2] AS l2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM px
+    )
+    SELECT coalesce(l1, 'ALL') AS level1,
+           CASE WHEN grouping(l2) = 0 THEN l2
+                WHEN grouping(l1) = 0 THEN '*' ELSE '*' END AS level2,
+           CAST(grouping(l1) * 2 + grouping(l2) AS BIGINT) AS gid,
+           count(*) AS n_lines,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM lv
+    GROUP BY ROLLUP (l1, l2)
+    """,
+)
+def part_type_hierarchy_rollup(spark, sf_dir):
+    """Hierarchy rollup over a PARSED dimension: p_type's first two
+    words form a natural category tree ('STANDARD ANODIZED …' →
+    STANDARD → ANODIZED), and revenue rolls up grand-total → level-1 →
+    level-2 with grouping() metadata — the dimensional-modeling move of
+    deriving a hierarchy from an attribute string at query time
+    (`grouping_sets_revenue`/`rollup_returns` roll up PRE-MODELED
+    columns; parsing IS the operator here). Aggregates stay exact
+    BIGINT cents.
+
+    Scale shape: the parse is a row-local split; ROLLUP is one
+    hash-aggregate pass with map-side partials emitting all three
+    grouping levels (Catalyst expands the grouping sets — no
+    per-level rescan)."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lv = (
+        li.join(
+            F.broadcast(part), li.l_partkey == part.p_partkey
+        )
+        .select(
+            F.get(F.split(F.col("p_type"), " "), 0).alias("l1"),
+            F.get(F.split(F.col("p_type"), " "), 1).alias("l2"),
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .alias("cents"),
+        )
+    )
+    rolled = lv.rollup("l1", "l2").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("cents").alias("revenue_cents"),
+        F.grouping_id().alias("gid"),
+    )
+    return rolled.select(
+        F.coalesce("l1", F.lit("ALL")).alias("level1"),
+        F.when(F.col("gid") == 0, F.col("l2"))
+        .otherwise(F.lit("*")).alias("level2"),
+        F.col("gid").cast("long").alias("gid"),
+        "n_lines", "revenue_cents",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
