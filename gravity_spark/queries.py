@@ -16446,6 +16446,152 @@ def part_type_hierarchy_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "churn_training_set",
+    """
+    WITH bounds AS (
+      SELECT min(CAST(epoch_us(o_orderdate) AS BIGINT)) AS lo,
+             max(CAST(epoch_us(o_orderdate) AS BIGINT)) AS hi
+      FROM orders
+    ),
+    cutv AS (SELECT lo + (hi - lo) * 3 // 4 AS cut FROM bounds),
+    hist AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             ((SELECT cut FROM cutv)
+               - max(CAST(epoch_us(o_orderdate) AS BIGINT))) // 86400000000
+               AS recency_days
+      FROM orders
+      WHERE CAST(epoch_us(o_orderdate) AS BIGINT) <= (SELECT cut FROM cutv)
+      GROUP BY o_custkey
+    ),
+    fut AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE CAST(epoch_us(o_orderdate) AS BIGINT) > (SELECT cut FROM cutv)
+    )
+    SELECT h.o_custkey, h.n_orders, h.total_cents, h.recency_days,
+           CASE WHEN f.o_custkey IS NULL THEN 1 ELSE 0 END AS churned
+    FROM hist h LEFT JOIN fut f ON f.o_custkey = h.o_custkey
+    """,
+)
+def churn_training_set(spark, sf_dir):
+    """Leakage-safe churn training set in one operator: the timeline
+    splits at its 75% point, features (order count, monetary, recency)
+    are computed ONLY from orders at-or-before the cutoff, and the
+    label (churned = no order after the cutoff) ONLY from after — the
+    temporal-split discipline that `train_split_group_aware` enforces
+    for entities, applied to TIME: a feature that peeks past the
+    cutoff is the most common silent leak in churn models, and this
+    shape makes it structurally impossible (the two scans share no
+    rows by construction). Customers first seen after the cutoff are
+    excluded (no feature history — they'd be all-NULL rows).
+
+    All arithmetic integer micros/cents; the cutoff is an exact
+    integer 3/4 point of the micros range.
+
+    Scale shape: one filtered feature aggregate + one distinct future
+    key set + a key-hash left join. Label prevalence at sf0.01: ~mixed
+    (the 25% tail is short enough that some customers lapse)."""
+    orders = T(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    b = orders.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    cut = b["lo"] + (b["hi"] - b["lo"]) * 3 // 4
+    hist = (
+        orders.filter(us <= cut)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("total_cents"),
+            F.max(us).alias("__mx"),
+        )
+        .withColumn(
+            "recency_days",
+            F.expr(f"({cut} - __mx) div 86400000000"),
+        )
+        .drop("__mx")
+    )
+    fut = orders.filter(us > cut).select("o_custkey").distinct()
+    return hist.join(
+        fut.withColumnRenamed("o_custkey", "fk"),
+        hist.o_custkey == F.col("fk"),
+        "left",
+    ).select(
+        "o_custkey", "n_orders", "total_cents", "recency_days",
+        F.when(F.col("fk").isNull(), 1).otherwise(0).alias("churned"),
+    )
+
+
+@register(
+    "events_ctr_wilson",
+    """
+    WITH c AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS views,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS clicks
+      FROM events GROUP BY 1
+    )
+    SELECT d AS day, views, clicks,
+           (2000 * clicks + (views + clicks)) // (2 * (views + clicks))
+             AS ctr_milli,
+           round(
+             (CAST(clicks AS DOUBLE) / (views + clicks)
+              + 1.9208 / (views + clicks)
+              - 1.96 * sqrt((CAST(clicks AS DOUBLE) / (views + clicks))
+                    * (1 - CAST(clicks AS DOUBLE) / (views + clicks))
+                    / (views + clicks)
+                  + 0.9604 / ((views + clicks) * (views + clicks))))
+             / (1 + 3.8416 / (views + clicks)), 6) AS wilson_lower
+    FROM c WHERE views + clicks > 0
+    """,
+)
+def events_ctr_wilson(spark, sf_dir):
+    """Daily click-through rate with the Wilson-score lower bound — the
+    small-sample-honest CTR every ranking/reporting surface should
+    show instead of the raw ratio (a 2/3 day and a 200/300 day have
+    the same raw CTR and wildly different evidence; Wilson orders them
+    correctly). Trials are views+clicks — clicks are not a subset of
+    views in this event stream, so the rate is clicks over engaged
+    impressions, keeping p ≤ 1 (a raw clicks/views 'CTR' went above 1
+    and broke the variance term). The z=1.96 constants are inlined as
+    exact decimal
+    literals (1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4 — never
+    computed via libm at runtime, the orders_benford_audit rule).
+
+    Determinism: counts exact; the Wilson expression is ONE fixed IEEE
+    tree (divisions and sqrt are correctly rounded) over two BIGINTs —
+    bit-identical on both engines, then rounded at 6.
+
+    Scale shape: one day-keyed groupBy with map-side partials."""
+    ev = T(spark, sf_dir, "events")
+    c = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .alias("views"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("clicks"),
+    ).filter((F.col("views") + F.col("clicks")) > 0)
+    n = F.col("views") + F.col("clicks")
+    p = F.col("clicks").cast("double") / n
+    wilson = (
+        p
+        + 1.9208 / n
+        - 1.96 * F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    ) / (1 + 3.8416 / n)
+    return c.select(
+        F.col("d").alias("day"), "views", "clicks",
+        F.expr(
+            "(2000 * clicks + (views + clicks)) div (2 * (views + clicks))"
+        ).alias("ctr_milli"),
+        F.round(wilson, 6).alias("wilson_lower"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
