@@ -16592,6 +16592,108 @@ def events_ctr_wilson(spark, sf_dir):
     )
 
 
+_BOOT_B = 32  # bootstrap replicates
+
+
+def _boot_sql() -> str:
+    h = _phash_sql(f"(o_orderkey * {_BOOT_B} + g.rep)")
+    w = " + ".join(
+        f"(CASE WHEN ({h}) // {4 ** i} % 4 = 3 THEN 1 ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+    WITH reps AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             g.rep, {w} AS wt
+      FROM orders
+      JOIN (SELECT unnest(range(0, {_BOOT_B})) AS rep) g ON TRUE
+    ),
+    rm AS (
+      SELECT rep, CAST(sum(wt * cents) AS BIGINT) AS swx,
+             CAST(sum(wt) AS BIGINT) AS sw
+      FROM reps GROUP BY rep
+    ),
+    means AS (
+      SELECT rep, (2 * swx + sw) // (2 * sw) AS m FROM rm WHERE sw > 0
+    ),
+    ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, rep) AS rn,
+             count(*) OVER () AS b
+      FROM means
+    ),
+    base AS (
+      SELECT (2 * CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) + count(*)) // (2 * count(*)) AS mean_c
+      FROM orders
+    )
+    SELECT base.mean_c AS mean_cents,
+           max(CASE WHEN rn = 2 THEN m END) AS ci_lo_cents,
+           max(CASE WHEN rn = b - 1 THEN m END) AS ci_hi_cents,
+           max(b) AS n_replicates
+    FROM ranked, base GROUP BY base.mean_c
+    """
+
+
+@register("bootstrap_mean_ci_orders", _boot_sql())
+def bootstrap_mean_ci_orders(spark, sf_dir):
+    """Deterministic multiplier-bootstrap confidence interval for the
+    mean order value: 32 pseudo-replicates weight every row by a
+    hash-derived Binomial(4, ¼) multiplier (mean 1 — the online/
+    Poisson-bootstrap family, Owen & Eckles 2012, with the RNG
+    replaced by the portable hash so every engine, run, and partition
+    produces the SAME replicates), and the CI is the 2nd-smallest /
+    2nd-largest replicate mean (≈94% nominal at B=32). THE
+    distribution-free uncertainty tool for any pipeline metric —
+    pair with `segment_welch_ttest` (parametric) and
+    `conformal_interval_orders` (predictive).
+
+    Determinism: weights are pure integer functions of
+    (orderkey, replicate); replicate sums are exact BIGINTs; replicate
+    means are half-up integer cents; the order statistics sort
+    integers with a rep tie-break.
+
+    Scale shape: the 32× replication happens in the WEIGHT, not the
+    data — one pass computes all replicate partial sums via the
+    exploded (row, rep) stream folding straight into 32 aggregate
+    rows (at 100 TB swap the explode for 32 conditional-sum columns in
+    ONE aggregation — same math, zero replication; the explode form
+    keeps the oracle symmetric here)."""
+    orders = T(spark, sf_dir, "orders")
+    reps = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_BOOT_B)])
+        ).alias("rep"),
+    )
+    h = _phash_col(F.col("o_orderkey") * _BOOT_B + F.col("rep"))
+    wt = sum(
+        F.when((h / (4 ** i)).cast("long") % 4 == 3, 1).otherwise(0)
+        for i in range(4)
+    )
+    rm = reps.withColumn("wt", wt).groupBy("rep").agg(
+        F.sum(F.col("wt") * F.col("cents")).alias("swx"),
+        F.sum("wt").alias("sw"),
+    )
+    means = sorted(
+        (int((2 * r["swx"] + r["sw"]) // (2 * r["sw"])), r["rep"])
+        for r in rm.filter(F.col("sw") > 0).collect()
+    )
+    b = len(means)
+    base = orders.agg(
+        F.expr(
+            "(2 * sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+            " + count(*)) div (2 * count(*))"
+        ).alias("mean_cents")
+    ).collect()[0]["mean_cents"]
+    return spark.createDataFrame(
+        [(base, means[1][0], means[b - 2][0], b)],
+        "mean_cents long, ci_lo_cents long, ci_hi_cents long,"
+        " n_replicates long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
