@@ -16694,6 +16694,97 @@ def bootstrap_mean_ci_orders(spark, sf_dir):
     )
 
 
+@register(
+    "session_depth_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(epoch_us(ts) AS BIGINT)
+                       - CAST(epoch_us(lag(ts) OVER w) AS BIGINT)
+                       > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+      SELECT user_id, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM s
+    ),
+    sess AS (
+      SELECT user_id, sid, count(*) AS depth,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM g GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT least(depth, 10) AS depth_bucket, converted FROM sess
+    )
+    SELECT depth_bucket, count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           (2000 * CAST(sum(converted) AS BIGINT) + count(*))
+             // (2 * count(*)) AS conversion_milli
+    FROM bucketed GROUP BY depth_bucket
+    """,
+)
+def session_depth_conversion(spark, sf_dir):
+    """Conversion rate by session depth (events per session, capped at
+    10+) — the engagement-to-outcome curve product teams read to find
+    the depth at which sessions start converting, composed from two
+    existing shapes: the 30-minute gap-chain (`sessionization`) and a
+    per-session outcome flag folded into depth buckets. The session-
+    grain sibling of `funnel_conversion` (which tracks a fixed step
+    sequence; this tracks raw engagement volume).
+
+    All windows user-partitioned with the (ts, event_id) total order;
+    rates are half-up milli on exact counts; the bucket cap keeps the
+    output frame fixed-size at any scale.
+
+    Scale shape: one user-keyed shuffle for the chain, one
+    (user, session) aggregate, an ≤10-row bucket fold."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    s = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((us - F.unix_micros(F.lag("ts").over(w))) > 1800000000),
+            1,
+        ).otherwise(0).alias("new_s"),
+    )
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = s.withColumn("sid", F.sum("new_s").over(wr))
+    sess = g.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    return (
+        sess.select(
+            F.least(F.col("depth"), F.lit(10)).alias("depth_bucket"),
+            "converted",
+        )
+        .groupBy("depth_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("converted").alias("n_converted"),
+        )
+        .select(
+            "depth_bucket", "n_sessions", "n_converted",
+            F.expr(
+                "(2000 * n_converted + n_sessions) div (2 * n_sessions)"
+            ).alias("conversion_milli"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
