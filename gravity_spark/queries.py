@@ -16785,6 +16785,146 @@ def session_depth_conversion(spark, sf_dir):
     )
 
 
+@register(
+    "events_dispersion_index",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type, count(*) AS k,
+             CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, k AS n_days, sx AS n_events,
+           round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) / k * sx)
+                 / (k - 1) / (CAST(sx AS DOUBLE) / k), 6)
+             AS dispersion_index
+    FROM m WHERE k > 1
+    """,
+)
+def events_dispersion_index(spark, sf_dir):
+    """Variance-to-mean ratio (index of dispersion) of daily event
+    counts per type — the count-data burstiness diagnostic: a Poisson
+    arrival process scores ≈1, bursty traffic (retry storms, bot
+    spikes — what `events_error_burst` finds at row level) scores ≫1,
+    and suspiciously uniform traffic (synthetic or throttled) scores
+    ≪1. The pre-flight check before any Poisson-assuming rate model or
+    alert threshold.
+
+    Determinism: the per-type (k, Σn, Σn²) moments are exact BIGINTs;
+    the index is one fixed IEEE tree over three scalars (the welch
+    shape); days with zero events don't form rows — the index is over
+    ACTIVE days, stated semantics identical both engines.
+
+    Scale shape: one (type, day) groupBy then a |types|-row moment
+    fold."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.expr("unix_timestamp(ts) div 86400").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    ).filter(F.col("k") > 1)
+    mean = F.col("sx").cast("double") / F.col("k")
+    var = (
+        (F.col("sxx").cast("double") - mean * F.col("sx"))
+        / (F.col("k") - 1)
+    )
+    return m.select(
+        "event_type", F.col("k").alias("n_days"),
+        F.col("sx").alias("n_events"),
+        F.round(var / mean, 6).alias("dispersion_index"),
+    )
+
+
+@register(
+    "graph_degree_assortativity",
+    """
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    cd AS (SELECT ck, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY ck),
+    pd AS (SELECT pk, CAST(count(*) AS BIGINT) AS d FROM cp GROUP BY pk),
+    ed AS (
+      SELECT c.d AS du, p.d AS dv
+      FROM cp JOIN cd c USING (ck) JOIN pd p USING (pk)
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+             sum(CAST(du AS HUGEINT) * dv) AS sxy,
+             sum(CAST(du AS HUGEINT) * du) AS sxx,
+             sum(CAST(dv AS HUGEINT) * dv) AS syy
+      FROM ed
+    )
+    SELECT n AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+             AS assortativity
+    FROM m
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the customer↔part bipartite graph:
+    Pearson correlation between endpoint degrees across edges — do
+    heavy buyers buy popular parts (positive) or niche parts
+    (negative)? The one-number summary of the joint degree structure
+    that `graph_degree_histogram` shows marginally, and the diagnostic
+    that predicts whether hub-capping (copurchase deg ≤ 60) removes a
+    distinct subpopulation or a uniform slice.
+
+    Determinism: five exact moments over the edge list (cross terms in
+    HUGEINT/DECIMAL(38) — du·dv sums pass BIGINT range at warehouse
+    scale); the coefficient is one fixed IEEE tree over six scalars.
+
+    Scale shape: two degree aggregates + one edge join keyed on each
+    endpoint (the same two-join shape as degree-oriented triangles) →
+    a one-row moment fold."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    cp = (
+        li.join(orders, "l_orderkey")
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    cd = cp.groupBy("ck").agg(F.count(F.lit(1)).alias("du"))
+    pd_ = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("dv"))
+    ed = cp.join(cd, "ck").join(pd_, "pk")
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du").cast("decimal(19,0)") * F.col("dv")).alias("sxy"),
+        F.sum(F.col("du").cast("decimal(19,0)") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv").cast("decimal(19,0)") * F.col("dv")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double")
+         - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy").cast("double")
+           - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
