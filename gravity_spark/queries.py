@@ -16925,6 +16925,117 @@ def graph_degree_assortativity(spark, sf_dir):
     )
 
 
+def _silhouette_sql(k: int, rounds: int) -> str:
+    base = _semdedup_sql(k, rounds, 0.0)
+    cut = base.rindex("dup AS (")
+    with_block = base[:cut].rstrip().rstrip(",")
+    d2 = (
+        "list_sum(list_transform(list_zip(a.xi, c.cxi),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+    return f"""
+    {with_block},
+    dists AS (
+      SELECT a.vec_id, a.cluster AS own, c.cluster AS other,
+             CAST({d2} AS BIGINT) AS dd
+      FROM af a, c{rounds} c
+    ),
+    ab AS (
+      SELECT vec_id, own,
+             max(CASE WHEN other = own THEN dd END) AS a2,
+             min(CASE WHEN other <> own THEN dd END) AS b2
+      FROM dists GROUP BY vec_id, own
+    ),
+    s AS (
+      SELECT own AS cluster,
+             CASE WHEN greatest(a2, b2) = 0 THEN 0
+                  ELSE CAST((CAST(b2 - a2 AS HUGEINT) * 1000000)
+                            // greatest(a2, b2) AS BIGINT) END AS sm
+      FROM ab
+    )
+    SELECT cluster, count(*) AS n,
+           CAST(sum(sm) AS BIGINT) AS sum_s_micro,
+           (2 * CAST(sum(sm) AS BIGINT) + count(*)) // (2 * count(*))
+             AS mean_s_micro
+    FROM s GROUP BY cluster
+    """
+
+
+@register("embedding_silhouette_simplified", _silhouette_sql(8, 2))
+def embedding_silhouette_simplified(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per cluster for the
+    engine's deterministic k-means: s = (b−a)/max(a,b) with a = squared
+    distance to the OWN centroid and b = to the nearest OTHER centroid
+    — the linear-time cluster-quality score (full silhouette is
+    quadratic in cluster size; the centroid form is the standard
+    at-scale substitute) that grades the clustering `semdedup_prune`
+    builds on: a cluster with mean s ≈ 0 is a boundary blob whose
+    within-cluster prune decisions are geometry noise.
+
+    Per-point s is FLOOR-scaled to micro (floor division emulated
+    identically on both engines via the non-negative-modulus identity
+    — Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    and b−a can be negative); cluster means are half-up integer
+    divisions of exact sums. Centroids are `kmeans_fit`'s — the exact
+    set the final assignment used (re-deriving them from the
+    assignment would be a different Lloyd round).
+
+    Scale shape: one scan against k broadcast centroid literals (the
+    kmeans map-only discipline) + a cluster-keyed fold; nothing
+    quadratic anywhere."""
+    from gravity_spark.functions.similarity import kmeans_fit, scale_embedding
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_fit(emb, k=8, rounds=2)
+    cdf = spark.createDataFrame(
+        [(c, list(x)) for c, x in cents], "other bigint, cxi array<bigint>"
+    )
+    dists = (
+        assigned.select(
+            "vec_id", F.col("cluster").alias("own"), "xi"
+        )
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id", "own", "other",
+            sim._sq_dist(F.col("xi"), F.col("cxi")).alias("dd"),
+        )
+    )
+    ab = dists.groupBy("vec_id", "own").agg(
+        F.max(F.when(F.col("other") == F.col("own"), F.col("dd"))).alias("a2"),
+        F.min(F.when(F.col("other") != F.col("own"), F.col("dd"))).alias("b2"),
+    )
+    # floor division with a possibly-negative numerator, in
+    # DECIMAL(38): Spark's `div` truncates toward zero while DuckDB's
+    # `//` floors, so emulate floor via the non-negative-modulus
+    # identity; the numerator reaches ~2.6e20 (1e6 x max sq-dist) —
+    # past BIGINT, hence the decimal widening on both engines.
+    sm = F.when(
+        F.greatest(F.col("a2"), F.col("b2")) == 0, F.lit(0)
+    ).otherwise(
+        F.expr(
+            "CAST((CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000"
+            " - ((CAST(b2 - a2 AS DECIMAL(38,0)) * 1000000"
+            "     % greatest(a2, b2)) + greatest(a2, b2))"
+            "   % greatest(a2, b2))"
+            " / greatest(a2, b2) AS BIGINT)"
+        )
+    )
+    s = ab.select(F.col("own").alias("cluster"), sm.alias("sm"))
+    agg = s.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sm").alias("sum_s_micro"),
+    )
+    # half-up numerator can be negative too -> same floor identity
+    return agg.select(
+        F.col("cluster").cast("long").alias("cluster"), "n", "sum_s_micro",
+        F.expr(
+            "CAST((2 * sum_s_micro + n"
+            " - (((2 * sum_s_micro + n) % (2 * n)) + 2 * n) % (2 * n))"
+            " / (2 * n) AS BIGINT)"
+        ).alias("mean_s_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
