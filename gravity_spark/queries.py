@@ -17036,6 +17036,110 @@ def embedding_silhouette_simplified(spark, sf_dir):
     )
 
 
+@register(
+    "user_anomaly_gate",
+    """
+    WITH base AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts) AS BIGINT) AS us,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id,
+             (us - lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)) // 1000000
+               AS gap_s
+      FROM base
+    ),
+    per_minute AS (
+      SELECT user_id, us // 60000000 AS minute, count(*) AS mcnt
+      FROM base GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT b.user_id,
+             count(*) AS n,
+             CAST(sum(CASE WHEN b.event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs,
+             count(DISTINCT (b.us // 3600000000) % 24) AS n_hours
+      FROM base b GROUP BY 1
+    ),
+    mg AS (SELECT user_id, max(mcnt) AS max_minute FROM per_minute
+           GROUP BY 1),
+    gg AS (SELECT user_id, count(DISTINCT gap_s) AS n_gaps
+           FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1)
+    SELECT f.user_id, f.n,
+           (CASE WHEN 10 * f.errs > 3 * f.n THEN 1 ELSE 0 END)
+           + (CASE WHEN mg.max_minute >= 3 THEN 2 ELSE 0 END)
+           + (CASE WHEN f.n >= 5 AND coalesce(gg.n_gaps, 99) = 1
+                   THEN 4 ELSE 0 END)
+           + (CASE WHEN f.n >= 10 AND f.n_hours <= 2 THEN 8 ELSE 0 END)
+             AS anomaly_mask
+    FROM f
+    JOIN mg ON mg.user_id = f.user_id
+    LEFT JOIN gg ON gg.user_id = f.user_id
+    """,
+)
+def user_anomaly_gate(spark, sf_dir):
+    """Composite per-user anomaly gate with a reason bitmask — the
+    abuse-detection twin of `corpus_quality_gate` (that one gates
+    documents; this gates ACTORS): error share > 30% (bit 1), ≥3
+    events inside one wall-clock minute (bit 2), perfectly regular
+    cadence — every inter-arrival gap the same whole second, n ≥ 5
+    (bit 4, the scripted-client signature), and ≥10 events confined to
+    ≤2 hours-of-day (bit 8, the cron signature). Reason codes, not a
+    boolean, for the same reason as the quality gate: thresholds are
+    tuned from the mask histogram, and relaxing one rule is masking a
+    bit.
+
+    All rules are exact integer predicates over per-user aggregates;
+    the cadence rule reads a user-partitioned lag window; everything
+    shuffles once on user_id (AQE coalesces the four keyed frames).
+
+    Scale shape: three keyed aggregations + one lag window, all on
+    user_id; joins are PK-keyed on the user frame."""
+    ev = T(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type",
+        F.unix_micros("ts").alias("us"), "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = base.select(
+        "user_id",
+        F.expr("(us - lag(us) OVER (PARTITION BY user_id"
+               " ORDER BY us, event_id)) div 1000000").alias("gap_s"),
+    )
+    per_minute = base.groupBy(
+        "user_id", F.expr("us div 60000000").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("mcnt"))
+    f = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+        F.countDistinct(F.expr("(us div 3600000000) % 24")).alias("n_hours"),
+    )
+    mg = per_minute.groupBy("user_id").agg(
+        F.max("mcnt").alias("max_minute")
+    )
+    gg = gaps.filter(F.col("gap_s").isNotNull()).groupBy("user_id").agg(
+        F.countDistinct("gap_s").alias("n_gaps")
+    )
+    j = f.join(mg, "user_id").join(gg, "user_id", "left")
+    mask = (
+        F.when(10 * F.col("errs") > 3 * F.col("n"), 1).otherwise(0)
+        + F.when(F.col("max_minute") >= 3, 2).otherwise(0)
+        + F.when(
+            (F.col("n") >= 5) & (F.coalesce("n_gaps", F.lit(99)) == 1), 4
+        ).otherwise(0)
+        + F.when((F.col("n") >= 10) & (F.col("n_hours") <= 2), 8)
+        .otherwise(0)
+    )
+    return j.select(
+        "user_id", "n", mask.cast("long").alias("anomaly_mask")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
