@@ -17140,6 +17140,172 @@ def user_anomaly_gate(spark, sf_dir):
     )
 
 
+@register(
+    "user_ctr_shrunk_eb",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k,
+             CAST(sum(CASE WHEN event_type IN ('click', 'view')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    uu AS (
+      SELECT user_id, k, n,
+             (2000 * k + n) // (2 * n) AS p_milli
+      FROM u WHERE n > 0
+    ),
+    mom AS (
+      SELECT count(*) AS m,
+             CAST(sum(p_milli) AS BIGINT) AS sp,
+             CAST(sum(p_milli * p_milli) AS BIGINT) AS spp
+      FROM uu
+    ),
+    ab AS (
+      SELECT
+        CAST(round(
+          (CAST(sp AS DOUBLE) / m / 1000)
+          * ((CAST(sp AS DOUBLE) / m / 1000)
+             * (1 - CAST(sp AS DOUBLE) / m / 1000)
+             / (((CAST(spp AS DOUBLE)
+                  - CAST(sp AS DOUBLE) / m * sp) / (m - 1)) / 1000000)
+             - 1) * 1000000) AS BIGINT) AS au,
+        CAST(round(
+          (1 - CAST(sp AS DOUBLE) / m / 1000)
+          * ((CAST(sp AS DOUBLE) / m / 1000)
+             * (1 - CAST(sp AS DOUBLE) / m / 1000)
+             / (((CAST(spp AS DOUBLE)
+                  - CAST(sp AS DOUBLE) / m * sp) / (m - 1)) / 1000000)
+             - 1) * 1000000) AS BIGINT) AS bu
+      FROM mom
+    )
+    SELECT uu.user_id, uu.n, uu.k, uu.p_milli AS raw_milli,
+           (2000 * (1000000 * uu.k + ab.au)
+            + (1000000 * uu.n + ab.au + ab.bu))
+             // (2 * (1000000 * uu.n + ab.au + ab.bu)) AS shrunk_milli
+    FROM uu, ab
+    """,
+)
+def user_ctr_shrunk_eb(spark, sf_dir):
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user
+    click-through rates: the prior Beta(α, β) is fitted by method of
+    moments on the POPULATION of per-user rates, then every user's
+    rate shrinks toward it proportionally to their evidence —
+    (k+α)/(n+α+β) — the smoothing every ranking/leaderboard surface
+    needs so a 1/1 user doesn't outrank a 95/100 user (the parametric
+    cousin of `events_ctr_wilson`'s bound).
+
+    Determinism: per-user rates are half-up milli ints; the population
+    moments (m, Σp, Σp²) are exact BIGINTs; α, β come out of ONE fixed
+    IEEE tree over those three scalars and are immediately rounded to
+    micro-integers — all downstream shrinkage is then pure integer
+    arithmetic, so engine float behavior touches exactly one rounded
+    expression.
+
+    Scale shape: one user-keyed aggregate, one 3-scalar moment fold,
+    one broadcast of (α, β) back over the user frame."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("k"),
+        F.sum(
+            F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+        ).alias("n"),
+    ).filter(F.col("n") > 0)
+    uu = u.withColumn("p_milli", F.expr("(2000 * k + n) div (2 * n)"))
+    mom = uu.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("p_milli").alias("sp"),
+        F.sum(F.col("p_milli") * F.col("p_milli")).alias("spp"),
+    )
+    mu = F.col("sp").cast("double") / F.col("m") / 1000
+    var = (
+        (F.col("spp").cast("double")
+         - F.col("sp").cast("double") / F.col("m") * F.col("sp"))
+        / (F.col("m") - 1)
+    ) / 1000000
+    common = mu * (1 - mu) / var - 1
+    ab = mom.select(
+        F.round(mu * common * 1000000).cast("long").alias("au"),
+        F.round((1 - mu) * common * 1000000).cast("long").alias("bu"),
+    )
+    return uu.crossJoin(F.broadcast(ab)).select(
+        "user_id", "n", "k", F.col("p_milli").alias("raw_milli"),
+        F.expr(
+            "(2000 * (1000000 * k + au) + (1000000 * n + au + bu))"
+            " div (2 * (1000000 * n + au + bu))"
+        ).alias("shrunk_milli"),
+    )
+
+
+@register(
+    "fiscal_445_calendar_rollup",
+    """
+    WITH anchor AS (
+      SELECT min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+                 // 7 * 7) AS a0
+      FROM orders
+    ),
+    wk AS (
+      SELECT (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+              - (SELECT a0 FROM anchor)) // 7 AS fw,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fq AS (
+      SELECT fw // 13 AS fyear_q, fw % 13 AS wq, cents FROM wk
+    ),
+    labeled AS (
+      SELECT fyear_q,
+             CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END
+               AS fmonth,
+             cents
+      FROM fq
+    )
+    SELECT fyear_q AS fiscal_quarter, fmonth AS fiscal_month_in_q,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM labeled GROUP BY 1, 2
+    """,
+)
+def fiscal_445_calendar_rollup(spark, sf_dir):
+    """Revenue on a 4-4-5 retail fiscal calendar: weeks anchored at
+    the first whole week of the data, 13-week quarters split 4/4/5
+    into fiscal months — the calendar finance actually closes books on
+    (every fiscal 'month' holds whole weeks, so week-over-week and
+    month-over-month comparisons aren't distorted by weekday mix, the
+    flaw of the Gregorian rollups in `revenue_waterfall_monthly`).
+    Pure integer epoch-day arithmetic — no date functions whose week
+    conventions could differ between engines.
+
+    Scale shape: row-local calendar mapping, one (quarter, month)
+    groupBy with map-side partials."""
+    orders = T(spark, sf_dir, "orders")
+    a0 = orders.agg(
+        F.expr(
+            "min(unix_timestamp(o_orderdate) div 86400 div 7 * 7)"
+        ).alias("a")
+    ).collect()[0]["a"]
+    wk = orders.select(
+        F.expr(
+            f"(unix_timestamp(o_orderdate) div 86400 - {a0}) div 7"
+        ).alias("fw"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    labeled = wk.select(
+        F.expr("fw div 13").alias("fiscal_quarter"),
+        F.when(F.col("fw") % 13 < 4, 1)
+        .when(F.col("fw") % 13 < 8, 2)
+        .otherwise(3).alias("fiscal_month_in_q"),
+        "cents",
+    )
+    return labeled.groupBy("fiscal_quarter", "fiscal_month_in_q").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
