@@ -17306,6 +17306,194 @@ def fiscal_445_calendar_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "error_impact_ttest",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS spend
+      FROM events GROUP BY user_id
+    ),
+    lab AS (
+      SELECT CASE WHEN errs >= 10 THEN 1 ELSE 0 END AS hit, spend FROM u
+    ),
+    mom AS (
+      SELECT hit, count(*) AS n, CAST(sum(spend) AS BIGINT) AS sx,
+             sum(CAST(spend AS HUGEINT) * spend) AS sxx
+      FROM lab GROUP BY hit
+    ),
+    wide AS (
+      SELECT max(CASE WHEN hit = 1 THEN n END) AS n1,
+             max(CASE WHEN hit = 1 THEN sx END) AS sx1,
+             max(CASE WHEN hit = 1 THEN sxx END) AS sxx1,
+             max(CASE WHEN hit = 0 THEN n END) AS n2,
+             max(CASE WHEN hit = 0 THEN sx END) AS sx2,
+             max(CASE WHEN hit = 0 THEN sxx END) AS sxx2
+      FROM mom
+    )
+    SELECT n1 AS n_errored, n2 AS n_clean,
+           round(CAST(sx1 AS DOUBLE) / n1 / 100, 2) AS mean_spend_errored,
+           round(CAST(sx2 AS DOUBLE) / n2 / 100, 2) AS mean_spend_clean,
+           round(
+             (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+             / sqrt(
+                 (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) / n1 * sx1)
+                   / (n1 - 1) / n1
+               + (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) / n2 * sx2)
+                   / (n2 - 1) / n2
+             ), 6) AS t_stat
+    FROM wide
+    """,
+)
+def error_impact_ttest(spark, sf_dir):
+    """Does a bad experience cost revenue? Welch's t between
+    heavy-error users (≥10 errors) and the rest on total purchase
+    spend — the observational companion to `ab_uplift_by_decile`
+    (that one reads a randomized assignment; this reads a BEHAVIORAL
+    cohort, and the docstring says so because the difference between
+    the two is the most common causal-inference mistake in analytics:
+    this estimates association, not effect).
+
+    Same moment discipline as `segment_welch_ttest`: exact (n, Σx,
+    Σx²) per cohort with Σx² in HUGEINT/DECIMAL(38); the statistic is
+    one double expression over six scalars.
+
+    Scale shape: one user-keyed aggregate, a 2-row moment fold, a
+    one-row pivot."""
+    ev = T(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errs"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(0)
+        ).alias("spend"),
+    )
+    lab = u.select(
+        F.when(F.col("errs") >= 10, 1).otherwise(0).alias("hit"), "spend"
+    )
+    mom = lab.groupBy("hit").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").alias("sx"),
+        F.sum(F.col("spend").cast("decimal(19,0)") * F.col("spend"))
+        .alias("sxx"),
+    )
+    wide = mom.agg(
+        *[
+            F.max(F.when(F.col("hit") == h, F.col(c))).alias(f"{c}{i}")
+            for i, h in [(1, 1), (2, 0)]
+            for c in ("n", "sx", "sxx")
+        ]
+    )
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    m2 = F.col("sx2").cast("double") / F.col("n2")
+    se2_1 = (
+        (F.col("sxx1").cast("double") - m1 * F.col("sx1"))
+        / (F.col("n1") - 1) / F.col("n1")
+    )
+    se2_2 = (
+        (F.col("sxx2").cast("double") - m2 * F.col("sx2"))
+        / (F.col("n2") - 1) / F.col("n2")
+    )
+    return wide.select(
+        F.col("n1").alias("n_errored"),
+        F.col("n2").alias("n_clean"),
+        F.round(m1 / 100, 2).alias("mean_spend_errored"),
+        F.round(m2 / 100, 2).alias("mean_spend_clean"),
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+    )
+
+
+@register(
+    "orders_quarter_hockey_stick",
+    """
+    WITH anchor AS (
+      SELECT min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+                 // 7 * 7) AS a0
+      FROM orders
+    ),
+    wk AS (
+      SELECT (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+              - (SELECT a0 FROM anchor)) // 7 AS fw,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    q AS (
+      SELECT fw // 13 AS fq, fw % 13 AS wq,
+             CAST(sum(cents) AS BIGINT) AS wrev
+      FROM wk GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT fq, count(*) AS n_weeks,
+             CAST(sum(wrev) AS BIGINT) AS qrev,
+             CAST(max(CASE WHEN wq = 12 THEN wrev END) AS BIGINT)
+               AS last_week_rev
+      FROM q GROUP BY fq
+    )
+    SELECT fq AS fiscal_quarter, n_weeks, qrev AS quarter_rev_cents,
+           last_week_rev,
+           (2000 * last_week_rev * 13 + qrev) // (2 * qrev)
+             AS last_week_index_milli,
+           CASE WHEN last_week_rev * 130 > 11 * qrev THEN 1
+                ELSE 0 END AS hockey_flag
+    FROM agg WHERE n_weeks = 13 AND last_week_rev IS NOT NULL
+    """,
+)
+def orders_quarter_hockey_stick(spark, sf_dir):
+    """End-of-quarter hockey-stick detection on the 4-4-5 calendar:
+    the last fiscal week's revenue indexed against the quarter's
+    average week (1000 milli = perfectly flat; sales orgs that
+    discount to make quarter numbers show sustained indexes well
+    above it) — the revenue-quality diagnostic auditors and RevOps
+    teams run, downstream of `fiscal_445_calendar_rollup`'s calendar.
+    Only complete 13-week quarters are graded (a partial quarter's
+    'last week' is an artifact).
+
+    Index is a half-up milli of (last_week·13)/qrev — exact integers;
+    the flag marks indexes above 10% over flat.
+
+    Scale shape: the week map is row-local; two bounded groupBys."""
+    orders = T(spark, sf_dir, "orders")
+    a0 = orders.agg(
+        F.expr(
+            "min(unix_timestamp(o_orderdate) div 86400 div 7 * 7)"
+        ).alias("a")
+    ).collect()[0]["a"]
+    wk = orders.select(
+        F.expr(
+            f"(unix_timestamp(o_orderdate) div 86400 - {a0}) div 7"
+        ).alias("fw"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    q = wk.groupBy(
+        F.expr("fw div 13").alias("fq"), (F.col("fw") % 13).alias("wq")
+    ).agg(F.sum("cents").alias("wrev"))
+    agg = q.groupBy("fq").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.sum("wrev").alias("qrev"),
+        F.max(F.when(F.col("wq") == 12, F.col("wrev"))).alias(
+            "last_week_rev"
+        ),
+    ).filter((F.col("n_weeks") == 13) & F.col("last_week_rev").isNotNull())
+    return agg.select(
+        F.col("fq").alias("fiscal_quarter"), "n_weeks",
+        F.col("qrev").alias("quarter_rev_cents"), "last_week_rev",
+        F.expr(
+            "(2000 * last_week_rev * 13 + qrev) div (2 * qrev)"
+        ).alias("last_week_index_milli"),
+        F.when(
+            F.col("last_week_rev") * 130 > 11 * F.col("qrev"), 1
+        ).otherwise(0).alias("hockey_flag"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
