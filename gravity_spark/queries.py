@@ -17494,6 +17494,75 @@ def orders_quarter_hockey_stick(spark, sf_dir):
     )
 
 
+@register(
+    "customer_revenue_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM rev
+    ),
+    s AS (
+      SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             sum(CAST(i AS HUGEINT) * x) AS six
+      FROM r
+    )
+    SELECT n AS n_customers, sx AS total_cents,
+           round(CAST(2 * six - (n + 1) * CAST(sx AS HUGEINT) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * sx), 6) AS gini
+    FROM s
+    """,
+)
+def customer_revenue_gini(spark, sf_dir):
+    """Gini coefficient of revenue across customers — the whale-
+    concentration number next to `supplier_revenue_hhi` (market-share
+    concentration) and `orders_pareto_abc` (banded view): one scalar
+    that tracks whether the business is drifting toward dependence on
+    a few accounts. Same exact rank formula as `docs_source_gini`
+    (G = (2Σi·xᵢ − (n+1)Σx)/(nΣx) over ascending revenue), with the
+    rank·value cross terms in HUGEINT/DECIMAL(38) — i·x reaches
+    ~n·max_revenue and its SUM passes BIGINT at customer-base scale.
+
+    The rank runs over the CUSTOMER AGGREGATE (one row per customer),
+    ordered by (revenue, custkey) for tie stability. A single ordered
+    window over that aggregate is the one global sort in the plan — at
+    100 TB shard it hierarchically exactly like docs_source_gini's
+    documented path (the aggregate is customer-cardinality, 4-5 orders
+    of magnitude under the fact table).
+
+    Scale shape: fact scan → customer agg → aggregate-frame rank →
+    3-scalar fold."""
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    r = rev.select(
+        "x", F.row_number().over(w).cast("long").alias("i")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i").cast("decimal(19,0)") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("sx").alias("total_cents"),
+        F.round(
+            (
+                2 * F.col("six")
+                - (F.col("n") + 1) * F.col("sx").cast("decimal(19,0)")
+            ).cast("double")
+            / (F.col("n").cast("double") * F.col("sx")),
+            6,
+        ).alias("gini"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
