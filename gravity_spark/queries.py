@@ -17563,6 +17563,73 @@ def customer_revenue_gini(spark, sf_dir):
     )
 
 
+@register(
+    "customer_top1pct_share",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             CAST(sum(x) OVER () AS BIGINT) AS sx
+      FROM rev
+    ),
+    topk AS (
+      SELECT n, sx, CAST(sum(x) AS BIGINT) AS tx,
+             count(*) AS k
+      FROM r WHERE rk * 100 <= n + 99 GROUP BY n, sx
+    )
+    SELECT n AS n_customers, k AS top_k, sx AS total_cents,
+           tx AS top_cents,
+           (2000 * tx + sx) // (2 * sx) AS top_share_milli
+    FROM topk
+    """,
+)
+def customer_top1pct_share(spark, sf_dir):
+    """Share of revenue held by the top 1% of customers (k = ⌈n/100⌉)
+    — the concentration number executives actually quote, the direct
+    companion to `customer_revenue_gini` (Gini summarizes the whole
+    curve; this reads one point of it). Share is a half-up milli on
+    exact cents.
+
+    rk·100 ≤ n+99 is the integer form of rk ≤ ⌈n/100⌉. The rank and
+    total windows run over the CUSTOMER AGGREGATE (one row per
+    customer; n and Σx as whole-frame windows on that aggregate, the
+    bounded-frame discipline — at 100 TB the top-k filter composes
+    with a per-partition TakeOrdered pre-prune since only ~n/100 rows
+    can qualify globally).
+
+    Scale shape: fact scan → customer agg → aggregate-frame windows →
+    one-row fold."""
+    orders = T(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    w = Window.orderBy(F.col("x").desc(), "o_custkey")
+    r = rev.select(
+        "x",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("sx"),
+    )
+    topk = (
+        r.filter(F.col("rk") * 100 <= F.col("n") + 99)
+        .groupBy("n", "sx")
+        .agg(F.sum("x").alias("tx"), F.count(F.lit(1)).alias("k"))
+    )
+    return topk.select(
+        F.col("n").alias("n_customers"),
+        F.col("k").alias("top_k"),
+        F.col("sx").alias("total_cents"),
+        F.col("tx").alias("top_cents"),
+        F.expr("(2000 * tx + sx) div (2 * sx)").alias("top_share_milli"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
