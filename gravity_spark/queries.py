@@ -9454,6 +9454,62 @@ def market_basket_rules(spark, sf_dir):
     )
 
 
+def _dist_rank(
+    df,
+    metric: str,
+    tie: str,
+    out: str,
+    n_buckets: int = 64,
+    top=None,
+):
+    """Exact global ``row_number() OVER (ORDER BY metric, tie)`` WITHOUT
+    a partition-less WindowExec — the `_dist_ntile` banding skeleton with
+    the raw rank exposed instead of the tile:
+
+      1. value-bucket rows by width_bucket(metric) over broadcast
+         min/max bounds (monotone → bucket order refines metric order);
+      2. row_number within each bucket ordered by (metric, tie) — the
+         only data shuffle, hash-partitioned on the bucket;
+      3. per-bucket counts → cumulative offsets over ≤n_buckets
+         metadata rows, folded driver-side and broadcast back;
+      4. global rank = offset + local rank.
+
+    ``top=k`` is the TakeOrdered-style pre-prune: buckets whose offset
+    already exceeds k are dropped BEFORE the in-bucket sort (their rows
+    cannot rank ≤ k), and rows with rank > k are filtered after — so a
+    top-1% query sorts ~1 bucket, not the population.  ``top`` may be a
+    callable receiving the exact population count (for k = f(n) prunes
+    like ⌈n/100⌉).  Descending order = negate the metric at the call
+    site (tie stays ascending)."""
+    bounds = df.agg(
+        F.min(metric).alias("_lo"), (F.max(metric) + F.lit(1)).alias("_hi")
+    )
+    bucketed = df.join(F.broadcast(bounds)).withColumn(
+        "_b", F.width_bucket(F.col(metric), "_lo", "_hi", F.lit(n_buckets))
+    ).drop("_lo", "_hi")
+    counts = sorted(
+        (r["_b"], r["_c"])
+        for r in bucketed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    if callable(top):  # top-k as a function of n (e.g. top 1% = ⌈n/100⌉)
+        top = top(total)
+    rows, acc = [], 0
+    for b_id, c in counts:
+        if top is None or acc < top:
+            rows.append((b_id, acc))
+        acc += c
+    offsets = df.sparkSession.createDataFrame(rows, "_b long, _off long")
+    pruned = bucketed.join(F.broadcast(offsets), "_b")
+    local = pruned.withColumn(
+        "_lr", F.row_number().over(Window.partitionBy("_b").orderBy(metric, tie))
+    )
+    ranked = local.withColumn(out, (F.col("_off") + F.col("_lr")).cast("long"))
+    if top is not None:
+        ranked = ranked.filter(F.col(out) <= top)
+    return ranked.drop("_b", "_lr", "_off")
+
+
 def _dist_ntile(df, metric: str, tie: str, out: str, k: int, n_buckets: int = 64):
     """Exact ntile(k) OVER (ORDER BY metric, tie) WITHOUT a global-order
     window — the mongo_bucket_chunks two-level pattern, generalized:
@@ -15772,12 +15828,13 @@ def ab_uplift_by_decile(spark, sf_dir):
     Rates are half-up milli divisions on exact counts (NULL for an
     empty arm — at tiny SFs a quintile may hold one variant only, and
     ANSI mode turns the naive division into a runtime error); the
-    quintile
-    window orders by (activity DESC, user_id) over the USER aggregate
-    (customer-cardinality, the revenue_rank_movement discipline —
-    swap in _dist_ntile if even that outgrows a partition).
+    quintile is the DISTRIBUTED exact ntile (`_dist_ntile` on negated
+    activity so DESC order holds with user_id ties ascending — the
+    same swap `customer_rfm_segments` made), never a partition-less
+    ntile window: the user aggregate is population-cardinality and a
+    global-order WindowExec would sort it in one task.
 
-    Scale shape: one user-keyed aggregate, one aggregate-frame window,
+    Scale shape: one user-keyed aggregate, banded two-level ntile,
     a 5-row cell table."""
     ev = T(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
@@ -15793,8 +15850,9 @@ def ab_uplift_by_decile(spark, sf_dir):
             F.when(F.col("event_type") == "purchase", 1).otherwise(0)
         ).alias("converted"),
     )
-    w = Window.orderBy(F.col("n_events").desc(), "user_id")
-    tiled = u.withColumn("quintile", F.ntile(5).over(w))
+    tiled = _dist_ntile(
+        u.withColumn("_na", -F.col("n_events")), "_na", "user_id", "quintile", 5
+    ).drop("_na")
     cell = tiled.groupBy("quintile").agg(
         F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n_t"),
         F.sum(
@@ -17528,22 +17586,21 @@ def customer_revenue_gini(spark, sf_dir):
     ~n·max_revenue and its SUM passes BIGINT at customer-base scale.
 
     The rank runs over the CUSTOMER AGGREGATE (one row per customer),
-    ordered by (revenue, custkey) for tie stability. A single ordered
-    window over that aggregate is the one global sort in the plan — at
-    100 TB shard it hierarchically exactly like docs_source_gini's
-    documented path (the aggregate is customer-cardinality, 4-5 orders
-    of magnitude under the fact table).
+    ordered by (revenue, custkey) for tie stability — and it is the
+    DISTRIBUTED rank (`_dist_rank`: value-bucket → in-bucket
+    row_number → broadcast offsets), not a partition-less WindowExec:
+    at TPC-H sf100k the customer aggregate is ~1.5 B rows, which a
+    global-order window would sort in ONE task. Banding keeps
+    parallelism at #populated revenue buckets while the rank stays
+    bit-identical (bucket order refines the (x, custkey) total order).
 
-    Scale shape: fact scan → customer agg → aggregate-frame rank →
+    Scale shape: fact scan → customer agg → banded two-level rank →
     3-scalar fold."""
     orders = T(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    r = rev.select(
-        "x", F.row_number().over(w).cast("long").alias("i")
-    )
+    r = _dist_rank(rev, "x", "o_custkey", "i").select("x", "i")
     s = r.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -17596,32 +17653,33 @@ def customer_top1pct_share(spark, sf_dir):
     curve; this reads one point of it). Share is a half-up milli on
     exact cents.
 
-    rk·100 ≤ n+99 is the integer form of rk ≤ ⌈n/100⌉. The rank and
-    total windows run over the CUSTOMER AGGREGATE (one row per
-    customer; n and Σx as whole-frame windows on that aggregate, the
-    bounded-frame discipline — at 100 TB the top-k filter composes
-    with a per-partition TakeOrdered pre-prune since only ~n/100 rows
-    can qualify globally).
+    rk·100 ≤ n+99 is the integer form of rk ≤ ⌈n/100⌉. The rank is the
+    DISTRIBUTED `_dist_rank` with the real TakeOrdered-style pre-prune
+    the oracle's window can't do: revenue-bucket the customer
+    aggregate, fold the ≤64 bucket counts driver-side, and DROP every
+    bucket whose cumulative offset already exceeds k = ⌈n/100⌉ before
+    any sorting — only ~1 bucket of whales is ever ranked, never the
+    population (at sf100k that's the difference between sorting ~1.5 B
+    rows in one task and ranking a few million in parallel). n and Σx
+    ride a separate one-row aggregate, broadcast — no whole-frame
+    window at all.
 
-    Scale shape: fact scan → customer agg → aggregate-frame windows →
-    one-row fold."""
+    Scale shape: fact scan → customer agg (persisted, read 2×) →
+    one-row totals ⨯ pruned banded rank → one-row fold."""
     orders = T(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    ).persist()
+    tot = rev.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+    ranked = _dist_rank(
+        rev.withColumn("_nx", -F.col("x")),
+        "_nx",
+        "o_custkey",
+        "rk",
+        top=lambda n: (n + 99) // 100,
     )
-    w = Window.orderBy(F.col("x").desc(), "o_custkey")
-    r = rev.select(
-        "x",
-        F.row_number().over(w).cast("long").alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("x").over(Window.partitionBy()).alias("sx"),
-    )
-    topk = (
-        r.filter(F.col("rk") * 100 <= F.col("n") + 99)
-        .groupBy("n", "sx")
-        .agg(F.sum("x").alias("tx"), F.count(F.lit(1)).alias("k"))
-    )
-    return topk.select(
+    topk = ranked.agg(F.sum("x").alias("tx"), F.count(F.lit(1)).alias("k"))
+    return topk.crossJoin(F.broadcast(tot)).select(
         F.col("n").alias("n_customers"),
         F.col("k").alias("top_k"),
         F.col("sx").alias("total_cents"),

@@ -4,6 +4,13 @@ Checks scale hygiene automatically:
   - parquet scans carry PushedFilters when the query filters base tables
   - no CartesianProduct anywhere (broadcast cross joins excepted)
   - queries flagged as broadcast-designed actually broadcast
+  - NO partition-less WindowExec over non-metadata cardinality (the
+    single-task global sort that round 4 let slip through in three
+    queries) — walks the physical plan tree, flags any
+    WindowExec/WindowGroupLimitExec/WindowInPandasExec whose
+    partitionSpec is empty unless the query is in
+    GLOBAL_WINDOW_METADATA_OK (each entry documents the bounded frame
+    the window runs over).
 
 Usage: python tools/explain_audit.py [sf_dir] > plans.txt
 """
@@ -26,6 +33,46 @@ SKIP = {"streaming_window_counts", "streaming_cdc_pipeline", "cdc_merge_replace"
         "streaming_stream_join", "dedup_components"}
 
 
+#: queries whose partition-less window PROVABLY runs over bounded
+#: metadata cardinality (≤ a few thousand rows by construction), with
+#: the bound stated. Anything else with an empty partitionSpec fails.
+GLOBAL_WINDOW_METADATA_OK: dict[str, str] = {
+    "mongo_bucket_chunks": "cumulative offsets over ≤n_buckets (64) bucket-count rows",
+    "orders_pareto_abc": "band offsets over ≤64 power-of-two revenue bands",
+    "classifier_auc_eval": "running sum over the score histogram (score range is a design constant, ~few hundred rows at any corpus size)",
+    "vocab_growth_heaps": "cumulative fold over 10 decile rows",
+    "classifier_decile_lift": "cumulative fold over 10 decile rows",
+    "returns_chi2_independence": "marginals over the returnflag×linestatus contingency table (≤ 3×2 cells)",
+    "docs_source_lang_drift": "marginals over the source×lang contingency table (≤ sources×langs, both design-bounded enums)",
+    "orders_priority_drift_by_month": "marginals over the month×priority table (≤ 84×5 cells)",
+    "orders_keyspace_gaps": "inter-shard seam lead over |keys|/4096 boundary rows (~366k rows of 3 longs ≈ 9 MB single task at sf100k; recurse the sharding if keys outgrow it)",
+    "events_signup_to_purchase_hazard": "at-risk suffix sum over per-day rows (date range, ~2.5k rows)",
+}
+
+_WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
+
+
+def _partitionless_windows(df) -> list[str]:
+    """Walk the pre-AQE physical plan; return the node names of window
+    execs whose partitionSpec is empty (the one-task global sort)."""
+    hits: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in _WINDOW_EXECS and node.partitionSpec().isEmpty():
+            hits.append(cls)
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+        # subqueries (scalar/IN) hide plans outside children()
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            walk(subs.apply(i))
+
+    walk(df._jdf.queryExecution().sparkPlan())
+    return hits
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("explain_audit")
@@ -44,6 +91,17 @@ def main() -> None:
         print(f"===== {name} =====\n{plan}\n")
         if "CartesianProduct" in plan and name not in CROSS_OK:
             problems.append(f"{name}: CartesianProduct in plan")
+        try:
+            pl = _partitionless_windows(df)
+        except Exception as e:  # plan-walk failure is itself a problem
+            problems.append(f"{name}: window walk failed: {e}")
+            pl = []
+        if pl and name not in GLOBAL_WINDOW_METADATA_OK:
+            problems.append(
+                f"{name}: partition-less {'/'.join(pl)} (single-task "
+                "global sort) — use _dist_rank/_dist_ntile or the "
+                "banded prefix-sum, or allowlist with a cardinality proof"
+            )
 
     if problems:
         print("AUDIT PROBLEMS:", file=sys.stderr)
