@@ -380,7 +380,21 @@ class ParquetMergeTarget:
         pcol = self.partition_col
         cached = changes.persist()
         try:
-            touched = [r[pcol] for r in cached.select(pcol).distinct().collect()]
+            # collect BOTH the value and Spark's own string rendering of
+            # it: the staging dir's __p=<fragment> children are written
+            # with Spark's partition-path encoding (URL-escaped specials,
+            # booleans as 'true'/'false', NULL as
+            # __HIVE_DEFAULT_PARTITION__), which differs from Python
+            # str() for bools/None/timestamps — matching on str(val)
+            # silently treated live partitions as fully-deleted
+            touched_rows = (
+                cached.select(
+                    F.col(pcol).alias("_v"), F.col(pcol).cast("string").alias("_s")
+                )
+                .distinct()
+                .collect()
+            )
+            touched = [(r["_v"], r["_s"]) for r in touched_rows]
             if not touched:
                 return
             from pyspark.sql.types import StructType
@@ -389,7 +403,7 @@ class ParquetMergeTarget:
             m = self._manifest()
             paths = [
                 os.path.join(self.path, f"p={val}", f"v{m['partitions'][str(val)]}")
-                for val in touched
+                for val, _ in touched
                 if str(val) in m["partitions"]
             ]
             current = (
@@ -410,14 +424,49 @@ class ParquetMergeTarget:
             merged.withColumn("__p", F.col(pcol)).write.mode("overwrite").partitionBy(
                 "__p"
             ).parquet(staging)
-            for val in touched:
-                src = os.path.join(staging, f"__p={val}")
-                if not os.path.isdir(src):
-                    # every row of the partition deleted → drop it from
-                    # the manifest (reads skip it; history dirs remain
-                    # until vacuum)
+            # enumerate what Spark ACTUALLY wrote and decode the
+            # partition-path fragments (percent-escaping is Spark's own;
+            # unquote inverts it exactly since '%' itself is escaped)
+            from urllib.parse import unquote
+
+            present = {
+                unquote(child[len("__p=") :]): child
+                for child in os.listdir(staging)
+                if child.startswith("__p=")
+            }
+            missing = [
+                (val, s)
+                for val, s in touched
+                if (s if s is not None else "__HIVE_DEFAULT_PARTITION__")
+                not in present
+            ]
+            if missing:
+                # a partition absent from staging means every row was
+                # deleted — VERIFY that against the merged frame before
+                # dropping it from the manifest; a nonzero count here
+                # would be silent data loss (e.g. an encoding form this
+                # decoder doesn't cover)
+                counts = {
+                    r["_v"]: r["_c"]
+                    for r in merged.groupBy(F.col(pcol).alias("_v"))
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                    .collect()
+                }
+                for val, _ in missing:
+                    if counts.get(val, 0) > 0:
+                        raise RuntimeError(
+                            f"partition {val!r} has {counts[val]} merged "
+                            "rows but no staged output dir — refusing to "
+                            "drop it from the manifest"
+                        )
                     m["partitions"].pop(str(val), None)
-                    continue
+            for val, s in touched:
+                child = present.get(
+                    s if s is not None else "__HIVE_DEFAULT_PARTITION__"
+                )
+                if child is None:
+                    continue  # verified full delete above
+                src = os.path.join(staging, child)
                 next_v = (m["partitions"].get(str(val)) or 0) + 1
                 dst_dir = os.path.join(self.path, f"p={val}")
                 os.makedirs(dst_dir, exist_ok=True)

@@ -83,6 +83,52 @@ def test_partitioned_streaming_pipeline(spark, tmp_path):
     assert {r["id"]: r["dt"] for r in t.read().collect()} == {1: "d1", 2: "d2"}
 
 
+def test_partition_value_path_encoding(spark, tmp_path):
+    """Partition values whose Python str() differs from Spark's
+    partition-path encoding must survive the staging rename: Spark
+    URL-escapes specials (space → %20, colon → %3A) and renders NULL as
+    __HIVE_DEFAULT_PARTITION__, so a str(val)-keyed lookup used to see
+    'no staged dir' and silently drop the live partition."""
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "enc"), ["id"],
+        "id long, dt string, v string", partition_col="dt",
+    )
+    t.apply_batch(_batch(spark, [
+        (1, "a b:c", "x", "insert", 1),
+        (2, "plain", "y", "insert", 2),
+        (3, None, "z", "insert", 3),
+    ]), epoch_id=0)
+    state = {r["id"]: (r["dt"], r["v"]) for r in t.read().collect()}
+    assert state == {1: ("a b:c", "x"), 2: ("plain", "y"), 3: (None, "z")}
+    assert t.partition_version("a b:c") == 1
+
+    # update inside the escaped partition bumps only its version
+    t.apply_batch(_batch(spark, [(1, "a b:c", "x2", "update", 4)]), epoch_id=1)
+    assert t.partition_version("a b:c") == 2
+    assert t.partition_version("plain") == 1
+    state = {r["id"]: r["v"] for r in t.read().collect()}
+    assert state == {1: "x2", 2: "y", 3: "z"}
+
+    # genuine full delete of the escaped partition is still a delete
+    t.apply_batch(_batch(spark, [(1, "a b:c", None, "delete", 5)]), epoch_id=2)
+    state = {r["id"]: r["v"] for r in t.read().collect()}
+    assert state == {2: "y", 3: "z"}
+
+
+def test_partition_value_bool_encoding(spark, tmp_path):
+    """Boolean partition column: Spark renders 'true'/'false' in the
+    path while Python str() gives 'True'/'False'."""
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "encb"), ["id"],
+        "id long, flag boolean, v string", partition_col="flag",
+    )
+    t.apply_batch(spark.createDataFrame(
+        [(1, True, "t", "insert", 1), (2, False, "f", "insert", 2)],
+        "id long, flag boolean, v string, op string, seq long"), 0)
+    state = {r["id"]: (r["flag"], r["v"]) for r in t.read().collect()}
+    assert state == {1: (True, "t"), 2: (False, "f")}
+
+
 def test_vacuum_keeps_current(spark, tmp_path):
     t = ParquetMergeTarget(spark, str(tmp_path / "tv"), ["id"], "id long, v string")
     for i in range(4):
