@@ -87,11 +87,18 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> tuple[DataFrame, in
     lineage (each round references the prior edge list twice) and makes
     the convergence count() a near-free metadata read. The fixpoint
     guard is a scalar per round — nothing corpus-sized ever reaches the
-    driver."""
+    driver. The prior round's checkpointed blocks are unpersisted as
+    soon as the new round materializes (the
+    dedup.connected_components_bipartite discipline) so a long peel
+    holds ONE edge-list copy in executor storage, not one per round."""
+    from gravity_spark.functions.dedup import _persistent_rdd_ids, _unpersist_rdds
+
+    base_ids = _persistent_rdd_ids(edges)
     edges = edges.select("u", "v").localCheckpoint()
     n_prev = edges.count()
     rounds = 0
     while rounds < max_rounds:
+        stale = _persistent_rdd_ids(edges) - base_ids
         keep = degrees(edges).filter(F.col("d") >= k).select("x")
         pruned = (
             edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
@@ -101,6 +108,10 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> tuple[DataFrame, in
         )
         n = pruned.count()
         rounds += 1
+        # pruned is materialized — free the prior round's blocks
+        # (stale was snapped BEFORE pruned's checkpoint, so it can
+        # never name pruned's own RDD)
+        _unpersist_rdds(pruned, stale)
         if n == n_prev:
             return pruned, rounds
         edges, n_prev = pruned, n

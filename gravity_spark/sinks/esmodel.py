@@ -364,11 +364,21 @@ def ensure_index(
         _req("PUT", f"/{index}", body)
         return {"created": True, "added": sorted(properties), "conflicts": []}
 
+    def _eff_type(prop: dict) -> str | None:
+        # ES's GET _mapping omits "type":"object" for object fields
+        # (only their 'properties' come back), so normalize before
+        # comparing or every one-one sub-doc reports a phantom
+        # non-additive conflict on every stream start
+        t = prop.get("type")
+        if t is None and prop.get("properties"):
+            return "object"
+        return t
+
     missing = {k: v for k, v in properties.items() if k not in live}
     conflicts = [
         k
         for k, v in properties.items()
-        if k in live and live[k].get("type") != v.get("type")
+        if k in live and _eff_type(live[k]) != _eff_type(v)
     ]
     if conflicts:
         logging.getLogger("gravity_spark.esmodel").warning(

@@ -105,10 +105,17 @@ def run_stream(
     merge gives effective exactly-once (the reference needs the
     sliding-window ack + position flush for the same guarantee).
 
-    With a ``catalog``, DDL messages in the batch are applied to it (in
-    seq order, driver-side) BEFORE the batch's DML — the foreachBatch
-    epoch boundary is the DDL barrier (binlog_tailer.go:434-509); the
-    sink handles additive schema evolution.
+    With a ``catalog``, DDL messages are applied in seq order,
+    driver-side, AND the batch's DML is split at each DDL seq: DML with
+    seq < ddl.seq merges under the pre-DDL schema, then the DDL lands
+    (catalog + physical sink), then the next slice — the same flush-
+    in-flight-DML-before-ALTER barrier the reference enforces
+    (binlog_tailer.go:434-509, mysql.go:222-440). Applying the DDL
+    first would project pre-DDL rows under the post-DDL schema (a
+    RENAME would NULL their values; a mid-batch TRUNCATE would
+    resurrect rows the binlog order says are erased). Sub-batch applies
+    reuse the sink's LWW-idempotent merge, so epoch redelivery replays
+    the same slice sequence to the same state.
 
     ``compact_every=N`` runs the sink's small-file compaction (then a
     version vacuum) after every Nth epoch — maintenance rides the
@@ -120,27 +127,52 @@ def run_stream(
         if catalog is not None:
             from gravity_spark.operators.ddl import parse_and_apply
 
-            ddl_rows = (
-                df.filter(F.col("type") == "ddl")
+            ddl_rows = [
+                r
+                for r in df.filter(F.col("type") == "ddl")
                 .select("ddl_statement", "seq")
                 .orderBy("seq")
                 .collect()
-            )
-            for r in ddl_rows:
-                if r["ddl_statement"]:
-                    res = parse_and_apply(
-                        r["ddl_statement"], catalog, current_db=current_db
-                    )
-                    # non-additive DDL (rename/drop/modify/truncate) is
-                    # applied to the target PHYSICALLY, between epochs —
-                    # the same barrier the reference gets from flushing
-                    # in-flight DML before the ALTER (mysql.go:222-440).
-                    # With ``table`` set, only DDL addressing THIS
-                    # stream's table touches the sink (a multi-table
-                    # change stream carries other tables' DDL too);
-                    # the catalog above still records every statement.
-                    if res.actions and (table is None or res.table == table):
-                        target.apply_ddl(res.actions)
+                if r["ddl_statement"]
+            ]
+            if ddl_rows:
+                # split the batch at each DDL seq: flush the DML slice
+                # that the binlog ordered BEFORE the DDL under the old
+                # schema, then apply the DDL, then continue — the
+                # foreachBatch boundary alone is NOT the barrier when
+                # the source delivers DDL mid-batch
+                dml = df.filter(F.col("type") != "ddl").persist()
+                try:
+                    lo = None
+                    for r in ddl_rows:
+                        cond = F.col("seq") < F.lit(r["seq"])
+                        if lo is not None:
+                            cond = cond & (F.col("seq") >= F.lit(lo))
+                        slice_df = dml.filter(cond)
+                        if not slice_df.isEmpty():
+                            target.apply_batch(typed(slice_df), epoch_id)
+                        res = parse_and_apply(
+                            r["ddl_statement"], catalog, current_db=current_db
+                        )
+                        # non-additive DDL (rename/drop/modify/truncate)
+                        # is applied to the target PHYSICALLY at its seq
+                        # position. With ``table`` set, only DDL
+                        # addressing THIS stream's table touches the
+                        # sink (a multi-table change stream carries
+                        # other tables' DDL too); the catalog above
+                        # still records every statement.
+                        if res.actions and (table is None or res.table == table):
+                            target.apply_ddl(res.actions)
+                        lo = r["seq"]
+                    df = dml.filter(F.col("seq") >= F.lit(lo))
+                    batch = typed(df)
+                    target.apply_batch(batch, epoch_id)
+                finally:
+                    dml.unpersist()
+                if compact_every and (epoch_id + 1) % compact_every == 0:
+                    target.compact(target_bytes=compact_target_bytes)
+                    target.vacuum()
+                return
             df = df.filter(F.col("type") != "ddl")
         batch = typed(df)
         target.apply_batch(batch, epoch_id)

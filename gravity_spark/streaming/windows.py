@@ -73,8 +73,13 @@ def sessionize_stateful(
         n_sessions, n_events, last_ts = (
             state.get if state.exists else (0, 0, None)
         )
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # applyInPandasWithState delivers a group as MULTIPLE Arrow
+        # chunks (arrow.maxRecordsPerBatch) in shuffle order — concat
+        # and sort ONCE so the replay sees true time order even when a
+        # user exceeds one chunk per micro-batch
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
             for t in pdf["ts"]:
                 epoch = t.timestamp()
                 if last_ts is None or (epoch - last_ts) > gap_seconds:
@@ -184,12 +189,16 @@ def minhash_bucket_gate(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def fn(key, pdf_iter, state: GroupState):
         cur = state.get[0] if state.exists else None
         ids, owners = [], []
+        # chunks arrive in shuffle order — gather the whole group
+        # before sorting, or a >1-chunk bucket replays out of id order
+        all_ids: list[int] = []
         for pdf in pdf_iter:
-            for did in sorted(pdf[id_col].tolist()):
-                owner = did if cur is None else min(cur, did)
-                ids.append(did)
-                owners.append(owner)
-                cur = owner
+            all_ids.extend(pdf[id_col].tolist())
+        for did in sorted(all_ids):
+            owner = did if cur is None else min(cur, did)
+            ids.append(did)
+            owners.append(owner)
+            cur = owner
         state.update((cur,))
         yield pd.DataFrame({"doc_id": ids, "owner": owners})
 
@@ -247,8 +256,12 @@ def rate_limit_stateful(
     def fn(key, pdf_iter, state: GroupState):
         tokens, last_us = state.get if state.exists else (cap_utok, None)
         uids, eids, flags = [], [], []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # concat the group's Arrow chunks and sort ONCE: chunks arrive
+        # in shuffle order, so a per-chunk sort replays a >1-chunk user
+        # out of time order and diverges from the recursive-CTE oracle
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(["ts_us", "event_id"])
             for eid, us in zip(pdf["event_id"], pdf["ts_us"]):
                 us = int(us)
                 if last_us is not None:

@@ -136,6 +136,83 @@ def test_mid_stream_ddl_nonadditive_rename_drop(spark, tmp_path):
     )
 
 
+def test_ddl_mid_batch_barrier_ordering(spark, tmp_path):
+    """DDL arriving MID-batch (same micro-batch as surrounding DML) is
+    a barrier at its seq position: DML the binlog ordered before it
+    merges under the pre-DDL schema, DML after it under the post-DDL
+    schema. Applying the DDL batch-first would NULL the pre-DDL row's
+    renamed value; a mid-batch TRUNCATE would resurrect rows the binlog
+    says are erased. Reference flushes in-flight DML before any ALTER
+    (pkg/outputs/mysql/mysql.go:222-440)."""
+    catalog = Catalog()
+    catalog.put(TableDef("app", "t", [
+        ColumnDef("id", "bigint", is_pk=True),
+        ColumnDef("v", "varchar(10)"),
+    ]))
+    src = tmp_path / "cdc"
+    target = ParquetMergeTarget(
+        spark, str(tmp_path / "tgt"), ["id"], "id bigint, v string"
+    )
+
+    def typed(df):
+        return catalog.get("app", "t").typed_projection(df)
+
+    # ONE file = one micro-batch: insert under old name, rename, insert
+    # under new name
+    _write(src, [
+        {"type": "dml", "database": "app", "table": "t", "op": "insert",
+         "data": {"id": "1", "v": "a"}, "pks": {"id": "1"},
+         "stream_key": "s", "seq": 1},
+        {"type": "ddl", "database": "app", "table": "t",
+         "ddl_statement": "ALTER TABLE app.t CHANGE COLUMN v name varchar(10)",
+         "stream_key": "s", "seq": 2},
+        {"type": "dml", "database": "app", "table": "t", "op": "insert",
+         "data": {"id": "3", "name": "c"}, "pks": {"id": "3"},
+         "stream_key": "s", "seq": 3},
+    ])
+    q = run_stream(file_cdc_source(spark, str(src)), target, typed,
+                   str(tmp_path / "ck"), catalog=catalog, current_db="app")
+    q.processAllAvailable()
+    q.stop()
+    rows = {r["id"]: r["name"] for r in target.read().collect()}
+    # id=1's value survives the rename (was lost when DDL ran batch-first)
+    assert rows == {1: "a", 3: "c"}
+
+
+def test_truncate_mid_batch_erases_prior_inserts(spark, tmp_path):
+    """TRUNCATE at seq k erases exactly the rows with seq < k, even
+    when they share a micro-batch."""
+    catalog = Catalog()
+    catalog.put(TableDef("app", "t", [
+        ColumnDef("id", "bigint", is_pk=True),
+        ColumnDef("v", "varchar(10)"),
+    ]))
+    src = tmp_path / "cdc"
+    target = ParquetMergeTarget(
+        spark, str(tmp_path / "tgt"), ["id"], "id bigint, v string"
+    )
+
+    def typed(df):
+        return catalog.get("app", "t").typed_projection(df)
+
+    _write(src, [
+        {"type": "dml", "database": "app", "table": "t", "op": "insert",
+         "data": {"id": "1", "v": "gone"}, "pks": {"id": "1"},
+         "stream_key": "s", "seq": 1},
+        {"type": "ddl", "database": "app", "table": "t",
+         "ddl_statement": "TRUNCATE TABLE app.t",
+         "stream_key": "s", "seq": 2},
+        {"type": "dml", "database": "app", "table": "t", "op": "insert",
+         "data": {"id": "2", "v": "kept"}, "pks": {"id": "2"},
+         "stream_key": "s", "seq": 3},
+    ])
+    q = run_stream(file_cdc_source(spark, str(src)), target, typed,
+                   str(tmp_path / "ck"), catalog=catalog, current_db="app")
+    q.processAllAvailable()
+    q.stop()
+    assert {(r["id"], r["v"]) for r in target.read().collect()} == {(2, "kept")}
+
+
 def test_apply_ddl_partitioned_and_truncate(spark, tmp_path):
     """Partitioned targets rewrite every partition on non-additive DDL
     (per-partition version bump, one manifest flip); TRUNCATE produces

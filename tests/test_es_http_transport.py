@@ -232,6 +232,30 @@ def test_mapping_additive_update_and_conflict_warning(spark, es_stub, caplog):
     assert sum(1 for c in stub.call_log if c[0] == "PUT") == puts_before
 
 
+def test_object_subdoc_mapping_not_a_phantom_conflict(es_stub):
+    """ES's GET _mapping omits "type":"object" for object fields (only
+    'properties' comes back), so a declared one-one object sub-doc must
+    compare equal to its live form — not warn non-additive on every
+    stream start."""
+    from gravity_spark.sinks.esmodel import ensure_index
+
+    url, stub = es_stub
+    # live form as ES actually returns it: no "type", only properties
+    stub.indices["users"] = {"properties": {
+        "profile": {"properties": {"city": {"type": "keyword"}}},
+        "name": {"type": "keyword"},
+    }}
+    result = ensure_index(
+        url, "users",
+        {"profile": {"type": "object"}, "name": {"type": "keyword"}},
+    )
+    assert result["conflicts"] == []
+    assert result["added"] == []
+    # a REAL type mismatch against an object field still reports
+    result2 = ensure_index(url, "users", {"profile": {"type": "nested"}})
+    assert result2["conflicts"] == ["profile"]
+
+
 def test_delete_of_missing_doc_is_idempotent(spark, es_stub):
     url, stub = es_stub
     rows = [("404notthere", None, "delete")]

@@ -51,3 +51,63 @@ def test_rate_limit_matches_sequential_replay(spark, sf_dir):
     assert any(
         adm == 0 and eid > mid for (u, eid), adm in got.items()
     ), "need a cross-batch-state-caused decision to grade continuity"
+
+
+def test_rate_limit_multichunk_group_order(spark, tmp_path):
+    """A user whose micro-batch exceeds one Arrow chunk
+    (arrow.maxRecordsPerBatch) must still be replayed in
+    (ts_us, event_id) order: applyInPandasWithState delivers the group
+    as multiple chunks in shuffle order, so a per-chunk sort diverges
+    from the sequential-replay oracle."""
+    import json
+    import random
+    import uuid
+
+    from gravity_spark.streaming.windows import rate_limit_stateful
+
+    cap, cost = 10_000_000, 3_000_000  # 10 s capacity, 3 s per admit
+    n, rng = 40, random.Random(7)
+    times, us = [], 0
+    for _ in range(n):
+        us += rng.choice([1_000_000, 5_000_000])
+        times.append(us)
+    order = list(range(n))
+    rng.shuffle(order)  # arrival order ≠ time order
+    src = tmp_path / "s"
+    src.mkdir()
+    with open(src / "b0.json", "w") as f:
+        for i in order:
+            f.write(json.dumps(
+                {"user_id": 1, "event_id": i, "ts_us": times[i]}) + "\n")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")  # 40 rows -> 6 chunks for the one group
+    name = f"rlmc_{uuid.uuid4().hex[:8]}"
+    try:
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, ts_us long"
+        ).json(str(src))
+        q = (
+            rate_limit_stateful(stream, cap, cost)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set(key, old)
+
+    got = {r["event_id"]: r["admitted"] for r in spark.table(name).collect()}
+    tokens, last = cap, None
+    exp = {}
+    for i in sorted(range(n), key=lambda i: (times[i], i)):
+        if last is not None:
+            tokens = min(cap, tokens + (times[i] - last))
+        if tokens >= cost:
+            exp[i], tokens = 1, tokens - cost
+        else:
+            exp[i] = 0
+        last = times[i]
+    assert got == exp
+    assert set(exp.values()) == {0, 1}  # both admits and rejects occurred
