@@ -11823,9 +11823,18 @@ def sim_mmr_diverse_topk(spark, sf_dir):
     is reproducible and the oracle unrolls the identical k−1 selection
     steps as CTEs.
 
-    Scale shape: per step one scan of the candidates against a ≤k-row
-    broadcast of the selected set (the sim_pq driver-held-tiny-state
-    discipline) — never candidate×candidate; k scans total."""
+    Scale shape: ONE TakeOrdered pass over the candidates (top-N by
+    dist-to-query), then the k greedy rounds run driver-side over a
+    PROVABLY-EXACT shortlist — never k corpus scans. The prune bound:
+    with squared distances, min-dist-to-selected(c) ≤ ‖c−s₁‖² ≤
+    2·dq_c + 2·d₁ (parallelogram law via the first pick s₁), and every
+    round's winner scores ≥ −λ·D because one of the k query-nearest
+    vectors always remains un-selected (D = k-th smallest dq, mind ≥
+    0). So any c with (3λ−2000)·dq_c > 2(1000−λ)·d₁ + λ·D can never
+    win a round (needs 3λ > 2000; λ=700 qualifies) — dropping it is
+    exact, not approximate. If the top-N pass didn't reach the bound,
+    one bounded filter re-scan fetches the rest (rare)."""
+    assert 3 * _MMR_LAM > 2000, "shortlist prune bound needs λ > 2000/3"
     emb = T(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", sim.scale_embedding(F.col("embedding")).alias("xi"))
     qdf = e.filter(F.col("vec_id") == 0).select(F.col("xi").alias("qxi"))
@@ -11834,37 +11843,40 @@ def sim_mmr_diverse_topk(spark, sf_dir):
         .crossJoin(F.broadcast(qdf))
         .withColumn("dq", sim._sq_dist(F.col("xi"), F.col("qxi")))
         .drop("qxi")
-        .persist()
     )
-    try:
-        first = cand.orderBy("dq", "vec_id").limit(1).collect()[0]
-        selected = [(1, first["vec_id"], list(first["xi"]), first["dq"])]
-        for i in range(2, _MMR_K + 1):
-            sdf = spark.createDataFrame(
-                [(v, xi) for _, v, xi, _ in selected],
-                "svid bigint, sxi array<bigint>",
-            )
-            rem = cand.join(
-                sdf.select(F.col("svid").alias("vec_id")), "vec_id", "left_anti"
-            )
-            m = (
-                rem.crossJoin(F.broadcast(sdf.select("sxi")))
-                .withColumn("ds", sim._sq_dist(F.col("xi"), F.col("sxi")))
-                .groupBy("vec_id", "dq")
-                .agg(F.min("ds").alias("mind"))
-            )
-            score = (1000 - _MMR_LAM) * F.col("mind") - _MMR_LAM * F.col("dq")
-            win = (
-                m.orderBy(score.desc(), "vec_id").limit(1).collect()[0]
-            )
-            xi = cand.filter(F.col("vec_id") == win["vec_id"]).collect()[0]["xi"]
-            selected.append((i, win["vec_id"], list(xi), win["dq"]))
-        return spark.createDataFrame(
-            [(r, v, d) for r, v, _, d in selected],
-            "rank bigint, vec_id bigint, dist_sq_q bigint",
-        )
-    finally:
-        cand.unpersist()
+    n_head = 32 * _MMR_K
+    head = cand.orderBy("dq", "vec_id").limit(n_head).collect()
+    d1, dk = head[0]["dq"], head[min(_MMR_K, len(head)) - 1]["dq"]
+    # keep iff (3λ−2000)·dq ≤ 2(1000−λ)·d1 + λ·D  (exact, see docstring)
+    bound = (2 * (1000 - _MMR_LAM) * d1 + _MMR_LAM * dk) // (3 * _MMR_LAM - 2000)
+    if len(head) < n_head or head[-1]["dq"] >= bound:
+        short = [r for r in head if r["dq"] <= bound]
+    else:  # shortlist outgrew the head — one bounded re-scan
+        short = cand.filter(F.col("dq") <= bound).collect()
+
+    # greedy MMR over the shortlist, pure int64 (dq ≤ 64·(2e6)² ≈ 2.6e14,
+    # scores ≤ 2000× that — well inside int64)
+    import numpy as np
+
+    short.sort(key=lambda r: (r["dq"], r["vec_id"]))
+    ids = np.array([r["vec_id"] for r in short], dtype=np.int64)
+    X = np.array([r["xi"] for r in short], dtype=np.int64)
+    dq = np.array([r["dq"] for r in short], dtype=np.int64)
+    taken = np.zeros(len(short), dtype=bool)
+    taken[0] = True  # first pick = min (dq, vec_id), list is sorted
+    selected = [(1, int(ids[0]), int(dq[0]))]
+    mind = ((X - X[0]) ** 2).sum(axis=1)
+    for i in range(2, min(_MMR_K, len(short)) + 1):
+        score = (1000 - _MMR_LAM) * mind - _MMR_LAM * dq
+        score[taken] = np.iinfo(np.int64).min
+        ties = np.flatnonzero(score == score.max())
+        j = int(ties[np.argmin(ids[ties])])  # score desc, vec_id asc
+        taken[j] = True
+        selected.append((i, int(ids[j]), int(dq[j])))
+        mind = np.minimum(mind, ((X - X[j]) ** 2).sum(axis=1))
+    return spark.createDataFrame(
+        selected, "rank bigint, vec_id bigint, dist_sq_q bigint"
+    )
 
 
 @register(
