@@ -2848,6 +2848,16 @@ def dedup_components(spark, sf_dir):
     10k membership rows vs millions of pair edges. Docs in no pair
     (unshared buckets) stay singletons, exactly as the oracle seeds
     every doc with its own label."""
+    comp = _dedup_component_labels(spark, sf_dir)
+    w = Window.partitionBy("component")
+    return comp.withColumn("csize", F.count(F.lit(1)).over(w))
+
+
+def _dedup_component_labels(spark, sf_dir):
+    """(doc_id, component) labels from the bipartite doc↔bucket
+    propagation — the shared core of `dedup_components` and
+    `corpus_dedup_pipeline` (which add their own per-component
+    windows)."""
     from gravity_spark.functions.dedup import connected_components_bipartite
 
     docs = T(spark, sf_dir, "documents").select("doc_id")
@@ -2857,9 +2867,7 @@ def dedup_components(spark, sf_dir):
     # union keeps docs with no tokens (no bands) as singleton vertices
     singleton = docs.select("doc_id", F.lit(None).cast("string").alias("bucket"))
     # null-bucket rows never equi-join, so they only seed the vertex set
-    comp = connected_components_bipartite(membership.unionByName(singleton))
-    w = Window.partitionBy("component")
-    return comp.withColumn("csize", F.count(F.lit(1)).over(w))
+    return connected_components_bipartite(membership.unionByName(singleton))
 
 
 def _corpus_dedup_sql() -> str:
@@ -2908,13 +2916,29 @@ def corpus_dedup_pipeline(spark, sf_dir):
     decision a 100 TB corpus clean-up ships: every stage is the already-
     audited distributed form (bipartite label propagation + one hash
     aggregation for quality + one per-cluster window over cluster-sized
-    groups)."""
-    comp = dedup_components(spark, sf_dir).select("doc_id", "component", "csize")
+    groups).
+
+    Stage reuse: the component LABELS are taken raw (no intermediate
+    csize pass) and joined to quality FIRST, so the per-cluster work is
+    ONE WindowExec computing rank and csize over the same
+    (component)-partitioned sort — previously csize shuffled by
+    component, the quality join reshuffled by doc_id, and the rank
+    window shuffled by component again (three exchanges of the corpus
+    vs two)."""
+    comp = _dedup_component_labels(spark, sf_dir)
     quality = text_stats(spark, sf_dir).select("doc_id", "quality")
     j = comp.join(quality, "doc_id")
-    w = Window.partitionBy("component").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
     return (
         j.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "csize",
+            F.count(F.lit(1)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ),
+        )
         .filter(F.col("rn") == 1)
         .select(
             "component", F.col("doc_id").alias("kept_doc_id"), "quality", "csize"
