@@ -82,6 +82,63 @@ def rename_dml_columns(
     return out
 
 
+def subprocess_filter(
+    df: DataFrame,
+    command: Sequence[str],
+    matchers: Mapping[str, Any] | None = None,
+) -> DataFrame:
+    """External-process transform — the reference's grpc-sidecar slot
+    (pkg/filters/grpc_sidecar_filter.go:43-120) as "run a foreign
+    executable per Arrow batch": matcher-scoped rows are piped through
+    a user-supplied command as an Arrow IPC stream on stdin, and the
+    mutated rows are read back as an Arrow IPC stream from stdout
+    (same schema — the contract is value mutation of Data/Old/Pks,
+    exactly the sidecar's msgpb.Msg in/out shape). Non-matching rows
+    pass through UNTOUCHED, like every matcher-scoped filter.
+
+    Uses mapInArrow, so rows never round-trip through pandas: what the
+    child sees is the batch's own Arrow representation. One process
+    invocation per Arrow batch (~10k rows) — per-process cost amortized
+    over the batch, the same economics as the sidecar's per-batch gRPC
+    call; the child can be ANY language with an Arrow library.
+
+    Scale shape: embarrassingly parallel map over partitions; no
+    shuffle; executor-local pipes only."""
+    cond = compile_matchers(matchers or {})
+    cmd = [str(c) for c in command]
+
+    def run(batches):
+        import io
+        import subprocess
+
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                yield batch
+                continue
+            sink = io.BytesIO()
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_batch(batch)
+            proc = subprocess.run(
+                cmd, input=sink.getvalue(), stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"subprocess filter {cmd!r} failed "
+                    f"(rc={proc.returncode}): {proc.stderr.decode()[:500]}"
+                )
+            with pa.ipc.open_stream(proc.stdout) as reader:
+                for out in reader:
+                    yield out
+
+    if matchers:
+        matched = df.filter(cond).mapInArrow(run, df.schema)
+        return matched.unionByName(df.filter(~cond))
+    return df.mapInArrow(run, df.schema)
+
+
 FilterFn = Callable[[DataFrame], DataFrame]
 
 
@@ -144,6 +201,10 @@ def build_filter(spec: Mapping[str, Any]) -> FilterFn:
         # grpc-sidecar filter (pkg/filters/grpc_sidecar_filter.go:43-120)
         fn = cfg["fn"]
         return lambda df: fn(df)
+    if kind == "subprocess":
+        # foreign-executable transform (grpc-sidecar mechanical parity):
+        # Arrow IPC through the command's stdin/stdout, matcher-scoped
+        return lambda df: subprocess_filter(df, cfg["command"], matchers)
     raise ValueError(f"unknown filter type {kind!r}")
 
 

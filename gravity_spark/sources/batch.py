@@ -104,6 +104,99 @@ def jdbc_partitioned_reader(spark: SparkSession, **kwargs):
     return reader
 
 
+def dbapi_keyset_scan(
+    conn_factory,
+    table: str,
+    columns: Sequence[str],
+    scan_column: str,
+    batch_size: int = 1000,
+    position_store=None,
+    pipeline_name: str = "batch_scan",
+    max_batches: int | None = None,
+):
+    """Keyset-paginated scan over a LIVE DB-API connection — the
+    reference's per-table scanner loop
+    (pkg/inputs/mysqlbatch/mysql_table_scanner.go:166-331):
+
+        SELECT <cols> FROM t WHERE <col> > ? ORDER BY <col> LIMIT n
+
+    yielding one row-tuple batch at a time, with the scan position
+    ledger (position_value.go:27-108) flushed AFTER each batch is
+    consumed — kill the consumer mid-scan and a new scan resumes
+    strictly after the last batch whose consumption completed, so the
+    killed batch is REDELIVERED (at-least-once, the reference's
+    replay-from-position contract; the downstream merge's LWW
+    idempotency absorbs the duplicate).
+
+    ``max_batches`` bounds one invocation (tests use it to simulate a
+    kill; production leaves it None). Scale note: this is the
+    single-connection per-table scanner; at cluster scale the same
+    ledger bounds feed ``jdbc_partitioned_reader`` range splits
+    instead."""
+    state = position_store.get(pipeline_name) if position_store else None
+    if state and state.get("done"):
+        return
+    current = state.get("current_key") if state else None
+    col_sql = ", ".join(columns)
+    idx = list(columns).index(scan_column)
+    conn = conn_factory()
+    try:
+        n = 0
+        exhausted = False
+        while max_batches is None or n < max_batches:
+            if current is None:
+                cur = conn.execute(
+                    f"SELECT {col_sql} FROM {table} "
+                    f"ORDER BY {scan_column} LIMIT ?",
+                    (batch_size,),
+                )
+            else:
+                cur = conn.execute(
+                    f"SELECT {col_sql} FROM {table} WHERE {scan_column} > ? "
+                    f"ORDER BY {scan_column} LIMIT ?",
+                    (current, batch_size),
+                )
+            rows = cur.fetchall()
+            if not rows:
+                exhausted = True
+                break
+            current = rows[-1][idx]
+            n += 1
+            yield rows
+            # position flushed only after the consumer finished the
+            # batch (generator resumed) — crash between yield and here
+            # replays the batch, never skips it
+            if position_store is not None:
+                position_store.put(
+                    pipeline_name,
+                    {
+                        "stage": "batch",
+                        "table": table,
+                        "scan_column": scan_column,
+                        "current_key": current,
+                        "done": False,
+                    },
+                    flush=True,
+                )
+            if len(rows) < batch_size:
+                exhausted = True
+                break
+        if exhausted and position_store is not None:
+            position_store.put(
+                pipeline_name,
+                {
+                    "stage": "batch",
+                    "table": table,
+                    "scan_column": scan_column,
+                    "current_key": current,
+                    "done": True,
+                },
+                flush=True,
+            )
+    finally:
+        conn.close()
+
+
 def snapshot_table(
     df: DataFrame,
     scan_column: str | None,
