@@ -5,6 +5,18 @@ sec), "sf"}.
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect overhead).
+
+Stall sentinel: this host shows intermittent multi-10s stalls (same
+plan measured 3.5 s and 86 s minutes apart, ~zero steal/pressure
+in-guest; round 4's committed BENCH_DETAIL carried rows up to 7×
+reality because of one). A FIXED tiny plan is timed at session start
+(baseline = min of 3) and re-timed every ~20 queries; each query row
+is stamped with the drift (sentinel/baseline) of its measurement
+window, the sentinel series lands in the detail file, and when the
+MEDIAN drift exceeds 1.2× the run refuses to overwrite
+BENCH_DETAIL.json (the polluted detail goes to
+BENCH_DETAIL_STALLED.json and stdout carries stall_median_drift) — a
+stall can no longer masquerade as a regression record.
 """
 
 from __future__ import annotations
@@ -18,6 +30,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gravity_spark.session import get_spark  # noqa: E402
 from gravity_spark.queries import REGISTRY  # noqa: E402
+
+
+SENTINEL_EVERY = 20  # queries between sentinel re-timings
+
+
+def _sentinel_sec(spark) -> float:
+    """One fixed, tiny, deterministic plan: a codegen'd fold plus a
+    32-key shuffle — representative of both cost classes, ~0.2 s on a
+    healthy host. Timing THIS is timing the host, not the queries."""
+    t0 = time.time()
+    spark.range(2_000_000).selectExpr(
+        "sum(id * 3 + 1) AS a", "count(1) AS b"
+    ).collect()
+    (
+        spark.range(200_000)
+        .selectExpr("id % 32 AS k")
+        .groupBy("k").count()
+        .selectExpr("sum(count)")
+        .collect()
+    )
+    return time.time() - t0
 
 
 def main() -> None:
@@ -35,9 +68,24 @@ def main() -> None:
     # stalls (same plan measured 3.5s and 86s minutes apart, ~zero
     # steal/pressure in-guest) — when the two runs disagree by >1.5x the
     # query gets up to two extra runs so one stall can't poison its min.
+    # sentinel baseline: min of 3 on the (hopefully) healthy session
+    baseline = min(_sentinel_sec(spark) for _ in range(3))
+    sentinels: list[dict] = []
+    current_drift = 1.0
+
+    def take_sentinel(idx: int) -> None:
+        nonlocal current_drift
+        s = _sentinel_sec(spark)
+        current_drift = round(s / max(baseline, 1e-9), 3)
+        sentinels.append(
+            {"after_query": idx, "sec": round(s, 3), "drift": current_drift}
+        )
+
     timings: dict[str, float] = {}
+    query_drift: dict[str, float] = {}
     retry_budget = 60  # global cap on extra runs: a long stall period
     # must not quadruple the whole gate's wall time
+    q_idx = 0
     for name, qd in REGISTRY.items():
         best = None
         runs: list[float] = []
@@ -76,28 +124,50 @@ def main() -> None:
                     if rdd is not None:
                         rdd.unpersist(False)
         timings[name] = best
+        query_drift[name] = current_drift  # drift of this window
+        q_idx += 1
+        if q_idx % SENTINEL_EVERY == 0:
+            take_sentinel(q_idx)
         # late-run JVM heap pressure swings iterative queries up to 4×
         # (BASELINE.md §4); a GC nudge between queries keeps the tail of
         # a 160+-query run from paying earlier queries' garbage
         spark.sparkContext._jvm.System.gc()
 
+    take_sentinel(q_idx)  # closing sentinel
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
+    drifts = sorted(s["drift"] for s in sentinels)
+    median_drift = drifts[len(drifts) // 2] if drifts else 1.0
+    stalled = median_drift > 1.2
     detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_drift": query_drift,
+        "sentinel_baseline_sec": round(baseline, 3),
+        "sentinels": sentinels,
+        "median_drift": median_drift,
         "sf": sf_val,
     }
     # Per-query detail goes to stderr + a sidecar file; stdout ends with a
     # SHORT single JSON line so the driver's tail capture can parse it
     # (round 1 had "parsed": null — the 132-query line was head-truncated).
     print(json.dumps(detail), file=sys.stderr)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
+    here = os.path.dirname(os.path.abspath(__file__))
+    if stalled:
+        # REFUSE to let a stall-polluted run overwrite the per-query
+        # record — the last clean BENCH_DETAIL.json stands; the
+        # polluted detail is preserved for inspection
+        detail_name = "BENCH_DETAIL_STALLED.json"
+        print(
+            f"bench: median sentinel drift {median_drift} > 1.2 — "
+            f"writing {detail_name}, keeping prior BENCH_DETAIL.json",
+            file=sys.stderr,
+        )
+    else:
+        detail_name = "BENCH_DETAIL.json"
+    with open(os.path.join(here, detail_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(
         json.dumps(
@@ -108,7 +178,8 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_failed": sum(1 for t in timings.values() if t < 0),
-                "queries_detail": "BENCH_DETAIL.json",
+                "stall_median_drift": median_drift,
+                "queries_detail": detail_name,
             }
         )
     )

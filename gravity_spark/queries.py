@@ -5482,10 +5482,13 @@ def approx_aggregates(spark, sf_dir):
     * approx_parts_ok: |HLL − exact|·10 ≤ exact (10 % band around an
       rsd=0.02 estimate — a ≥5σ envelope, deterministic for a fixed
       build+data);
-    * approx_median_ok: the approx median lies within the exact
-      [p49, p51] element range — percentile_approx's rank-error bound
-      is n/accuracy = 0.01 % of n, so this holds by the algorithm's
-      HARD guarantee, not by luck.
+    * approx_median_ok: the approx median's exact RANK sits inside the
+      [49 %, 51 %] band — percentile_approx's rank-error bound is
+      n/accuracy = 0.01 % of n, so this holds by the algorithm's HARD
+      guarantee, not by luck. Verified by one conditional-count pass
+      against the broadcast per-group medians (NOT an exact
+      percentile() agg, which is a sort-heavy 20× cost for the same
+      boolean).
     A Spark upgrade that broke either sketch contract would turn the
     row red — which is exactly what the gate is for. The engine-value
     cross-check (portable hashes, bit-identical) lives in
@@ -5499,18 +5502,34 @@ def approx_aggregates(spark, sf_dir):
         F.percentile_approx(
             "l_extendedprice", 0.5, 10000
         ).alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.49)").alias("p49"),
-        F.expr("percentile(l_extendedprice, 0.51)").alias("p51"),
     )
-    return agg.select(
+    ranks = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(
+            F.broadcast(agg.select("l_returnflag", "approx_median")),
+            "l_returnflag",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("approx_median"), 1)
+                .otherwise(0)
+            ).alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("l_extendedprice") <= F.col("approx_median"), 1)
+                .otherwise(0)
+            ).alias("cnt_le"),
+        )
+    )
+    return agg.join(F.broadcast(ranks), "l_returnflag").select(
         "l_returnflag", "n", "exact_parts",
         (
             F.abs(F.col("approx_parts") - F.col("exact_parts")) * 10
             <= F.col("exact_parts")
         ).alias("approx_parts_ok"),
         (
-            (F.col("approx_median") >= F.col("p49"))
-            & (F.col("approx_median") <= F.col("p51"))
+            (F.col("cnt_lt") * 100 <= 51 * F.col("n"))
+            & (F.col("cnt_le") * 100 >= 49 * F.col("n"))
         ).alias("approx_median_ok"),
     )
 
