@@ -8677,20 +8677,46 @@ def streaming_topk_trending(spark, sf_dir):
     )
 
 
-@register("sim_pq_topk", None)  # rows-only: iterative codebook training
+@register(
+    "sim_pq_topk",
+    """
+    WITH e AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(round(x * 1000000) AS BIGINT)) AS xi
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, xi AS qxi FROM e WHERE vec_id < 5),
+    c AS (SELECT vec_id, xi FROM e WHERE vec_id >= 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(list_sum(list_transform(list_zip(c.xi, q.qxi),
+               s2 -> (s2[1]-s2[2])*(s2[1]-s2[2]))) AS BIGINT) AS exact_dist
+      FROM q, c
+    )
+    SELECT query_id, vec_id, exact_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY exact_dist, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def sim_pq_topk(spark, sf_dir):
     """Product-quantization ANN (the compression half of IVF-PQ, Jégou
     et al. 2011): 64-dim → 16 subspaces (width 4) × 16-entry codebooks
     trained by the deterministic integer Lloyd of kmeans_assign, corpus
-    encoded to 16 small codes per row, queries scored by asymmetric distance
-    against a broadcast LUT — a row-local O(m) fold, the corpus never
-    shuffles (functions/similarity.py::pq_*). Non-SQL-expressible
-    (driver-held iterative training state) → rows-only here; recall@5
-    vs exact brute force is asserted in tests/test_pq.py. A brute-force
-    DuckDB oracle was evaluated (round 5) and rejected: shortlist
-    recall@5 < 1 on these near-random embeddings at every SF, so the
-    exact-re-rank output provably differs from global brute force —
-    grading it that way would be a false contract, not a gate."""
+    encoded to 16 small codes per row, queries scored by asymmetric
+    distance against a broadcast LUT — a row-local O(m) fold, the
+    corpus never shuffles (functions/similarity.py::pq_*) — then the
+    top-200 ADC shortlist re-ranked by EXACT integer squared-L2
+    (IVFPQ+R, the production refine stage).
+
+    GRADED since round 5: at R=200 the shortlist recall@5 is 1.0 on
+    every SF (verified before wiring; R=50 measurably was NOT — 4-bit
+    codes on near-random 64-dim vectors rank coarsely, which is
+    exactly why the +R stage exists), so the re-ranked output equals
+    global brute force and the oracle IS brute force over the scaled
+    integer embeddings. The ADC/LUT internals stay pinned by
+    tests/test_pq.py; a codebook regression that pushed any true
+    neighbor below rank 200 turns this row red — the gate now grades
+    the whole PQ pipeline end to end."""
     emb = T(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= 5)
     q_rows = (
@@ -8701,7 +8727,8 @@ def sim_pq_topk(spark, sf_dir):
     )
     query_vecs = [(int(r["vec_id"]), list(r["embedding"])) for r in q_rows]
     books = sim.pq_train_codebooks(corpus, dim=64, m=16, ksub=16, rounds=2)
-    return sim.pq_topk(corpus, query_vecs, books, dim=64, k=5, rerank=50)
+    out = sim.pq_topk(corpus, query_vecs, books, dim=64, k=5, rerank=200)
+    return out.select("query_id", "vec_id", "exact_dist", "rank")
 
 
 _CMS_D = 4    # count-min rows (independent hash functions)
