@@ -21,6 +21,7 @@ from dataclasses import dataclass
 from typing import Callable
 
 import os
+import sys
 
 import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 
@@ -1747,6 +1748,148 @@ def cdc_filter_chain(spark, sf_dir):
         ],
     )
     return filtered.groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "cdc_subprocess_transform",
+    f"""
+    SELECT event_id AS seq, {_OP_SQL} AS op,
+           CASE WHEN event_type <> 'error' THEN upper(event_type)
+                ELSE event_type END AS event_type_out
+    FROM events WHERE user_id % 4 = 0
+    """,
+)
+def cdc_subprocess_transform(spark, sf_dir):
+    """The `subprocess` filter (grpc-sidecar parity) DRIVER-GRADED: a
+    foreign executable — written at query time, any language with an
+    Arrow library — receives matcher-scoped envelope rows as Arrow IPC
+    record batches on stdin and returns the mutated rows on stdout
+    (operators/filters.py::subprocess_filter, reference
+    pkg/filters/grpc_sidecar_filter.go:43-120). Here the child
+    uppercases data['event_type'] for insert/update rows; deletes are
+    outside the matcher scope and pass through UNTOUCHED — the oracle
+    reproduces exactly that scoping.
+
+    Scale shape: embarrassingly parallel mapInArrow over partitions
+    (one child invocation per ~10k-row Arrow batch, executor-local
+    pipes, no pandas round-trip, no shuffle); the matcher split is two
+    codegen'd filters + a union."""
+    import textwrap
+
+    from gravity_spark.operators.filters import subprocess_filter
+
+    child = os.path.join(_scratch_dir("sidecar_"), "upper.py")
+    with open(child, "w") as f:
+        f.write(textwrap.dedent(
+            """
+            import sys
+            import pyarrow as pa
+
+            reader = pa.ipc.open_stream(sys.stdin.buffer)
+            schema = reader.schema
+            rows = []
+            for batch in reader:
+                for row in batch.to_pylist():
+                    d = dict(row["data"])
+                    d["event_type"] = (d.get("event_type") or "").upper()
+                    row["data"] = d
+                    rows.append(row)
+            out = pa.RecordBatch.from_pylist(rows, schema=schema)
+            with pa.ipc.new_stream(sys.stdout.buffer, schema) as w:
+                w.write_batch(out)
+            """
+        ))
+    # skinny envelope for the child: the wire contract is value
+    # mutation of data/old/pks, the tz-bearing ts column stays
+    # host-side. Deterministic 1-in-4 user subset keeps the graded row
+    # proportional to what it demonstrates (per-Arrow-batch child
+    # process spawns dominate, not data volume — the full-corpus cost
+    # profile is the probe's, not the gate's).
+    changes = events_to_changes(
+        T(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0)
+    ).select("type", "database", "table", "op", "data", "pks", "seq")
+    out = subprocess_filter(
+        changes, [sys.executable, child], {"match-dml-op": ["insert", "update"]}
+    )
+    return out.select(
+        "seq", "op", F.col("data")["event_type"].alias("event_type_out")
+    )
+
+
+@register(
+    "batch_keyset_resume",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_orderkey % 7 = 0 AND o_orderkey <= 40000
+    """,
+)
+def batch_keyset_resume(spark, sf_dir):
+    """The live-database keyset scanner DRIVER-GRADED end to end
+    (sources/batch.py::dbapi_keyset_scan — the reference's per-table
+    scanner loop, mysql_table_scanner.go:166-331): a bounded orders
+    subset is seeded into a REAL sqlite database, scanned in key order
+    with the position ledger, KILLED after two batches, then resumed
+    from the persisted position by a fresh scanner — every batch
+    merged into the LWW sink, whose final contents must equal the
+    seeded subset exactly. A resume that skipped the in-flight batch
+    or rescanned from zero (duplicating under a non-idempotent op)
+    turns the row red.
+
+    Bounded by construction: the seeded subset is ≤ ~5.7k rows at any
+    SF (keyspace cap), so the driver-side seed collect is a constant,
+    not corpus-scaled — at warehouse scale the same ledger bounds feed
+    jdbc_partitioned_reader range splits instead of a driver loop."""
+    import sqlite3
+
+    from gravity_spark.core.positions import PositionStore
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+    from gravity_spark.sources.batch import dbapi_keyset_scan
+
+    seed = (
+        T(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") <= 40000))
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    root = _scratch_dir("keyset_")
+    db = os.path.join(root, "src.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute("CREATE TABLE src (k INTEGER PRIMARY KEY, c INTEGER)")
+        conn.executemany(
+            "INSERT INTO src VALUES (?, ?)",
+            [(r["o_orderkey"], r["o_custkey"]) for r in seed],
+        )
+    store = PositionStore(os.path.join(root, "positions.json"))
+    target = ParquetMergeTarget(
+        spark, os.path.join(root, "tgt"), ["o_orderkey"],
+        "o_orderkey long, o_custkey long",
+    )
+
+    def apply(rows, epoch):
+        target.apply_batch(
+            spark.createDataFrame(
+                [(r[0], r[1], "insert", r[0]) for r in rows],
+                "o_orderkey long, o_custkey long, op string, seq long",
+            ),
+            epoch,
+        )
+
+    scan = lambda max_batches: dbapi_keyset_scan(  # noqa: E731
+        lambda: sqlite3.connect(db), "src", ["k", "c"], "k",
+        batch_size=50, position_store=store, pipeline_name="scan",
+        max_batches=max_batches,
+    )
+    # one merge job per scanner RUN (not per 50-row batch — 40+
+    # sequential Spark jobs would be all job overhead); the ledger
+    # still advances batch-by-batch inside the generator, and the
+    # resumed run re-reads the unacked in-flight batch, which the LWW
+    # merge absorbs — the per-batch ack granularity itself is graded
+    # by tests/test_dbapi_keyset_scan.py
+    run1 = [r for rows in scan(2) for r in rows]  # killed after 2 batches
+    apply(run1, 0)
+    run2 = [r for rows in scan(None) for r in rows]  # resumes from ledger
+    apply(run2, 1)
+    return target.read().select("o_orderkey", "o_custkey")
 
 
 @register(
