@@ -33,6 +33,14 @@ from gravity_spark.queries import REGISTRY  # noqa: E402
 
 
 SENTINEL_EVERY = 20  # queries between sentinel re-timings
+# Healthy-host sentinel cost: ~0.5-0.6 s observed across clean rounds
+# (r5 record: 0.579). If the session-start baseline itself exceeds
+# 3x this, the host is ALREADY stalled during baseline capture — an
+# inflated baseline would make every later drift read artificially low
+# and let a polluted run pass the median<=1.2 gate, the exact failure
+# the sentinel exists to prevent.
+EXPECTED_BASELINE_SEC = 0.6
+BASELINE_STALL_FACTOR = 3.0
 
 
 def _sentinel_sec(spark) -> float:
@@ -68,8 +76,23 @@ def main() -> None:
     # stalls (same plan measured 3.5s and 86s minutes apart, ~zero
     # steal/pressure in-guest) — when the two runs disagree by >1.5x the
     # query gets up to two extra runs so one stall can't poison its min.
-    # sentinel baseline: min of 3 on the (hopefully) healthy session
+    # sentinel baseline: min of 3 on the (hopefully) healthy session —
+    # with an ABSOLUTE sanity bound: a baseline captured during a stall
+    # would deflate every later drift reading, so re-take once after a
+    # pause, and if still inflated mark the whole run baseline-stalled
     baseline = min(_sentinel_sec(spark) for _ in range(3))
+    baseline_stalled = False
+    if baseline > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
+        print(
+            f"bench: startup baseline {baseline:.2f}s > "
+            f"{EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:.1f}s sanity "
+            "bound — host may be stalled; re-taking baseline in 15s",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        baseline = min(_sentinel_sec(spark) for _ in range(3))
+        if baseline > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
+            baseline_stalled = True
     sentinels: list[dict] = []
     current_drift = 1.0
 
@@ -138,7 +161,7 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     drifts = sorted(s["drift"] for s in sentinels)
     median_drift = drifts[len(drifts) // 2] if drifts else 1.0
-    stalled = median_drift > 1.2
+    stalled = median_drift > 1.2 or baseline_stalled
     detail = {
         "metric": "total_query_seconds",
         "value": total,
@@ -146,6 +169,7 @@ def main() -> None:
         "queries": timings,
         "query_drift": query_drift,
         "sentinel_baseline_sec": round(baseline, 3),
+        "baseline_stalled": baseline_stalled,
         "sentinels": sentinels,
         "median_drift": median_drift,
         "sf": sf_val,

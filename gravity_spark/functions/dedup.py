@@ -202,6 +202,23 @@ def _persistent_rdd_ids(df: DataFrame) -> set[int]:
     return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
 
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """The RDD id persisted by this DataFrame's localCheckpoint(): the
+    checkpointed Dataset's analyzed plan is a LogicalRDD wrapping
+    exactly the RDD the checkpoint call persisted. Tracking THIS id —
+    instead of diffing the SparkContext-GLOBAL persistent-RDD set —
+    means an iterative loop's cleanup sweep can never unpersist blocks
+    persisted concurrently by another query sharing the session (for a
+    localCheckpointed frame that would make it unrecomputable)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd().id()
+    except Exception:
+        pass
+    return None
+
+
 def _unpersist_rdds(df: DataFrame, ids: set[int]) -> None:
     """Free localCheckpoint blocks by RDD id. Dataset.unpersist() only
     talks to the SQL cache manager; checkpoint storage is RDD-level and
@@ -242,18 +259,17 @@ def connected_components(
     "Connected Components in MapReduce and Beyond", SoCC'14) — same
     per-round shuffle shape, O(log n) rounds.
     """
-    base_ids = _persistent_rdd_ids(edges)
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
     sym = sym.distinct().localCheckpoint(eager=True)
-    keep_ids = _persistent_rdd_ids(sym) - base_ids  # sym, reused every round
+    sym_id = _checkpoint_rdd_id(sym)  # sym, reused every round
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_id = _checkpoint_rdd_id(labels)
     for _ in range(max_iter):
-        stale = _persistent_rdd_ids(labels) - base_ids - keep_ids
         neighbor_min = (
             sym.join(labels, sym.src == labels.v)
             .groupBy(F.col("dst").alias("v"))
@@ -270,11 +286,14 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        _unpersist_rdds(labels, stale)  # prior rounds, superseded now
+        if prev_id is not None:  # prior round's checkpoint, superseded now
+            _unpersist_rdds(labels, {prev_id})
+        prev_id = _checkpoint_rdd_id(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    _unpersist_rdds(labels, keep_ids)
+    if sym_id is not None:
+        _unpersist_rdds(labels, {sym_id})
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 
@@ -296,22 +315,21 @@ def connected_components_bipartite(
     docs, doc label = min over its buckets; bucket vertices never
     surface in the output so their ids never pollute the label space.
     """
-    base_ids = _persistent_rdd_ids(members)
     m = (
         members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    keep_ids = _persistent_rdd_ids(m) - base_ids  # m, reused every round
+    m_id = _checkpoint_rdd_id(m)  # m, reused every round
     labels = (
         m.select("v").distinct().withColumn("label", F.col("v").cast("long"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_id = _checkpoint_rdd_id(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
-        stale = _persistent_rdd_ids(labels) - base_ids - keep_ids
         bucket_label = m.join(labels, "v").groupBy("bk").agg(F.min("label").alias("bl"))
         neighbor_min = m.join(bucket_label, "bk").groupBy("v").agg(F.min("bl").alias("nl"))
         labels = labels.join(neighbor_min, "v", "left").select(
@@ -331,13 +349,16 @@ def connected_components_bipartite(
             .localCheckpoint(eager=True)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        _unpersist_rdds(labels, stale)  # prior rounds, superseded now
+        if prev_id is not None:  # prior round's checkpoint, superseded now
+            _unpersist_rdds(labels, {prev_id})
+        prev_id = _checkpoint_rdd_id(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     if stats is not None:
         stats["rounds"] = rounds
-    _unpersist_rdds(labels, keep_ids)
+    if m_id is not None:
+        _unpersist_rdds(labels, {m_id})
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
 
 

@@ -81,41 +81,48 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> tuple[DataFrame, in
     adversarial inputs (a path graph needs ~n/2 rounds; real power-law
     graphs converge in a handful). Returns (core_edges, rounds_run).
 
-    Scale shape per round: one vertex-id-only aggregation + two LEFT
-    SEMI prunes of the (only ever shrinking) edge list; each round is
-    localCheckpoint-ed eagerly, which both truncates the doubling
-    lineage (each round references the prior edge list twice) and makes
-    the convergence count() a near-free metadata read. The fixpoint
-    guard is a scalar per round — nothing corpus-sized ever reaches the
-    driver. The prior round's checkpointed blocks are unpersisted as
-    soon as the new round materializes (the
-    dedup.connected_components_bipartite discipline) so a long peel
-    holds ONE edge-list copy in executor storage, not one per round."""
-    from gravity_spark.functions.dedup import _persistent_rdd_ids, _unpersist_rdds
+    Scale shape per round: TWO jobs — (1) one vertex-sized degree
+    aggregation whose scalar output (total vertices, surviving
+    vertices) IS the fixpoint check: a peel removes an edge iff some
+    endpoint has 1 ≤ d < k, so nv == nk ⟺ the round would remove
+    nothing, and the converged round never pays the join/checkpoint at
+    all; (2) the two LEFT SEMI prunes of the (only ever shrinking)
+    edge list, localCheckpoint-ed eagerly to truncate the doubling
+    lineage. The degree frame is persisted within the round so the
+    prune joins reuse it instead of recomputing the shuffle. Nothing
+    corpus-sized ever reaches the driver. The prior round's checkpoint
+    block is freed (non-blocking) as soon as the new round
+    materializes — by its EXACT RDD id via _checkpoint_rdd_id, never a
+    global persistent-set diff, so blocks persisted concurrently by
+    another query sharing the session are untouchable — and a long
+    peel holds ONE edge-list copy in executor storage."""
+    from gravity_spark.functions.dedup import _checkpoint_rdd_id, _unpersist_rdds
 
-    base_ids = _persistent_rdd_ids(edges)
     edges = edges.select("u", "v").localCheckpoint()
-    n_prev = edges.count()
+    prev_id = _checkpoint_rdd_id(edges)
     rounds = 0
     while rounds < max_rounds:
-        stale = _persistent_rdd_ids(edges) - base_ids
-        keep = degrees(edges).filter(F.col("d") >= k).select("x")
+        deg = degrees(edges).persist()
+        nv, nk = deg.agg(
+            F.count(F.lit(1)), F.sum((F.col("d") >= k).cast("int"))
+        ).collect()[0]
+        rounds += 1
+        if nv == (nk or 0):  # no violating vertex — already the fixpoint
+            deg.unpersist(False)
+            return edges, rounds
+        keep = deg.filter(F.col("d") >= k).select("x")
         pruned = (
             edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
             .select("u", "v")
             .localCheckpoint()
         )
-        n = pruned.count()
-        rounds += 1
-        # pruned is materialized — free the prior round's blocks
-        # (stale was snapped BEFORE pruned's checkpoint, so it can
-        # never name pruned's own RDD)
-        _unpersist_rdds(pruned, stale)
-        if n == n_prev:
-            return pruned, rounds
-        edges, n_prev = pruned, n
-        if n == 0:
+        deg.unpersist(False)
+        if prev_id is not None:  # pruned is materialized — free prior round
+            _unpersist_rdds(pruned, {prev_id})
+        prev_id = _checkpoint_rdd_id(pruned)
+        edges = pruned
+        if (nk or 0) == 0:  # every vertex peeled — empty core
             return edges, rounds
     return edges, rounds
 

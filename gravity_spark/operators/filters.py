@@ -134,8 +134,12 @@ def subprocess_filter(
                     yield out
 
     if matchers:
-        matched = df.filter(cond).mapInArrow(run, df.schema)
-        return matched.unionByName(df.filter(~cond))
+        # NULL-predicate rows (e.g. DDL messages with op=NULL under a
+        # match-dml-op matcher) must pass through UNTOUCHED — filter()
+        # excludes NULL on both branches, so coalesce the match side to
+        # False and route NULLs down the pass-through side explicitly.
+        matched = df.filter(F.coalesce(cond, F.lit(False))).mapInArrow(run, df.schema)
+        return matched.unionByName(df.filter(cond.isNull() | ~cond))
     return df.mapInArrow(run, df.schema)
 
 

@@ -11892,22 +11892,21 @@ def graph_label_propagation(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("u", "v")
     )
-    from gravity_spark.functions.dedup import _persistent_rdd_ids, _unpersist_rdds
+    from gravity_spark.functions.dedup import _checkpoint_rdd_id, _unpersist_rdds
 
-    base_ids = _persistent_rdd_ids(e0)
     sym = (
         e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
         .unionByName(e0.select(F.col("v").alias("s"), F.col("u").alias("d")))
         .localCheckpoint(eager=True)
     )
-    sym_ids = _persistent_rdd_ids(sym) - base_ids
+    sym_id = _checkpoint_rdd_id(sym)
     labels = (
         sym.select(F.col("s").alias("lv")).distinct()
         .select("lv", F.col("lv").alias("lbl"))
     )
+    prev_id = None
     w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl"))
     for _ in range(3):
-        stale = _persistent_rdd_ids(labels) - base_ids - sym_ids
         cnt = (
             sym.join(labels, sym.s == labels.lv)
             .groupBy(F.col("d").alias("v"), "lbl")
@@ -11919,10 +11918,13 @@ def graph_label_propagation(spark, sf_dir):
             .select(F.col("v").alias("lv"), "lbl")
             .localCheckpoint(eager=True)
         )
-        _unpersist_rdds(labels, stale)  # superseded round's checkpoint
+        if prev_id is not None:  # superseded round's checkpoint
+            _unpersist_rdds(labels, {prev_id})
+        prev_id = _checkpoint_rdd_id(labels)
     # final labels are an eager checkpoint — the edge list is no longer
     # needed by the returned plan
-    _unpersist_rdds(labels, sym_ids)
+    if sym_id is not None:
+        _unpersist_rdds(labels, {sym_id})
     wc = Window.partitionBy("lbl")
     return labels.select(
         F.col("lv").alias("vertex"),
@@ -12199,7 +12201,9 @@ def sim_mmr_diverse_topk(spark, sf_dir):
     d1, dk = head[0]["dq"], head[min(_MMR_K, len(head)) - 1]["dq"]
     # keep iff (3λ−2000)·dq ≤ 2(1000−λ)·d1 + λ·D  (exact, see docstring)
     bound = (2 * (1000 - _MMR_LAM) * d1 + _MMR_LAM * dk) // (3 * _MMR_LAM - 2000)
-    if len(head) < n_head or head[-1]["dq"] >= bound:
+    # strict >: if head[-1].dq == bound, ties at dq == bound may extend
+    # beyond the head's limit — fall through to the bounded re-scan
+    if len(head) < n_head or head[-1]["dq"] > bound:
         short = [r for r in head if r["dq"] <= bound]
     else:  # shortlist outgrew the head — one bounded re-scan
         short = cand.filter(F.col("dq") <= bound).collect()

@@ -397,6 +397,17 @@ class ParquetMergeTarget:
             touched = [(r["_v"], r["_s"]) for r in touched_rows]
             if not touched:
                 return
+            if any(s == "" for _, s in touched):
+                # Spark's partition-path encoding writes '' and NULL to
+                # the SAME __HIVE_DEFAULT_PARTITION__ child, so the two
+                # cannot be staged (or renamed) distinctly — fail the
+                # epoch loudly at apply time instead of misclassifying
+                # the live '' partition as a full delete
+                raise ValueError(
+                    f"empty-string value in partition column {pcol!r}: "
+                    "indistinguishable from NULL under Spark's partition-"
+                    "path encoding; map '' to a sentinel upstream"
+                )
             from pyspark.sql.types import StructType
 
             declared = StructType.fromDDL(self.schema_ddl)

@@ -95,6 +95,31 @@ def test_kcore_fixpoint_preserves_core_and_stops(spark):
     assert core2.count() == 6
 
 
+def test_kcore_no_storage_growth_across_rounds(spark):
+    """The per-round unpersist discipline must hold ONE edge-list
+    checkpoint in executor storage, not one per round — and the sweep
+    must free exactly kcore's own blocks, never a block persisted
+    concurrently by another user of the session."""
+    sc = spark.sparkContext
+    # a bystander persisted frame sharing the session
+    bystander = spark.range(100).selectExpr("id as u", "id+1 as v").localCheckpoint()
+    assert bystander.count() == 100
+
+    def persistent_ids():
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+    before = persistent_ids()
+    chain = _edges(spark, [(i, i + 1) for i in range(11)])
+    core, rounds = G.kcore(chain, 2)
+    assert rounds > 4
+    after = persistent_ids()
+    # exactly one new persistent RDD: the returned core's checkpoint
+    assert len(after - before) == 1
+    # the bystander's blocks survived the sweep (still recomputable)
+    assert before <= after
+    assert bystander.count() == 100
+
+
 def test_kcore_round_cap(spark):
     # max_rounds caps the loop even when the fixpoint is further out
     chain = _edges(spark, [(i, i + 1) for i in range(11)])

@@ -115,6 +115,23 @@ def test_partition_value_path_encoding(spark, tmp_path):
     assert state == {2: "y", 3: "z"}
 
 
+def test_partition_value_empty_string_rejected(spark, tmp_path):
+    """'' and NULL share one __HIVE_DEFAULT_PARTITION__ path child, so
+    they cannot be staged distinctly — the sink must reject '' loudly at
+    apply time rather than misclassify the live partition as deleted."""
+    import pytest
+
+    t = ParquetMergeTarget(
+        spark, str(tmp_path / "empt"), ["id"],
+        "id long, dt string, v string", partition_col="dt",
+    )
+    with pytest.raises(ValueError, match="empty-string.*partition|sentinel"):
+        t.apply_batch(_batch(spark, [
+            (1, "", "x", "insert", 1),
+            (2, None, "y", "insert", 2),
+        ]), epoch_id=0)
+
+
 def test_partition_value_bool_encoding(spark, tmp_path):
     """Boolean partition column: Spark renders 'true'/'false' in the
     path while Python str() gives 'True'/'False'."""

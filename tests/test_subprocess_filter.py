@@ -79,6 +79,26 @@ def test_subprocess_filter_in_chain_config(spark, tmp_path):
     assert got[1]["name"] == "ANN" and got[3]["amt"] == "5"
 
 
+def test_subprocess_filter_null_predicate_rows_pass_through(spark, tmp_path):
+    """A match-dml-op matcher evaluates to NULL on DDL rows (op=NULL);
+    those rows must pass through UNTOUCHED, not be dropped (the
+    base_filter.go pass-through contract)."""
+    rows = ROWS + [
+        {"database": "test", "table": "users", "op": None, "type": "ddl",
+         "ddl_statement": "ALTER TABLE users ADD COLUMN x int", "seq": 4},
+    ]
+    df = memory_changes(spark, rows)
+    out = subprocess_filter(df, _write_child(tmp_path), {"match-dml-op": "insert"})
+    got = {r["seq"]: r for r in out.collect()}
+    assert len(got) == 4
+    # DDL row (op NULL → predicate NULL) survives, untouched
+    assert got[4]["ddl_statement"] == "ALTER TABLE users ADD COLUMN x int"
+    # matched insert rows mutated; non-matching update row untouched
+    assert got[1]["data"]["name"] == "ANN"
+    assert got[3]["data"]["amt"] == "5"
+    assert got[2]["data"]["name"] == "bob"
+
+
 def test_subprocess_filter_failure_is_loud(spark, tmp_path):
     bad = tmp_path / "bad.py"
     bad.write_text("import sys; sys.exit(3)")
