@@ -5645,7 +5645,8 @@ def approx_aggregates(spark, sf_dir):
         F.percentile_approx(
             "l_extendedprice", 0.5, 10000
         ).alias("approx_median"),
-    )
+    ).persist()  # 3 rows, referenced twice (broadcast probe + join left
+    # side) — without pinning the countDistinct-expand scan runs twice
     ranks = (
         li.select("l_returnflag", "l_extendedprice")
         .join(
@@ -9914,6 +9915,83 @@ def _dist_ntile(df, metric: str, tie: str, out: str, k: int, n_buckets: int = 64
     )
 
 
+def _dist_ntile_multi(df, specs, k: int, n_buckets: int = 64):
+    """Fused ``_dist_ntile`` over SEVERAL metrics of the same frame:
+    ONE bounds aggregation covering every metric's min/max (single tiny
+    collect), ONE stacked bucket-count aggregation (metrics exploded to
+    (metric_id, bucket) pairs — ≤ len(specs)·n_buckets metadata rows,
+    single collect), one driver fold + broadcast, then one in-bucket
+    rank window per metric over the same bucketed frame, all in the
+    final job. Replaces len(specs) sequential `_dist_ntile` passes —
+    each with its own bounds job, counts collect and persist — with 2
+    driver-blocking jobs total; the tile formula is bit-identical to
+    `_dist_ntile`'s (== SQL ntile).
+
+    specs: [(metric, tie, out_col)] — every metric scored with ntile(k)
+    ordered by (metric, tie)."""
+    sess = df.sparkSession
+    bounds_row = df.agg(
+        *[
+            f
+            for m, _, _ in specs
+            for f in (F.min(m).alias(f"_lo_{m}"), (F.max(m) + F.lit(1)).alias(f"_hi_{m}"))
+        ]
+    ).collect()[0]
+    bk = df
+    for i, (m, _, _) in enumerate(specs):
+        bk = bk.withColumn(
+            f"_b{i}",
+            F.width_bucket(
+                F.col(m),
+                F.lit(bounds_row[f"_lo_{m}"]),
+                F.lit(bounds_row[f"_hi_{m}"]),
+                F.lit(n_buckets),
+            ),
+        )
+    stacked = bk.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("m"),
+                        F.col(f"_b{i}").cast("long").alias("b"),
+                    )
+                    for i in range(len(specs))
+                ]
+            )
+        ).alias("e")
+    )
+    counts = (
+        stacked.groupBy("e.m", "e.b").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    per: dict[int, list[tuple[int, int]]] = {}
+    for mid, b_id, c in sorted((r["m"], r["b"], r["c"]) for r in counts):
+        per.setdefault(mid, []).append((b_id, c))
+    out_df = bk
+    for i, (m, tie, out) in enumerate(specs):
+        buckets = per.get(i, [])
+        total = sum(c for _, c in buckets)
+        rows, acc = [], 0
+        for b_id, c in buckets:
+            rows.append((b_id, acc))
+            acc += c
+        off = sess.createDataFrame(rows, f"_b{i} long, _off{i} long")
+        out_df = out_df.join(F.broadcast(off), f"_b{i}")
+        rk = F.col(f"_off{i}") + F.row_number().over(
+            Window.partitionBy(f"_b{i}").orderBy(m, tie)
+        )
+        q = F.lit(total // k)
+        r = F.lit(total % k)
+        head = r * (q + 1)
+        tile = F.when(
+            rk <= head, ((rk - 1) / (q + 1)).cast("long") + 1
+        ).otherwise(r + ((rk - head - 1) / F.greatest(q, F.lit(1))).cast("long") + 1)
+        out_df = out_df.withColumn(out, tile.cast("long")).drop(
+            f"_b{i}", f"_off{i}"
+        )
+    return out_df
+
+
 @register(
     "customer_rfm_segments",
     """
@@ -9937,17 +10015,21 @@ def customer_rfm_segments(spark, sf_dir):
     order data. Deterministic: every quintile orders by (metric,
     custkey) so ties are total-ordered; money is exact integer cents.
 
-    Scale shape: each score is the DISTRIBUTED exact ntile
-    (_dist_ntile — the mongo_bucket_chunks two-level pattern): bucket →
-    local rank → broadcast offsets, no ``WindowExec: No Partition
-    Defined`` global sort anywhere in the plan. The oracle keeps the
-    plain ntile window; results are bit-identical because the bucket
-    order refines the (metric, custkey) total order and the tile
-    formula is SQL ntile's."""
+    Scale shape: all three scores come from ONE fused distributed-ntile
+    pass (_dist_ntile_multi — the mongo_bucket_chunks two-level
+    pattern): a single bounds aggregation covers R, F and M; the three
+    metrics' per-bucket counts ride one stacked aggregation (≤192
+    metadata rows, one collect); then three in-bucket rank windows over
+    the same bucketed frame run in the final job. Two driver-blocking
+    jobs total — the three sequential passes this replaces paid a
+    bounds job + counts collect + persist EACH (2.5× regression flagged
+    in round 5). No ``WindowExec: No Partition Defined`` global sort
+    anywhere in the plan. The oracle keeps the plain ntile windows;
+    results are bit-identical because each bucket order refines its
+    (metric, custkey) total order and the tile formula is SQL ntile's."""
     orders = T(spark, sf_dir, "orders")
-    # persist: each _dist_ntile pass runs a count aggregation plus the
-    # ranked join over this dim — without pinning, pass 3 would rescan
-    # the orders fact 3× through the growing lineage
+    # persist: the bounds job and the stacked counts job both scan this
+    # customer-sized aggregate — pin it so orders is scanned once
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max(F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))).alias(
             "last_epoch"
@@ -9955,9 +10037,15 @@ def customer_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
     ).persist()
-    scored = _dist_ntile(base, "last_epoch", "custkey", "r_score", 5).persist()
-    scored = _dist_ntile(scored, "n_orders", "custkey", "f_score", 5).persist()
-    scored = _dist_ntile(scored, "cents", "custkey", "m_score", 5)
+    scored = _dist_ntile_multi(
+        base,
+        [
+            ("last_epoch", "custkey", "r_score"),
+            ("n_orders", "custkey", "f_score"),
+            ("cents", "custkey", "m_score"),
+        ],
+        5,
+    )
     return scored.select("custkey", "r_score", "f_score", "m_score")
 
 
@@ -14506,6 +14594,47 @@ def embedding_truncation_recall(spark, sf_dir):
     return out
 
 
+def _gap_runs(keys_df, key: str = "k", fan: int = 4096, levels: int = 6):
+    """Enumerate every missing [gap_start, gap_end] run of a sparse
+    integer key set WITHOUT any partition-less window, at any scale.
+
+    Each level views the data as disjoint present-intervals (s, lo, hi)
+    — level 0: one interval per key. A fan-partitioned lead window
+    (partition = s div fan, order = s) finds the seams between
+    consecutive intervals sharing a parent shard; intervals are then
+    summarized per parent (min lo, max hi — valid because all keys of
+    shard s precede all keys of shard s+1) and the scheme RECURSES on
+    the summaries. A seam between consecutive keys a < b surfaces at
+    exactly the first level where their shard ids collide under one
+    parent, so every gap is emitted once and only once.
+
+    With fan=4096 and levels=6, fan^levels = 2^72 > 2^63: the deepest
+    window's single partition holds ≤ ⌈2^63/4096^5⌉ = 8 summary rows
+    for ANY int64 keyspace — constant by construction, never a task
+    proportional to |keys|/fan (the failure mode this replaces). Every
+    window in the plan carries a non-empty partitionSpec; levels past
+    the data's depth cost one ≤8-row stage each."""
+    cur = keys_df.select(
+        F.col(key).alias("s"), F.col(key).alias("lo"), F.col(key).alias("hi")
+    )
+    gaps = None
+    for lvl in range(levels):
+        w = Window.partitionBy(F.expr(f"s div {fan}")).orderBy("s")
+        nxt = cur.withColumn("nlo", F.lead("lo").over(w))
+        g = nxt.filter(
+            F.col("nlo").isNotNull() & (F.col("nlo") > F.col("hi") + 1)
+        ).select(
+            (F.col("hi") + 1).alias("gap_start"),
+            (F.col("nlo") - 1).alias("gap_end"),
+        )
+        gaps = g if gaps is None else gaps.unionByName(g)
+        if lvl < levels - 1:
+            cur = cur.groupBy(F.expr(f"s div {fan}").alias("s")).agg(
+                F.min("lo").alias("lo"), F.max("hi").alias("hi")
+            )
+    return gaps
+
+
 @register(
     "orders_keyspace_gaps",
     """
@@ -14551,11 +14680,15 @@ def orders_keyspace_gaps(spark, sf_dir):
     runs a backfill must fetch, which is what you hand a chunked
     re-scan).
 
-    The scan is SHARDED: keys land in 4096-wide shards, intra-shard
-    gaps come from a shard-partitioned lead window, and the ≤|keys|/4096
-    shard boundary rows close the inter-shard seams with one tiny
-    ordered window — never a single global-order window over the key
-    column (the orders_open_backlog hierarchical discipline).
+    The scan is RECURSIVELY SHARDED (_gap_runs): keys land in 4096-wide
+    shards; intra-shard gaps come from a shard-partitioned lead window;
+    the per-shard (lo, hi) boundary summaries are themselves a keyspace
+    and recurse the same scheme, 6 levels deep — 4096⁶ = 2⁷² covers any
+    int64 keyspace, so the deepest window's partition holds ≤
+    ⌈2⁶³/4096⁵⌉ = 8 summary rows BY CONSTRUCTION and NO partition-less
+    window exists anywhere in the plan (this retired the one
+    growth-capable explain_audit allowlist entry: the old two-level
+    shape put all |keys|/4096 seam rows in one task, ~366k at sf100k).
 
     The synthetic keyspace is dense (0..N−1, zero real gaps at every
     SF), so the audit SIMULATES loss deterministically on both engines
@@ -14566,30 +14699,10 @@ def orders_keyspace_gaps(spark, sf_dir):
     orders = T(spark, sf_dir, "orders")
     k = (
         orders.filter(_phash_col(F.col("o_orderkey")) % 97 != 0)
-        .select(
-            F.col("o_orderkey").alias("k"),
-            F.expr("CAST(o_orderkey AS BIGINT) div 4096").alias("shard"),
-        )
+        .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    w = Window.partitionBy("shard").orderBy("k")
-    nk = k.withColumn("nxt", F.lead("k").over(w))
-    intra = nk.filter(
-        F.col("nxt").isNotNull() & (F.col("nxt") > F.col("k") + 1)
-    ).select(
-        (F.col("k") + 1).alias("gap_start"), (F.col("nxt") - 1).alias("gap_end")
-    )
-    ends = k.groupBy("shard").agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
-    we = Window.orderBy("shard")
-    inter = (
-        ends.withColumn("nlo", F.lead("lo").over(we))
-        .filter(F.col("nlo").isNotNull() & (F.col("nlo") > F.col("hi") + 1))
-        .select(
-            (F.col("hi") + 1).alias("gap_start"),
-            (F.col("nlo") - 1).alias("gap_end"),
-        )
-    )
-    gaps = intra.unionByName(inter)
+    gaps = _gap_runs(k)
     return gaps.select(
         "gap_start", "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("missing"),

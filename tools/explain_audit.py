@@ -45,7 +45,6 @@ GLOBAL_WINDOW_METADATA_OK: dict[str, str] = {
     "returns_chi2_independence": "marginals over the returnflag×linestatus contingency table (≤ 3×2 cells)",
     "docs_source_lang_drift": "marginals over the source×lang contingency table (≤ sources×langs, both design-bounded enums)",
     "orders_priority_drift_by_month": "marginals over the month×priority table (≤ 84×5 cells)",
-    "orders_keyspace_gaps": "inter-shard seam lead over |keys|/4096 boundary rows (~366k rows of 3 longs ≈ 9 MB single task at sf100k; recurse the sharding if keys outgrow it)",
     "events_signup_to_purchase_hazard": "at-risk suffix sum over per-day rows (date range, ~2.5k rows)",
 }
 
