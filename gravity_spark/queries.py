@@ -18167,6 +18167,40 @@ def customer_top1pct_share(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Driver visibility window: the external CORRECTNESS_r{N} gate grades
+# only the FIRST 50 registry entries, so each round rotates that
+# round's changed queries — plus a few previously-ungraded heavy
+# queries — into the window for one round of external confirmation
+# (the round-5 verdict's standing instruction). Rotation is explicit
+# here rather than by moving function definitions around the file.
+_DRIVER_WINDOW_ROTATION = [
+    # round-6 changed queries
+    "customer_rfm_segments",
+    "approx_aggregates",
+    "orders_keyspace_gaps",
+    "graph_kcore_fixpoint",
+    "sim_mmr_diverse_topk",
+    # previously-ungraded heavy queries, rotated in for confirmation
+    "sim_pq_topk",
+    "bpe_tokenize",
+    "graph_components_incremental",
+]
+
+
+def _rotate_driver_window(pos: int = 30) -> None:
+    missing = [n for n in _DRIVER_WINDOW_ROTATION if n not in REGISTRY]
+    assert not missing, f"rotation names not registered: {missing}"
+    order = [n for n in REGISTRY if n not in _DRIVER_WINDOW_ROTATION]
+    new_order = order[:pos] + _DRIVER_WINDOW_ROTATION + order[pos:]
+    items = {n: REGISTRY[n] for n in new_order}
+    REGISTRY.clear()
+    REGISTRY.update(items)
+
+
+_rotate_driver_window()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: qd.spark for name, qd in REGISTRY.items()}
 
