@@ -5638,19 +5638,37 @@ def approx_aggregates(spark, sf_dir):
     `kmv_distinct_sketch` / `countmin_heavy_hitters` /
     `quantile_sketch_merge`."""
     li = T(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    # MEASURED PITFALL (sf0.1, local[32]): countDistinct mixed into the
+    # same agg as percentile_approx is a toxic pair — the distinct
+    # rewrite's Expand doubles the rows feeding the object-buffer
+    # quantile sketch and the whole agg lands at 8-38 s vs <0.6 s for
+    # each aggregate alone. Splitting the exact distinct into its own
+    # two-level subtree (distinct pairs → count, no Expand anywhere)
+    # returns every piece to hash-agg speed; the HLL moves onto the
+    # distinct frame, which is value-identical (HLL registers depend
+    # only on the value SET). Also measured: persisting or collecting
+    # the 3-row agg to dedup its two plan references SERIALIZES the
+    # subtrees and is 4-10x slower than just letting both plan copies
+    # run inside one job — don't "fix" that again.
+    pre = li.select("l_returnflag", "l_partkey").distinct()
+    agg_parts = pre.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("exact_parts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )
+    agg_med = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
             "l_extendedprice", 0.5, 10000
         ).alias("approx_median"),
-    ).persist()  # 3 rows, referenced twice (broadcast probe + join left
-    # side) — without pinning the countDistinct-expand scan runs twice
+    )
+    agg = agg_med.join(agg_parts, "l_returnflag")
     ranks = (
         li.select("l_returnflag", "l_extendedprice")
         .join(
-            F.broadcast(agg.select("l_returnflag", "approx_median")),
+            # probe from agg_med, NOT agg: probing through the join
+            # would drag a second copy of the distinct+HLL subtree
+            # into the rank scan's plan
+            F.broadcast(agg_med.select("l_returnflag", "approx_median")),
             "l_returnflag",
         )
         .groupBy("l_returnflag")
