@@ -157,6 +157,41 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     take_sentinel(q_idx)  # closing sentinel
+
+    # Post-pass: a stall WINDOW can pass the median<=1.2 gate yet leave
+    # its rows 2-16x reality (observed: a drift-5.4 window turned a
+    # 0.16 s query into a 2.6 s record row). Rows stamped with window
+    # drift > 1.4 get one end-of-run re-timing each, taken only while
+    # the host measures healthy; min() with the existing best means a
+    # re-run can only improve a row, never worsen it.
+    suspects = [
+        n for n, d in query_drift.items() if d > 1.4 and timings.get(n, -1) >= 0
+    ]
+    for name in suspects[:80]:
+        s = _sentinel_sec(spark)
+        drift_now = round(s / max(baseline, 1e-9), 3)
+        if drift_now > 1.2:
+            break  # host stalled again — keep what we have
+        try:
+            t0 = time.time()
+            REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            elapsed = round(time.time() - t0, 3)
+            if elapsed < timings[name]:
+                timings[name] = elapsed
+                query_drift[name] = drift_now
+        except Exception as e:
+            print(f"bench repass error in {name}: {e}", file=sys.stderr)
+        finally:
+            spark.catalog.clearCache()
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                rdd = jmap.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
+            spark.sparkContext._jvm.System.gc()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     drifts = sorted(s["drift"] for s in sentinels)
