@@ -45,8 +45,9 @@ BASELINE_STALL_FACTOR = 3.0
 
 def _sentinel_sec(spark) -> float:
     """One fixed, tiny, deterministic plan: a codegen'd fold plus a
-    32-key shuffle — representative of both cost classes, ~0.2 s on a
-    healthy host. Timing THIS is timing the host, not the queries."""
+    32-key shuffle — representative of both cost classes, ~0.5-0.6 s on
+    a healthy host (recorded clean-round baselines: 0.571-0.579).
+    Timing THIS is timing the host, not the queries."""
     t0 = time.time()
     spark.range(2_000_000).selectExpr(
         "sum(id * 3 + 1) AS a", "count(1) AS b"

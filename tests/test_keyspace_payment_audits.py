@@ -45,6 +45,28 @@ def test_keyspace_gaps_name_simulated_losses(spark, sf_dir):
     assert sum(r["missing"] for r in rows) == len(lost)
 
 
+def test_gap_runs_int64_extremes_each_gap_once(spark):
+    """_gap_runs' by-construction claim: with fan=4096 and 6 levels the
+    recursion covers ANY int64 keyspace — giant gaps spanning many shard
+    levels are found, emitted exactly once, and dense runs inside one
+    shard still surface at level 0."""
+    from gravity_spark.queries import _gap_runs
+
+    keys = [0, 1, 2, 5, 2**40, 2**40 + 1, 2**62, 2**62 + 3]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = sorted(
+        ((r["gap_start"], r["gap_end"]) for r in _gap_runs(df).collect())
+    )
+    expected = []
+    s = sorted(keys)
+    for a, b in zip(s, s[1:]):
+        if b > a + 1:
+            expected.append((a + 1, b - 1))
+    assert rows == expected  # every gap exactly once, none missed
+    # sanity: the two cross-level giants are present
+    assert (6, 2**40 - 1) in rows and (2**40 + 2, 2**62 - 1) in rows
+
+
 def test_duplicate_payments_are_the_injected_replays(spark, sf_dir):
     rows = REGISTRY["orders_duplicate_payment_audit"].spark(spark, sf_dir).collect()
     orders = T(spark, sf_dir, "orders").select(
