@@ -81,19 +81,31 @@ def main() -> None:
     # with an ABSOLUTE sanity bound: a baseline captured during a stall
     # would deflate every later drift reading, so re-take once after a
     # pause, and if still inflated mark the whole run baseline-stalled
-    baseline = min(_sentinel_sec(spark) for _ in range(3))
+    baseline_raw = min(_sentinel_sec(spark) for _ in range(3))
     baseline_stalled = False
-    if baseline > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
+    if baseline_raw > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
         print(
-            f"bench: startup baseline {baseline:.2f}s > "
+            f"bench: startup baseline {baseline_raw:.2f}s > "
             f"{EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:.1f}s sanity "
             "bound — host may be stalled; re-taking baseline in 15s",
             file=sys.stderr,
         )
         time.sleep(15)
-        baseline = min(_sentinel_sec(spark) for _ in range(3))
-        if baseline > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
-            baseline_stalled = True
+        baseline_raw = min(_sentinel_sec(spark) for _ in range(3))
+        if baseline_raw > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
+            baseline_stalled = True  # informational: start was stalled twice
+    # The sentinel is a FIXED plan on fixed hardware, so its healthy
+    # cost is a stable band (observed 0.49-0.66 across rounds). Clamp
+    # the drift divisor to that band: a baseline captured in a startup
+    # stall would DEFLATE every drift reading (the run passes while
+    # polluted — observed 1.698), a lucky sub-band baseline would
+    # INFLATE them (a clean 365 s run got quarantined at drift 1.28 —
+    # also observed). Clamped, the drift gate is absolute-anchored and
+    # the median<=1.2 check means what it says in both directions.
+    baseline = min(
+        max(baseline_raw, EXPECTED_BASELINE_SEC * 0.9),
+        EXPECTED_BASELINE_SEC * 1.2,
+    )
     sentinels: list[dict] = []
     current_drift = 1.0
 
@@ -197,7 +209,9 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     drifts = sorted(s["drift"] for s in sentinels)
     median_drift = drifts[len(drifts) // 2] if drifts else 1.0
-    stalled = median_drift > 1.2 or baseline_stalled
+    # the clamped baseline makes median drift absolute-anchored, so it
+    # is the sole gate; baseline_stalled stays recorded as metadata
+    stalled = median_drift > 1.2
     detail = {
         "metric": "total_query_seconds",
         "value": total,
@@ -205,6 +219,7 @@ def main() -> None:
         "queries": timings,
         "query_drift": query_drift,
         "sentinel_baseline_sec": round(baseline, 3),
+        "sentinel_baseline_raw_sec": round(baseline_raw, 3),
         "baseline_stalled": baseline_stalled,
         "sentinels": sentinels,
         "median_drift": median_drift,
