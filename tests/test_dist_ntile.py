@@ -55,3 +55,43 @@ def test_dist_ntile_small_n_edge(spark):
 
 def test_dist_ntile_exact_division(spark):
     _check(spark, list(range(100, 0, -1)), 4)  # n divisible by k
+
+
+def _check_multi(spark, columns, k, n_buckets=8):
+    """columns: dict metric_name -> list of values (same length)."""
+    from gravity_spark.queries import _dist_ntile_multi
+
+    n = len(next(iter(columns.values())))
+    rows = [tuple([i] + [columns[m][i] for m in columns]) for i in range(n)]
+    schema = "tie long, " + ", ".join(f"{m} long" for m in columns)
+    df = spark.createDataFrame(rows, schema)
+    specs = [(m, "tie", f"t_{m}") for m in columns]
+    got = {
+        r["tie"]: tuple(r[f"t_{m}"] for m in columns)
+        for r in _dist_ntile_multi(df, specs, k, n_buckets).collect()
+    }
+    want = {}
+    for j, m in enumerate(columns):
+        pairs = sorted(((i, v) for i, v in enumerate(columns[m])),
+                       key=lambda p: (p[1], p[0]))
+        tiles = _py_ntile(pairs, k)
+        for (tie, _), t in tiles.items():
+            want.setdefault(tie, [None] * len(columns))[j] = t
+    assert got == {tie: tuple(ts) for tie, ts in want.items()}
+
+
+def test_dist_ntile_multi_matches_per_metric_ntile(spark):
+    """The fused multi-metric pass must equal independent SQL ntiles,
+    including under heavy ties on one metric and skew on another."""
+    rng = random.Random(11)
+    n = 123
+    _check_multi(spark, {
+        "r": [rng.randrange(50) for _ in range(n)],      # many ties
+        "f": [rng.choice([1, 1, 1, 2, 9]) for _ in range(n)],  # few distinct
+        "m": [rng.randrange(10**6) for _ in range(n)],   # wide spread
+    }, 5)
+
+
+def test_dist_ntile_multi_small_n_and_exact_division(spark):
+    _check_multi(spark, {"a": [30, 10, 20], "b": [1, 2, 3]}, 5)
+    _check_multi(spark, {"a": list(range(100)), "b": list(range(100, 0, -1))}, 4)
