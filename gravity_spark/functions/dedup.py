@@ -18,6 +18,8 @@ All hashing is xxhash64/md5 (JVM built-ins); no Python in the path.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -209,13 +211,31 @@ def _checkpoint_rdd_id(df: DataFrame) -> int | None:
     instead of diffing the SparkContext-GLOBAL persistent-RDD set —
     means an iterative loop's cleanup sweep can never unpersist blocks
     persisted concurrently by another query sharing the session (for a
-    localCheckpointed frame that would make it unrecomputable)."""
+    localCheckpointed frame that would make it unrecomputable).
+
+    Returns None — with a LOUD warning — if the analyzed plan isn't the
+    expected LogicalRDD shape: callers skip the unpersist then, which
+    reintroduces a per-round executor-storage leak in the iterative
+    loops (kcore / connected_components / LPA). A Spark-version change
+    in localCheckpoint's plan shape must not fail silently; the warning
+    is the signal to update this accessor (pytest turns it into an
+    error via filterwarnings in the storage-growth tests)."""
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
+        name = plan.getClass().getSimpleName()
+        if name == "LogicalRDD":
             return plan.rdd().id()
-    except Exception:
-        pass
+    except Exception as e:  # JVM accessor shape changed entirely
+        name = f"<accessor error: {e}>"
+    warnings.warn(
+        "gravity_spark: _checkpoint_rdd_id expected a LogicalRDD analyzed "
+        f"plan for a localCheckpoint-ed frame, got {name}; checkpoint "
+        "blocks for this round will NOT be unpersisted (storage leak "
+        "until JVM GC). Spark's localCheckpoint plan shape likely "
+        "changed — update _checkpoint_rdd_id.",
+        RuntimeWarning,
+        stacklevel=2,
+    )
     return None
 
 

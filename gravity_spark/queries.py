@@ -14626,18 +14626,26 @@ def _gap_runs(keys_df, key: str = "k", fan: int = 4096, levels: int = 6):
     exactly the first level where their shard ids collide under one
     parent, so every gap is emitted once and only once.
 
-    With fan=4096 and levels=6, fan^levels = 2^72 > 2^63: the deepest
-    window's single partition holds ≤ ⌈2^63/4096^5⌉ = 8 summary rows
-    for ANY int64 keyspace — constant by construction, never a task
-    proportional to |keys|/fan (the failure mode this replaces). Every
-    window in the plan carries a non-empty partitionSpec; levels past
-    the data's depth cost one ≤8-row stage each."""
+    Sharding is FLOOR division (via the exact-integer identity
+    (s - pmod(s, fan)) div fan — `div` alone truncates toward zero,
+    which would make shard 0 double-width for negative keys; floats
+    would lose exactness near ±2^63). With fan=4096 and levels=6,
+    fan^levels = 2^72 > 2^64: level-5 summaries span the 16 values
+    floor(±2^63 / 4096^5) ∈ [-8, 7], so the deepest windows hold ≤ 8
+    rows per partition for ANY int64 keyspace — negatives included —
+    constant by construction, never a task proportional to |keys|/fan
+    (the failure mode this replaces). Every window in the plan carries
+    a non-empty partitionSpec; levels past the data's depth cost one
+    ≤8-row stage each."""
+    # floor(s / fan) exactly on int64: s - pmod(s, fan) == floor * fan
+    # (≥ -2^63, so never overflows), then `div` on the exact multiple
+    shard = f"(s - pmod(s, {fan})) div {fan}"
     cur = keys_df.select(
         F.col(key).alias("s"), F.col(key).alias("lo"), F.col(key).alias("hi")
     )
     gaps = None
     for lvl in range(levels):
-        w = Window.partitionBy(F.expr(f"s div {fan}")).orderBy("s")
+        w = Window.partitionBy(F.expr(shard)).orderBy("s")
         nxt = cur.withColumn("nlo", F.lead("lo").over(w))
         g = nxt.filter(
             F.col("nlo").isNotNull() & (F.col("nlo") > F.col("hi") + 1)
@@ -14647,7 +14655,7 @@ def _gap_runs(keys_df, key: str = "k", fan: int = 4096, levels: int = 6):
         )
         gaps = g if gaps is None else gaps.unionByName(g)
         if lvl < levels - 1:
-            cur = cur.groupBy(F.expr(f"s div {fan}").alias("s")).agg(
+            cur = cur.groupBy(F.expr(shard).alias("s")).agg(
                 F.min("lo").alias("lo"), F.max("hi").alias("hi")
             )
     return gaps
@@ -18192,36 +18200,47 @@ def customer_top1pct_share(spark, sf_dir):
 # queries — into the window for one round of external confirmation
 # (the round-5 verdict's standing instruction). Rotation is explicit
 # here rather than by moving function definitions around the file.
-_DRIVER_WINDOW_ROTATION = [
-    # round-6 changed queries
-    "customer_rfm_segments",
-    "approx_aggregates",
-    "orders_keyspace_gaps",
+# Names placed into the externally-graded window this round: the driver
+# grades the first 50 entries of queries()/oracle_sql(). Round-7
+# rotation = the five most expensive never-externally-graded heavies
+# (r6 verdict task 1) plus every query whose plan changed this round;
+# the round-6 rotations, now externally confirmed green, rotate back out.
+DRIVER_WINDOW = [
+    # round-7 changed queries
+    "orders_keyspace_gaps",        # floor-division sharding (negative keys)
     "graph_kcore_fixpoint",
-    "sim_mmr_diverse_topk",
-    # previously-ungraded heavy queries, rotated in for confirmation
-    "sim_pq_topk",
-    "bpe_tokenize",
     "graph_components_incremental",
+    "streaming_minhash_dedup_gate",
+    # never-externally-graded heavies rotated in for confirmation
+    "corpus_dedup_pipeline",
+    "semdedup_prune",
+    "dedup_lsh_precision_recall",
+    "esmodel_incremental_docs",
 ]
 
 
-def _rotate_driver_window(pos: int = 30) -> None:
-    missing = [n for n in _DRIVER_WINDOW_ROTATION if n not in REGISTRY]
-    assert not missing, f"rotation names not registered: {missing}"
-    order = [n for n in REGISTRY if n not in _DRIVER_WINDOW_ROTATION]
-    new_order = order[:pos] + _DRIVER_WINDOW_ROTATION + order[pos:]
-    items = {n: REGISTRY[n] for n in new_order}
-    REGISTRY.clear()
-    REGISTRY.update(items)
-
-
-_rotate_driver_window()
+def _driver_order(pos: int = 30) -> list[str]:
+    """Names in driver-grading order: DRIVER_WINDOW spliced into the
+    externally-graded first-50 window at ``pos``. REGISTRY itself is
+    NEVER reordered — bench.py and the plan/determinism tools iterate
+    REGISTRY in registration order, so per-query BENCH_DETAIL records
+    stay comparable across rounds while only the grader-facing
+    ordering rotates. A stale window name raises (not assert: must
+    survive ``python -O``)."""
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names not registered: {missing}")
+    rest = [n for n in REGISTRY if n not in DRIVER_WINDOW]
+    return rest[:pos] + DRIVER_WINDOW + rest[pos:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.spark for name, qd in REGISTRY.items()}
+    return {n: REGISTRY[n].spark for n in _driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in _driver_order()
+        if REGISTRY[n].oracle is not None
+    }

@@ -47,12 +47,21 @@ def test_keyspace_gaps_name_simulated_losses(spark, sf_dir):
 
 def test_gap_runs_int64_extremes_each_gap_once(spark):
     """_gap_runs' by-construction claim: with fan=4096 and 6 levels the
-    recursion covers ANY int64 keyspace — giant gaps spanning many shard
-    levels are found, emitted exactly once, and dense runs inside one
-    shard still surface at level 0."""
+    recursion covers ANY int64 keyspace — NEGATIVES INCLUDED (sharding
+    is floor division, so shard 0 is not double-width around zero and
+    the ≤8-rows-deepest-partition bound holds on both sign halves) —
+    giant gaps spanning many shard levels are found, emitted exactly
+    once, and dense runs inside one shard still surface at level 0."""
     from gravity_spark.queries import _gap_runs
 
-    keys = [0, 1, 2, 5, 2**40, 2**40 + 1, 2**62, 2**62 + 3]
+    keys = [
+        -(2**63),            # int64 minimum — floor-div must not overflow
+        -(2**63) + 3,
+        -(2**40),            # negative cross-level giant
+        -5000, -4097, -4096, -1,  # the shard boundary truncation-div blurs
+        0, 1, 2, 5,
+        2**40, 2**40 + 1, 2**62, 2**62 + 3,
+    ]
     df = spark.createDataFrame([(k,) for k in keys], "k long")
     rows = sorted(
         ((r["gap_start"], r["gap_end"]) for r in _gap_runs(df).collect())
@@ -63,8 +72,9 @@ def test_gap_runs_int64_extremes_each_gap_once(spark):
         if b > a + 1:
             expected.append((a + 1, b - 1))
     assert rows == expected  # every gap exactly once, none missed
-    # sanity: the two cross-level giants are present
+    # sanity: giants on both sign halves, incl. one crossing zero's shard
     assert (6, 2**40 - 1) in rows and (2**40 + 2, 2**62 - 1) in rows
+    assert (-(2**63) + 4, -(2**40) - 1) in rows and (-4095, -1 - 1) in rows
 
 
 def test_duplicate_payments_are_the_injected_replays(spark, sf_dir):
