@@ -4,19 +4,52 @@ JSON line: {"metric", "value" (total sec), "unit", "queries" (per-query
 sec), "sf"}.
 
 Each query is materialized with the noop sink (full execution, no
-driver-side collect overhead).
+driver-side collect overhead). Queries run in REGISTRY registration
+order — stable across rounds regardless of the driver-window rotation
+(which lives only in queries()/oracle_sql() ordering), so per-query
+BENCH_DETAIL records stay comparable round over round.
 
 Stall sentinel: this host shows intermittent multi-10s stalls (same
 plan measured 3.5 s and 86 s minutes apart, ~zero steal/pressure
 in-guest; round 4's committed BENCH_DETAIL carried rows up to 7×
 reality because of one). A FIXED tiny plan is timed at session start
 (baseline = min of 3) and re-timed every ~20 queries; each query row
-is stamped with the drift (sentinel/baseline) of its measurement
-window, the sentinel series lands in the detail file, and when the
-MEDIAN drift exceeds 1.2× the run refuses to overwrite
-BENCH_DETAIL.json (the polluted detail goes to
-BENCH_DETAIL_STALLED.json and stdout carries stall_median_drift) — a
-stall can no longer masquerade as a regression record.
+is stamped with the drift of its measurement window, the sentinel
+series lands in the detail file, and when the median drift exceeds
+the gate the run refuses to overwrite BENCH_DETAIL.json (the polluted
+detail goes to BENCH_DETAIL_STALLED.json and stdout carries
+stall_median_drift) — a stall can no longer masquerade as a
+regression record.
+
+Round-7 hardening (r6 verdict task 5 + advisor items):
+
+- SUB-WINDOW BLIND SPOT CLOSED: a stall shorter than the 20-query
+  sentinel window used to stamp its rows with a clean drift (r6's
+  driver run: 2.3× rows stamped 0.96). Now any query whose timed runs
+  disagree >1.5× triggers an immediate post-hoc sentinel reading and
+  the row is stamped with the WORSE of window/post-hoc drift, so the
+  end-of-run repass re-times exactly the rows a mid-window stall
+  touched. Post-hoc readings are recorded separately and EXCLUDED
+  from the median gate (they are adversely sampled — conditioned on
+  disagreement — and would bias the run-health median).
+- DUAL-ANCHORED DRIFT GATE: drift is measured against BOTH the
+  clamped absolute band (catches a baseline captured during a startup
+  stall, which would deflate every later reading) and the raw
+  session baseline (catches a genuinely-faster host where the clamp
+  itself would deflate a real 2× stall to ~1.1). Gate: median
+  absolute drift > 1.2 OR median relative drift > 1.35 (the wider
+  relative gate absorbs honest baseline variance — a lucky 0.49 s
+  baseline once quarantined a clean 365 s run at rel 1.28). A
+  baseline outside the expected band warns loudly instead of
+  clamping silently.
+- REPASS FAIRNESS: repass rows get the same two-run agreement rule
+  as the main loop, and any row the repass repaired carries
+  "retimed": true in BENCH_DETAIL so cross-round comparisons can
+  account for the warmer measurement conditions.
+
+The measurement policy lives in BenchEngine with injectable
+run-query/sentinel callables — tests/test_bench_engine.py injects a
+synthetic mid-window stall and asserts its rows get flagged.
 """
 
 from __future__ import annotations
@@ -28,19 +61,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from gravity_spark.session import get_spark  # noqa: E402
-from gravity_spark.queries import REGISTRY  # noqa: E402
-
 
 SENTINEL_EVERY = 20  # queries between sentinel re-timings
 # Healthy-host sentinel cost: ~0.5-0.6 s observed across clean rounds
-# (r5 record: 0.579). If the session-start baseline itself exceeds
-# 3x this, the host is ALREADY stalled during baseline capture — an
-# inflated baseline would make every later drift read artificially low
-# and let a polluted run pass the median<=1.2 gate, the exact failure
-# the sentinel exists to prevent.
+# (r5 record: 0.579; observed clean band 0.49-0.66). The clamp anchors
+# the ABSOLUTE drift reading; the RAW baseline anchors the relative
+# one — the gate consults both (module docstring).
 EXPECTED_BASELINE_SEC = 0.6
 BASELINE_STALL_FACTOR = 3.0
+ABS_DRIFT_GATE = 1.2
+REL_DRIFT_GATE = 1.35
+DISAGREE_RATIO = 1.5  # two best runs farther apart than this = suspect
+SUSPECT_DRIFT = 1.4  # stamped drift above this = repass candidate
 
 
 def _sentinel_sec(spark) -> float:
@@ -62,21 +94,191 @@ def _sentinel_sec(spark) -> float:
     return time.time() - t0
 
 
+class BenchEngine:
+    """Measurement policy, decoupled from Spark so a test can inject a
+    synthetic stall. ``run_query(name) -> seconds`` (raises on query
+    error), ``sentinel() -> seconds``; both are called exactly as the
+    real bench would."""
+
+    def __init__(
+        self,
+        run_query,
+        sentinel,
+        baseline_raw: float,
+        *,
+        sentinel_every: int = SENTINEL_EVERY,
+        retry_budget: int = 60,
+        repass_cap: int = 80,
+        prior: dict[str, float] | None = None,
+    ):
+        self.run_query = run_query
+        self.sentinel = sentinel
+        # prior clean per-query records: a row regressing >DISAGREE_RATIO
+        # vs its prior ALSO triggers the post-hoc sentinel — a SUSTAINED
+        # sub-window stall inflates both runs equally (they agree, so
+        # disagreement alone misses it; r6's driver run stamped 2.3×
+        # rows with drift 0.96 exactly this way), but it can't fool the
+        # prior anchor. A genuine code regression flags once, reads a
+        # healthy post-hoc sentinel, and keeps its honest number.
+        self.prior = prior or {}
+        self.baseline_raw = max(baseline_raw, 1e-9)
+        # absolute anchor: the sentinel is a FIXED plan on fixed
+        # hardware, so its healthy cost is a stable band; clamping the
+        # absolute divisor keeps a stall-inflated baseline from
+        # deflating every later reading
+        self.baseline_abs = min(
+            max(baseline_raw, EXPECTED_BASELINE_SEC * 0.9),
+            EXPECTED_BASELINE_SEC * 1.2,
+        )
+        self.sentinel_every = sentinel_every
+        self.retry_budget = retry_budget
+        self.repass_cap = repass_cap
+        self.timings: dict[str, float] = {}
+        self.query_drift: dict[str, float] = {}
+        self.retimed: dict[str, bool] = {}
+        self.sentinels: list[dict] = []
+        self.posthoc_sentinels: list[dict] = []
+        self.errors: list[str] = []
+        self._current_drift = 1.0
+
+    def _drifts(self, sec: float) -> tuple[float, float]:
+        return (
+            round(sec / self.baseline_abs, 3),
+            round(sec / self.baseline_raw, 3),
+        )
+
+    def _take_sentinel(self, after, posthoc: bool = False) -> float:
+        s = self.sentinel()
+        d_abs, d_rel = self._drifts(s)
+        worst = max(d_abs, d_rel)
+        rec = {
+            "after_query": after,
+            "sec": round(s, 3),
+            "drift": d_abs,
+            "drift_rel": d_rel,
+        }
+        if posthoc:
+            # adversely sampled (taken because runs disagreed) —
+            # recorded for the repass trigger, excluded from the
+            # run-health median
+            self.posthoc_sentinels.append(rec)
+        else:
+            self.sentinels.append(rec)
+            self._current_drift = worst
+        return worst
+
+    def _measure(self, name: str, max_attempts: int) -> tuple[float, bool]:
+        """One query: up to max_attempts timed runs, min kept; returns
+        (best_sec, disagreed). disagreed = an extra run was needed or
+        the two best runs never came within DISAGREE_RATIO — either
+        means the host may have stalled inside this window."""
+        runs: list[float] = []
+        best = None
+        disagreed = False
+        attempt = 0
+        while attempt < max_attempts:
+            attempt += 1
+            elapsed = self.run_query(name)
+            runs.append(elapsed)
+            best = elapsed if best is None else min(best, elapsed)
+            two_best = sorted(runs)[:2]
+            if len(runs) >= 2 and (
+                best < 0.5 or two_best[1] / max(best, 1e-9) <= DISAGREE_RATIO
+            ):
+                break
+            if len(runs) >= 2:
+                disagreed = True
+                self.retry_budget -= 1
+        if len(runs) >= 2:
+            two_best = sorted(runs)[:2]
+            if best >= 0.5 and two_best[1] / max(best, 1e-9) > DISAGREE_RATIO:
+                disagreed = True
+        return best, disagreed
+
+    def run(self, names) -> None:
+        q_idx = 0
+        for name in names:
+            max_attempts = 4 if self.retry_budget > 0 else 2
+            try:
+                best, disagreed = self._measure(name, max_attempts)
+            except Exception as e:  # failing query shows as -1, not a crash
+                self.errors.append(f"bench error in {name}: {e}")
+                self.timings[name] = -1.0
+                self.query_drift[name] = self._current_drift
+                q_idx += 1
+                continue
+            self.timings[name] = best
+            drift = self._current_drift
+            p = self.prior.get(name)
+            regressed = (
+                p is not None and p > 0 and best >= 0.5
+                and best / p > DISAGREE_RATIO
+            )
+            if disagreed or regressed:
+                # sub-window stall suspect: read the host NOW and stamp
+                # the row with the worse of window/post-hoc drift so
+                # the repass sees it even if the 20-query sentinel
+                # window reads clean
+                drift = max(drift, self._take_sentinel(name, posthoc=True))
+            self.query_drift[name] = drift
+            q_idx += 1
+            if q_idx % self.sentinel_every == 0:
+                self._take_sentinel(q_idx)
+        self._take_sentinel(q_idx)  # closing sentinel
+
+    def repass(self) -> None:
+        """Re-time suspect rows (stamped drift > SUSPECT_DRIFT) while
+        the host reads healthy. Same two-run agreement rule as the
+        main loop (advisor: a single warm re-run measured repaired
+        rows under systematically friendlier conditions); min() with
+        the existing best, so a re-run can only improve a row. Rows
+        actually repaired carry retimed=True in the detail record."""
+        suspects = [
+            n
+            for n, d in self.query_drift.items()
+            if d > SUSPECT_DRIFT and self.timings.get(n, -1) >= 0
+        ]
+        for name in suspects[: self.repass_cap]:
+            s = self.sentinel()
+            d_abs, d_rel = self._drifts(s)
+            if max(d_abs, d_rel) > ABS_DRIFT_GATE:
+                break  # host stalled again — keep what we have
+            try:
+                best, _ = self._measure(name, 3)
+            except Exception as e:
+                self.errors.append(f"bench repass error in {name}: {e}")
+                continue
+            if best < self.timings[name]:
+                self.timings[name] = best
+                self.query_drift[name] = max(d_abs, d_rel)
+                self.retimed[name] = True
+
+    def median_drifts(self) -> tuple[float, float]:
+        if not self.sentinels:
+            return 1.0, 1.0
+        d_abs = sorted(s["drift"] for s in self.sentinels)
+        d_rel = sorted(s["drift_rel"] for s in self.sentinels)
+        return d_abs[len(d_abs) // 2], d_rel[len(d_rel) // 2]
+
+    @property
+    def stalled(self) -> bool:
+        m_abs, m_rel = self.median_drifts()
+        return m_abs > ABS_DRIFT_GATE or m_rel > REL_DRIFT_GATE
+
+
 def main() -> None:
+    from gravity_spark.session import get_spark
+    from gravity_spark.queries import REGISTRY
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
     spark = get_spark("gravity_spark_bench")
 
     # session warmup: JVM/codegen/parquet-footer costs paid once, not
     # attributed to the first measured query
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # two timed runs per query, report the min: first-run JIT/codegen
-    # noise (observed 1.6s vs 10.7s for identical plans) would otherwise
-    # dominate the signal. The host also shows intermittent multi-10s
-    # stalls (same plan measured 3.5s and 86s minutes apart, ~zero
-    # steal/pressure in-guest) — when the two runs disagree by >1.5x the
-    # query gets up to two extra runs so one stall can't poison its min.
     # sentinel baseline: min of 3 on the (hopefully) healthy session —
     # with an ABSOLUTE sanity bound: a baseline captured during a stall
     # would deflate every later drift reading, so re-take once after a
@@ -94,135 +296,100 @@ def main() -> None:
         baseline_raw = min(_sentinel_sec(spark) for _ in range(3))
         if baseline_raw > EXPECTED_BASELINE_SEC * BASELINE_STALL_FACTOR:
             baseline_stalled = True  # informational: start was stalled twice
-    # The sentinel is a FIXED plan on fixed hardware, so its healthy
-    # cost is a stable band (observed 0.49-0.66 across rounds). Clamp
-    # the drift divisor to that band: a baseline captured in a startup
-    # stall would DEFLATE every drift reading (the run passes while
-    # polluted — observed 1.698), a lucky sub-band baseline would
-    # INFLATE them (a clean 365 s run got quarantined at drift 1.28 —
-    # also observed). Clamped, the drift gate is absolute-anchored and
-    # the median<=1.2 check means what it says in both directions.
-    baseline = min(
-        max(baseline_raw, EXPECTED_BASELINE_SEC * 0.9),
-        EXPECTED_BASELINE_SEC * 1.2,
-    )
-    sentinels: list[dict] = []
-    current_drift = 1.0
-
-    def take_sentinel(idx: int) -> None:
-        nonlocal current_drift
-        s = _sentinel_sec(spark)
-        current_drift = round(s / max(baseline, 1e-9), 3)
-        sentinels.append(
-            {"after_query": idx, "sec": round(s, 3), "drift": current_drift}
+    if not (
+        EXPECTED_BASELINE_SEC * 0.9 <= baseline_raw <= EXPECTED_BASELINE_SEC * 1.2
+    ):
+        # loud, not silent: outside the band the absolute and relative
+        # anchors disagree — the dual gate handles it, but the operator
+        # should know which anchor is live
+        print(
+            f"bench: raw baseline {baseline_raw:.3f}s outside expected band "
+            f"[{EXPECTED_BASELINE_SEC * 0.9:.2f}, "
+            f"{EXPECTED_BASELINE_SEC * 1.2:.2f}] — absolute drift uses the "
+            "clamped band; relative drift uses this raw value; the stall "
+            "gate consults both",
+            file=sys.stderr,
         )
 
-    timings: dict[str, float] = {}
-    query_drift: dict[str, float] = {}
-    retry_budget = 60  # global cap on extra runs: a long stall period
-    # must not quadruple the whole gate's wall time
-    q_idx = 0
-    for name, qd in REGISTRY.items():
-        best = None
-        runs: list[float] = []
-        attempt = 0
-        max_attempts = 4 if retry_budget > 0 else 2
-        while attempt < max_attempts:
-            attempt += 1
-            t0 = time.time()
-            try:
-                qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                elapsed = round(time.time() - t0, 3)
-                runs.append(elapsed)
-                best = elapsed if best is None else min(best, elapsed)
-                # converged when the two BEST runs agree (the first run
-                # legitimately pays JIT/codegen once — judge it by
-                # whether a second-best run corroborates the min)
-                two_best = sorted(runs)[:2]
-                if len(runs) >= 2 and (
-                    best < 0.5 or two_best[1] / max(best, 1e-9) <= 1.5
-                ):
-                    break
-                if len(runs) >= 2:
-                    retry_budget -= 1  # an extra (3rd+) run is coming
-            except Exception as e:  # a failing query shows as -1, not a crash
-                print(f"bench error in {name}: {e}", file=sys.stderr)
-                best = -1.0
-                break
-            finally:
-                spark.catalog.clearCache()  # queries persist intermediates
-                # localCheckpoint blocks are RDD-level, invisible to
-                # clearCache — free them so one query's state can't
-                # push a later query's sort into spill
-                jmap = spark.sparkContext._jsc.getPersistentRDDs()
-                for rid in list(jmap.keySet().toArray()):
-                    rdd = jmap.get(rid)
-                    if rdd is not None:
-                        rdd.unpersist(False)
-        timings[name] = best
-        query_drift[name] = current_drift  # drift of this window
-        q_idx += 1
-        if q_idx % SENTINEL_EVERY == 0:
-            take_sentinel(q_idx)
-        # late-run JVM heap pressure swings iterative queries up to 4×
-        # (BASELINE.md §4); a GC nudge between queries keeps the tail of
-        # a 160+-query run from paying earlier queries' garbage
-        spark.sparkContext._jvm.System.gc()
-
-    take_sentinel(q_idx)  # closing sentinel
-
-    # Post-pass: a stall WINDOW can pass the median<=1.2 gate yet leave
-    # its rows 2-16x reality (observed: a drift-5.4 window turned a
-    # 0.16 s query into a 2.6 s record row). Rows stamped with window
-    # drift > 1.4 get one end-of-run re-timing each, taken only while
-    # the host measures healthy; min() with the existing best means a
-    # re-run can only improve a row, never worsen it.
-    suspects = [
-        n for n, d in query_drift.items() if d > 1.4 and timings.get(n, -1) >= 0
-    ]
-    for name in suspects[:80]:
-        s = _sentinel_sec(spark)
-        drift_now = round(s / max(baseline, 1e-9), 3)
-        if drift_now > 1.2:
-            break  # host stalled again — keep what we have
+    def run_query(name: str) -> float:
+        t0 = time.time()
         try:
-            t0 = time.time()
             REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            elapsed = round(time.time() - t0, 3)
-            if elapsed < timings[name]:
-                timings[name] = elapsed
-                query_drift[name] = drift_now
-        except Exception as e:
-            print(f"bench repass error in {name}: {e}", file=sys.stderr)
+            return round(time.time() - t0, 3)
         finally:
-            spark.catalog.clearCache()
+            spark.catalog.clearCache()  # queries persist intermediates
+            # localCheckpoint blocks are RDD-level, invisible to
+            # clearCache — free them so one query's state can't push a
+            # later query's sort into spill
             jmap = spark.sparkContext._jsc.getPersistentRDDs()
             for rid in list(jmap.keySet().toArray()):
                 rdd = jmap.get(rid)
                 if rdd is not None:
                     rdd.unpersist(False)
+            # late-run JVM heap pressure swings iterative queries up to
+            # 4× (BASELINE.md §4); a GC nudge between runs keeps the
+            # tail of a 292-query pass from paying earlier garbage
             spark.sparkContext._jvm.System.gc()
 
+    prior: dict[str, float] = {}
+    here0 = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here0, "BENCH_DETAIL.json")) as f:
+            prior_detail = json.load(f)
+        # the prior anchor only makes sense at the SAME scale factor —
+        # a cross-SF prior would read every row as a regression (or
+        # mask all of them) and fire a post-hoc sentinel per query
+        if prior_detail.get("sf") == sf_val:
+            prior = {
+                k: v
+                for k, v in prior_detail.get("queries", {}).items()
+                if isinstance(v, (int, float)) and v > 0
+            }
+    except (OSError, ValueError):
+        pass
+
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 runs a subset (smoke runs and
+    # targeted re-timings); a subset's detail goes to a SIDECAR file so
+    # it can never clobber the full-registry record
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    names = list(REGISTRY)
+    subset = False
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in REGISTRY]
+        if missing:
+            raise KeyError(f"SPARK_GRAFT_BENCH_ONLY names not registered: {missing}")
+        names = wanted
+        subset = True
+
+    eng = BenchEngine(
+        run_query, lambda: _sentinel_sec(spark), baseline_raw, prior=prior
+    )
+    eng.run(names)
+    eng.repass()
+    for msg in eng.errors:
+        print(msg, file=sys.stderr)
+
+    timings = eng.timings
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    sf_val = float(sf) if sf.replace(".", "", 1).isdigit() else sf
-    drifts = sorted(s["drift"] for s in sentinels)
-    median_drift = drifts[len(drifts) // 2] if drifts else 1.0
-    # the clamped baseline makes median drift absolute-anchored, so it
-    # is the sole gate; baseline_stalled stays recorded as metadata
-    stalled = median_drift > 1.2
+    median_drift, median_drift_rel = eng.median_drifts()
+    stalled = eng.stalled
     detail = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "query_drift": query_drift,
-        "sentinel_baseline_sec": round(baseline, 3),
+        "query_drift": eng.query_drift,
+        "retimed": eng.retimed,
+        "sentinel_baseline_sec": round(eng.baseline_abs, 3),
         "sentinel_baseline_raw_sec": round(baseline_raw, 3),
         "baseline_stalled": baseline_stalled,
-        "sentinels": sentinels,
+        "sentinels": eng.sentinels,
+        "posthoc_sentinels": eng.posthoc_sentinels,
         "median_drift": median_drift,
+        "median_drift_rel": median_drift_rel,
         "sf": sf_val,
     }
     # Per-query detail goes to stderr + a sidecar file; stdout ends with a
@@ -230,13 +397,17 @@ def main() -> None:
     # (round 1 had "parsed": null — the 132-query line was head-truncated).
     print(json.dumps(detail), file=sys.stderr)
     here = os.path.dirname(os.path.abspath(__file__))
-    if stalled:
+    if subset:
+        detail_name = "BENCH_DETAIL_SUBSET.json"
+    elif stalled:
         # REFUSE to let a stall-polluted run overwrite the per-query
         # record — the last clean BENCH_DETAIL.json stands; the
         # polluted detail is preserved for inspection
         detail_name = "BENCH_DETAIL_STALLED.json"
         print(
-            f"bench: median sentinel drift {median_drift} > 1.2 — "
+            f"bench: median sentinel drift abs={median_drift} "
+            f"rel={median_drift_rel} exceeds gate "
+            f"(abs>{ABS_DRIFT_GATE} or rel>{REL_DRIFT_GATE}) — "
             f"writing {detail_name}, keeping prior BENCH_DETAIL.json",
             file=sys.stderr,
         )

@@ -282,11 +282,15 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # Checkpoints are taken LAZILY: the label-sum action that drives the
+    # convergence test is the materializing pass, so caching a round's
+    # labels and reading its fixpoint scalar are ONE job, not two (sym
+    # materializes inside round 1's join job the same way).
+    sym = sym.distinct().localCheckpoint(eager=False)
     sym_id = _checkpoint_rdd_id(sym)  # sym, reused every round
     labels = vertices.select(
         F.col(id_col).alias("v"), F.col(id_col).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
     for _ in range(max_iter):
@@ -303,7 +307,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if prev_id is not None:  # prior round's checkpoint, superseded now
@@ -335,15 +339,19 @@ def connected_components_bipartite(
     docs, doc label = min over its buckets; bucket vertices never
     surface in the output so their ids never pollute the label space.
     """
+    # Lazy checkpoints + the label-sum action as the materializing pass:
+    # caching a round's labels and reading its convergence scalar are
+    # ONE job (the init sum below materializes m AND labels together —
+    # labels' plan reads m's LogicalRDD, so both cache in that job).
     m = (
         members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     m_id = _checkpoint_rdd_id(m)  # m, reused every round
     labels = (
         m.select("v").distinct().withColumn("label", F.col("v").cast("long"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
@@ -366,7 +374,7 @@ def connected_components_bipartite(
         labels = (
             labels.join(l2, labels.label == l2.v2, "left")
             .select("v", F.coalesce(F.col("label2"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if prev_id is not None:  # prior round's checkpoint, superseded now

@@ -81,49 +81,49 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> tuple[DataFrame, in
     adversarial inputs (a path graph needs ~n/2 rounds; real power-law
     graphs converge in a handful). Returns (core_edges, rounds_run).
 
-    Scale shape per round: TWO jobs — (1) one vertex-sized degree
-    aggregation whose scalar output (total vertices, surviving
-    vertices) IS the fixpoint check: a peel removes an edge iff some
-    endpoint has 1 ≤ d < k, so nv == nk ⟺ the round would remove
-    nothing, and the converged round never pays the join/checkpoint at
-    all; (2) the two LEFT SEMI prunes of the (only ever shrinking)
-    edge list, localCheckpoint-ed eagerly to truncate the doubling
-    lineage. The degree frame is persisted within the round so the
-    prune joins reuse it instead of recomputing the shuffle. Nothing
-    corpus-sized ever reaches the driver. The prior round's checkpoint
-    block is freed (non-blocking) as soon as the new round
-    materializes — by its EXACT RDD id via _checkpoint_rdd_id, never a
-    global persistent-set diff, so blocks persisted concurrently by
-    another query sharing the session are untouchable — and a long
-    peel holds ONE edge-list copy in executor storage."""
+    Scale shape per round: ONE job — the degree aggregation, the two
+    LEFT SEMI prunes of the (only ever shrinking) edge list, the
+    lineage-truncating localCheckpoint, AND the fixpoint scalar, fused:
+    the checkpoint is taken LAZILY and the edge count() that drives the
+    fixpoint test is the materializing action, so caching the round's
+    edge list and counting it are the same pass (an edge survives iff
+    both endpoints have d ≥ k, and every vertex in an edge list has
+    d ≥ 1, so an unchanged edge count ⟺ the round removed nothing ⟺
+    fixpoint — the r6 two-job shape re-derived the same fact from a
+    separate vertex-sized agg). The degree frame appears under both
+    semi-join probes; its shuffle runs once via exchange reuse, not an
+    explicit persist (persisting a tiny twice-referenced agg serializes
+    the probe subtrees — measured slower). Nothing corpus-sized ever
+    reaches the driver. The prior round's checkpoint block is freed
+    (non-blocking) as soon as the new round materializes — by its EXACT
+    RDD id via _checkpoint_rdd_id, never a global persistent-set diff,
+    so blocks persisted concurrently by another query sharing the
+    session are untouchable — and a long peel holds ONE edge-list copy
+    in executor storage."""
     from gravity_spark.functions.dedup import _checkpoint_rdd_id, _unpersist_rdds
 
     edges = edges.select("u", "v").localCheckpoint()
     prev_id = _checkpoint_rdd_id(edges)
+    n_prev = edges.count()
     rounds = 0
     while rounds < max_rounds:
-        deg = degrees(edges).persist()
-        nv, nk = deg.agg(
-            F.count(F.lit(1)), F.sum((F.col("d") >= k).cast("int"))
-        ).collect()[0]
-        rounds += 1
-        if nv == (nk or 0):  # no violating vertex — already the fixpoint
-            deg.unpersist(False)
-            return edges, rounds
+        deg = degrees(edges)
         keep = deg.filter(F.col("d") >= k).select("x")
         pruned = (
             edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
             .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
             .select("u", "v")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        deg.unpersist(False)
+        rounds += 1
+        n_new = pruned.count()  # materializes the lazy checkpoint
         if prev_id is not None:  # pruned is materialized — free prior round
             _unpersist_rdds(pruned, {prev_id})
         prev_id = _checkpoint_rdd_id(pruned)
         edges = pruned
-        if (nk or 0) == 0:  # every vertex peeled — empty core
+        if n_new == n_prev or n_new == 0:  # fixpoint (or empty core)
             return edges, rounds
+        n_prev = n_new
     return edges, rounds
 
 

@@ -38,7 +38,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def _stream_conf(spark, partitions: int = 8):
+def _stream_conf(spark, partitions: int = 8, extra: dict | None = None):
     """Right-size stateful-shuffle partitions for the duration of a
     streaming query run. The state-store count is fixed by
     spark.sql.shuffle.partitions when the query STARTS — under the
@@ -46,15 +46,22 @@ def _stream_conf(spark, partitions: int = 8):
     state, pure per-partition overhead. The stream runs to completion
     inside the query function (availableNow + awaitTermination), so the
     conf is restored before returning. At production scale this knob is
-    sized to state volume, not left at the session default."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, str(partitions))
+    sized to state volume, not left at the session default. ``extra``
+    scopes additional session confs the same way (e.g. a small
+    maxPartitionBytes so a one-file micro-batch still fans out across
+    cores for an expensive row-local projection)."""
+    todo = {"spark.sql.shuffle.partitions": str(partitions)}
+    todo.update(extra or {})
+    old: dict[str, str | None] = {}
+    for key, val in todo.items():
+        old[key] = spark.conf.get(key, None)
+        spark.conf.set(key, val)
     try:
         yield
     finally:
-        if old is not None:
-            spark.conf.set(key, old)
+        for key, val in old.items():
+            if val is not None:
+                spark.conf.set(key, val)
 
 
 def _scratch_dir(prefix: str) -> str:
@@ -7127,7 +7134,14 @@ def _banded_row_local(docs):
     """(doc_id, band, bh) via pure row-local expressions — the streaming
     twin of _banded_df: no groupBy, so it composes with a stream without
     becoming a stateful aggregation. Values identical to _sig_df (same
-    md5-rotation hash family, same lexicographic array_min)."""
+    md5-rotation hash family, same lexicographic array_min).
+
+    Form note (measured, round 7): a "smaller codegen" variant with the
+    128 rotations as one nested transform over sequence(0,127) is
+    bit-identical but evaluates ~2x SLOWER warm (0.8-1.0 s vs 0.5 s on
+    a half-corpus batch) — higher-order functions are CodegenFallback
+    either way, and the extra lambda layer is pure interpretation
+    overhead, so the unrolled form stands."""
     bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
 
     def rot(h, i):
@@ -7177,12 +7191,20 @@ def streaming_minhash_dedup_gate(spark, sf_dir):
     stream_dir = f"{tmp}/stream"
     os.makedirs(stream_dir)
     mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
-    for idx, pred in enumerate(
-        [F.col("doc_id") <= mid, F.col("doc_id") > mid]
-    ):
-        part_dir = f"{tmp}/w{idx}"
-        docs.filter(pred).coalesce(1).write.mode("overwrite").json(part_dir)
-        src = glob.glob(f"{part_dir}/part-*.json")[0]
+    # ONE pass over documents writes both micro-batch files:
+    # repartition by the wave flag puts each wave in exactly one task,
+    # partitionBy gives one file per wave dir (the old two filtered
+    # coalesce(1) writes JSON-encoded the corpus twice)
+    part_dir = f"{tmp}/waves"
+    (
+        docs.withColumn("w", (F.col("doc_id") > mid).cast("int"))
+        .repartition("w")
+        .write.partitionBy("w")
+        .mode("overwrite")
+        .json(part_dir)
+    )
+    for idx in (0, 1):
+        src = glob.glob(f"{part_dir}/w={idx}/part-*.json")[0]
         dst = f"{stream_dir}/{idx:03d}.json"
         shutil.move(src, dst)
         os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
@@ -7204,7 +7226,14 @@ def streaming_minhash_dedup_gate(spark, sf_dir):
             .parquet(verdict_dir)
         )
 
-    with _stream_conf(spark):
+    # small maxPartitionBytes: the one-file micro-batch's minhash
+    # banding (the real per-epoch compute) splits across cores instead
+    # of running on a single input partition. 8 state stores measured
+    # best at this key count (4 saves store overhead but loses more to
+    # narrower banding/shuffle parallelism).
+    with _stream_conf(
+        spark, partitions=8, extra={"spark.sql.files.maxPartitionBytes": "65536"}
+    ):
         q = (
             gate.writeStream.foreachBatch(handle)
             .option("checkpointLocation", f"{tmp}/ckpt")
@@ -15273,58 +15302,69 @@ def graph_components_incremental(spark, sf_dir):
     shuffles only delta edges + one row per touched label, then one
     broadcast-joinable relabel map back onto the customer table. At
     100 TB a daily edge delta touches a vanishing fraction of labels —
-    that asymmetry is the point of maintaining instead of rebuilding."""
+    that asymmetry is the point of maintaining instead of rebuilding.
+
+    Shuffle partitions are scoped to the graph size (the capped
+    co-purchase graph is ~15k vertices; a 200-partition vanilla session
+    pays ~10 near-empty task launches per row of real work across the
+    ~10 AQE stage-jobs each propagation round runs — measured 5.2 s vs
+    6.5 s for the base loop at 8 vs 32). In production this knob is
+    sized to edge volume, exactly like the streaming state-store
+    scoping in _stream_conf."""
     from gravity_spark.functions.dedup import connected_components_bipartite
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     orders = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
     )
-    cp = (
-        li.join(orders, "l_orderkey")
-        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .distinct()
-    )
-    deg = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
-    kept = cp.join(
-        F.broadcast(deg.filter(F.col("d") <= 60).select("pk")), "pk"
-    ).persist()
-    try:
-        verts = kept.select("ck").distinct()
-        base = kept.filter(F.col("pk") % 2 == 0).select(
-            F.col("ck").alias("doc_id"),
-            F.col("pk").cast("string").alias("bucket"),
-        )
-        singleton = verts.select(
-            F.col("ck").alias("doc_id"),
-            F.lit(None).cast("string").alias("bucket"),
-        )
-        l1 = connected_components_bipartite(
-            base.unionByName(singleton)
-        ).select(F.col("doc_id").alias("ck"), F.col("component").alias("lab"))
-
-        delta = kept.filter(F.col("pk") % 2 == 1)
-        dmemb = (
-            delta.join(l1, "ck")
-            .select(
-                F.col("lab").alias("doc_id"),
-                F.col("pk").cast("string").alias("bucket"),
-            )
+    with _stream_conf(spark, partitions=8):
+        cp = (
+            li.join(orders, "l_orderkey")
+            .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
             .distinct()
         )
-        relabel = connected_components_bipartite(dmemb).select(
-            F.col("doc_id").alias("lab"), F.col("component").alias("newlab")
-        )
-        out = (
-            l1.join(F.broadcast(relabel), "lab", "left")
-            .select(
-                F.col("ck").alias("custkey"),
-                F.coalesce("newlab", "lab").alias("component"),
+        deg = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("d"))
+        kept = cp.join(
+            F.broadcast(deg.filter(F.col("d") <= 60).select("pk")), "pk"
+        ).persist()
+        try:
+            verts = kept.select("ck").distinct()
+            base = kept.filter(F.col("pk") % 2 == 0).select(
+                F.col("ck").alias("doc_id"),
+                F.col("pk").cast("string").alias("bucket"),
             )
-        )
-        return out.localCheckpoint()
-    finally:
-        kept.unpersist()
+            singleton = verts.select(
+                F.col("ck").alias("doc_id"),
+                F.lit(None).cast("string").alias("bucket"),
+            )
+            l1 = connected_components_bipartite(
+                base.unionByName(singleton)
+            ).select(F.col("doc_id").alias("ck"), F.col("component").alias("lab"))
+
+            delta = kept.filter(F.col("pk") % 2 == 1)
+            dmemb = (
+                delta.join(l1, "ck")
+                .select(
+                    F.col("lab").alias("doc_id"),
+                    F.col("pk").cast("string").alias("bucket"),
+                )
+                .distinct()
+            )
+            relabel = connected_components_bipartite(dmemb).select(
+                F.col("doc_id").alias("lab"), F.col("component").alias("newlab")
+            )
+            out = (
+                l1.join(F.broadcast(relabel), "lab", "left")
+                .select(
+                    F.col("ck").alias("custkey"),
+                    F.coalesce("newlab", "lab").alias("component"),
+                )
+            )
+            # eager checkpoint: materialized INSIDE the scoped conf so
+            # the consumer reads a settled frame, not a live plan
+            return out.localCheckpoint()
+        finally:
+            kept.unpersist()
 
 
 @register(

@@ -6,12 +6,14 @@ import os
 import shutil
 
 import pyspark.sql.functions as F
+import pytest
 
 from gravity_spark.queries import _banded_row_local
 from gravity_spark.streaming.windows import minhash_bucket_gate
 
 
-def test_gate_rejects_cross_batch_near_dup(spark, tmp_path):
+@pytest.mark.parametrize("salt", [None, 1024, 3])
+def test_gate_rejects_cross_batch_near_dup(spark, tmp_path, salt):
     text_a = "the quick brown fox jumps over the lazy dog again and again today"
     text_c = "completely different content about spark structured streaming state"
     batch1 = [(1, text_a), (2, text_c)]
@@ -33,7 +35,10 @@ def test_gate_rejects_cross_batch_near_dup(spark, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .json(str(stream_dir))
     )
-    gate = minhash_bucket_gate(_banded_row_local(stream))
+    # salt=None: per-bucket state keys (scale path); salt=1024: the
+    # default coarse sharding; salt=3: forces many buckets per salt
+    # key, exercising the in-handler regroup
+    gate = minhash_bucket_gate(_banded_row_local(stream), salt_buckets=salt)
     verdicts = {}
 
     def handle(df, epoch_id):

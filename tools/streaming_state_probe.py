@@ -198,11 +198,32 @@ def probe_mh_gate(spark, sf_dir: str, mult: int, epochs: int = 3) -> dict:
             .option("maxFilesPerTrigger", "1")
             .json(stream_dir)
         )
-        q = _run_noop(minhash_bucket_gate(_banded_row_local(stream)), tmp)
+        # scale path (salt_buckets=None): one state cell per occupied
+        # bucket — the per-key law this probe was written to measure
+        q = _run_noop(
+            minhash_bucket_gate(_banded_row_local(stream), salt_buckets=None), tmp
+        )
         rows = _epoch_rows(q)
+        # salted fast path: state rows = occupied salt keys, bounded by
+        # the salt count regardless of flood size
+        tmp2 = tempfile.mkdtemp(prefix="ssp_mh_salt_", dir="/dev/shm")
+        try:
+            stream2 = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .json(stream_dir)
+            )
+            q2 = _run_noop(
+                minhash_bucket_gate(_banded_row_local(stream2), salt_buckets=1024),
+                tmp2,
+            )
+            rows_salted = _epoch_rows(q2)
+        finally:
+            shutil.rmtree(tmp2, ignore_errors=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     final = rows[-1] if rows else {}
+    final_salted = rows_salted[-1] if rows_salted else {}
     return {
         "docs": n_docs,
         "distinct_buckets": n_buckets,
@@ -210,6 +231,10 @@ def probe_mh_gate(spark, sf_dir: str, mult: int, epochs: int = 3) -> dict:
         "state_rows_final": final.get("state_rows"),
         # the law under test: one state cell per OCCUPIED BUCKET, not per doc
         "state_eq_buckets": bool(final.get("state_rows") == n_buckets),
+        "epochs_salted": rows_salted,
+        "state_rows_final_salted": final_salted.get("state_rows"),
+        # salted law: cells = occupied salt keys ≤ 1024, flood-invariant
+        "state_le_salt": bool((final_salted.get("state_rows") or 1 << 60) <= 1024),
     }
 
 
