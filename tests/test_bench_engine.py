@@ -159,3 +159,39 @@ def test_stall_inflated_baseline_still_caught_by_absolute_anchor():
     m_abs, m_rel = eng.median_drifts()
     assert m_rel < 1.0  # relative anchor fooled by the inflated baseline
     assert m_abs > 1.2 and eng.stalled  # absolute anchor is not
+
+
+def test_sentinel_blind_slow_phase_repaired_by_repass():
+    """The geometry the r7 full pass exposed: the host runs every QUERY
+    2x slow for a stretch while the tiny sentinel plan stays healthy
+    (its degradation mode differs), so drift stamps are clean and only
+    the prior anchor notices. The repass must re-time those rows once
+    the phase ends — min() repairs them — while a healthy-host row is
+    left alone."""
+
+    class SlowPhaseHost(FakeHost):
+        """Queries in the span run slow; the sentinel NEVER does."""
+
+        def sentinel(self):
+            return 0.6
+
+    names = [f"q{i}" for i in range(6)]
+    nominals = {n: 1.0 for n in names}
+    prior = dict(nominals)
+    host = SlowPhaseHost(names, nominals, stall_span={2, 3, 4}, stall_factor=2.0)
+    eng = _run(host, names, prior=prior)
+
+    for i in (2, 3, 4):
+        n = f"q{i}"
+        assert eng.timings[n] == 2.0  # recorded slow
+        assert eng.query_drift[n] <= 1.4  # sentinel saw nothing
+        assert n in eng.suspects  # but the prior anchor queued it
+    assert not eng.stalled
+
+    host.stall_span = set()  # phase over before the repass
+    eng.repass()
+    for i in range(6):
+        n = f"q{i}"
+        assert eng.timings[n] == 1.0, f"{n} not repaired"
+    assert all(eng.retimed.get(f"q{i}") for i in (2, 3, 4))
+    assert not any(eng.retimed.get(f"q{i}") for i in (0, 1, 5))
