@@ -14878,9 +14878,9 @@ def _quality_gate_sql() -> str:
       FROM feat
     )
     SELECT doc_id,
-           r_len + r_stop + r_punct + r_wordlen AS reject_mask,
-           CASE WHEN r_len + r_stop + r_punct + r_wordlen = 0
-                THEN 1 ELSE 0 END AS passed
+           CAST(r_len + r_stop + r_punct + r_wordlen AS BIGINT) AS reject_mask,
+           CAST(CASE WHEN r_len + r_stop + r_punct + r_wordlen = 0
+                THEN 1 ELSE 0 END AS BIGINT) AS passed
     FROM flags
     """
 
