@@ -52,6 +52,11 @@ def _stream_conf(spark, partitions: int = 8, extra: dict | None = None):
     cores for an expensive row-local projection)."""
     todo = {"spark.sql.shuffle.partitions": str(partitions)}
     todo.update(extra or {})
+    # conf.get(key, None) is None when the conf sits at its DEFAULT
+    # (never explicitly set) — the restore must then UNSET, not skip:
+    # skipping leaked the scoped value into the rest of a vanilla
+    # session (the driver runs every query in one), reshaping every
+    # later query's shuffle (found by tests/test_stream_conf.py)
     old: dict[str, str | None] = {}
     for key, val in todo.items():
         old[key] = spark.conf.get(key, None)
@@ -62,6 +67,8 @@ def _stream_conf(spark, partitions: int = 8, extra: dict | None = None):
         for key, val in old.items():
             if val is not None:
                 spark.conf.set(key, val)
+            else:
+                spark.conf.unset(key)
 
 
 def _scratch_dir(prefix: str) -> str:
