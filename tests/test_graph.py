@@ -108,15 +108,23 @@ def test_kcore_no_storage_growth_across_rounds(spark):
     def persistent_ids():
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
 
+    from gravity_spark.functions.dedup import _checkpoint_rdd_id
+
+    bystander_id = _checkpoint_rdd_id(bystander)
     before = persistent_ids()
     chain = _edges(spark, [(i, i + 1) for i in range(11)])
     core, rounds = G.kcore(chain, 2)
     assert rounds > 4
     after = persistent_ids()
-    # exactly one new persistent RDD: the returned core's checkpoint
-    assert len(after - before) == 1
+    # exactly one new persistent RDD, and it is the returned core's own
+    # checkpoint. (Assert on the ADDED set and the bystander's specific
+    # id — NOT `before <= after`: in a full-suite session Spark's
+    # ContextCleaner may concurrently unpersist stale RDDs from earlier
+    # tests, which is not kcore's sweep and made the set-inclusion
+    # form flaky.)
+    assert after - before == {_checkpoint_rdd_id(core)}
     # the bystander's blocks survived the sweep (still recomputable)
-    assert before <= after
+    assert bystander_id in after
     assert bystander.count() == 100
 
 
