@@ -404,6 +404,11 @@ def main() -> None:
         "queries": timings,
         "query_drift": eng.query_drift,
         "retimed": eng.retimed,
+        # rows whose runs disagreed or regressed vs the prior record —
+        # every one was repass-eligible; retimed ∖ suspects = drift-
+        # stamped rows, suspects ∖ retimed = re-timed but CONFIRMED at
+        # (or above) their recorded number
+        "suspects": sorted(eng.suspects),
         "sentinel_baseline_sec": round(eng.baseline_abs, 3),
         "sentinel_baseline_raw_sec": round(baseline_raw, 3),
         "baseline_stalled": baseline_stalled,
