@@ -70,7 +70,7 @@ def brute_force_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("sim", 6).alias("sim"), "rank")
     )
@@ -121,7 +121,7 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("sim").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("sim", 6).alias("sim"), "rank")
     )

@@ -4021,7 +4021,7 @@ def sim_bruteforce_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         out.select("query_id", "vec_id", "sim")
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
 
@@ -4059,7 +4059,7 @@ def sim_lsh_topk(spark, sf_dir):
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
         out.select("query_id", "vec_id", "sim")
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
 
@@ -5160,7 +5160,7 @@ def sim_ivf_topk(spark, sf_dir):
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "sim", "rank")
     )
@@ -18243,30 +18243,76 @@ def customer_top1pct_share(spark, sf_dir):
 # ---------------------------------------------------------------------
 # Driver visibility window: the external CORRECTNESS_r{N} gate grades
 # only the FIRST 50 registry entries, so each round rotates that
-# round's changed queries — plus a few previously-ungraded heavy
-# queries — into the window for one round of external confirmation
-# (the round-5 verdict's standing instruction). Rotation is explicit
-# here rather than by moving function definitions around the file.
-# Names placed into the externally-graded window this round: the driver
-# grades the first 50 entries of queries()/oracle_sql(). Round-7
-# rotation = the five most expensive never-externally-graded heavies
-# (r6 verdict task 1) plus every query whose plan changed this round;
-# the round-6 rotations, now externally confirmed green, rotate back out.
+# round's changed queries — plus previously-ungraded queries — into
+# the window for one round of external confirmation (the round-5
+# verdict's standing instruction; round-6 verdict "missing #3" calls
+# the per-round grading fraction the main structural gap). Rotation is
+# explicit here rather than by moving function definitions around the
+# file. Round-7 window = 6 TPC-H canaries (continuity with every prior
+# round's grading) + the round-7-changed queries + the five heavies
+# the r6 verdict named for confirmation + 36 more never-externally-
+# graded rows spanning every operator family — 40 of the 50 slots are
+# new external coverage this round (prior rounds re-graded the same
+# TPC-H/battery prefix in 42+ slots).
 DRIVER_WINDOW = [
-    # round-7 changed queries
+    # round-7 changed queries (plans touched this round)
     "orders_keyspace_gaps",        # floor-division sharding (negative keys)
-    "graph_kcore_fixpoint",
+    "graph_kcore_fixpoint",        # lazy-checkpoint fusion
     "graph_components_incremental",
     "streaming_minhash_dedup_gate",
-    # never-externally-graded heavies rotated in for confirmation
+    # the five heavies the r6 verdict task 1 named for confirmation
     "corpus_dedup_pipeline",
     "semdedup_prune",
     "dedup_lsh_precision_recall",
     "esmodel_incremental_docs",
+    # never-externally-graded, by family — dedup
+    "dedup_method_agreement",
+    "dedup_prefix_filter",
+    "dedup_containment",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "doc_winnowing",
+    "substring_dedup_spans",
+    "minhash_estimate_error",
+    # similarity / ANN
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "ann_recall",
+    "embedding_outlier_prune",
+    # graph
+    "graph_pagerank_purchases",
+    "graph_triangle_count",
+    "graph_kcore_peel",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "recursive_reachability",
+    # streaming
+    "streaming_scd2_maintain",
+    "streaming_sessionize_stateful",
+    "streaming_dedup_watermark",
+    "streaming_cdc_pipeline",
+    "streaming_late_data_audit",
+    "session_window_native",
+    # CDC / replication
+    "cdc_conflict_detect",
+    "cdc_conflict_preview",
+    "cdc_scd2_history",
+    "cdc_snapshot_at",
+    "cdc_padder_backfill",
+    "cdc_replayed_epoch_idempotent",
+    # text / corpus
+    "text_bm25",
+    "perplexity_filter",
+    "decontaminate_ngram_overlap",
+    # sketches
+    "countmin_heavy_hitters",
+    "kmv_set_ops",
+    # relational battery / misc
+    "market_basket_rules",
 ]
 
 
-def _driver_order(pos: int = 30) -> list[str]:
+def _driver_order(pos: int = 6) -> list[str]:
     """Names in driver-grading order: DRIVER_WINDOW spliced into the
     externally-graded first-50 window at ``pos``. REGISTRY itself is
     NEVER reordered — bench.py and the plan/determinism tools iterate
