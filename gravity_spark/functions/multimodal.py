@@ -185,9 +185,13 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     timestamp (decode stubbed — emits frame offsets only)."""
     n_frames = F.floor(F.coalesce(F.col("duration_ms"), F.lit(0)) / every_ms).cast("int")
-    return media.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
-        ).alias("frame_idx"),
-    ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    return (
+        media.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_idx", F.col("frame_idx").cast("long"))
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )

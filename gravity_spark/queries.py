@@ -458,7 +458,7 @@ def q7_volume_shipping(spark, sf_dir):
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
 
@@ -520,7 +520,7 @@ def q8_market_share(spark, sf_dir):
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.round(num / den, 6).alias("mkt_share"))
     )
 
@@ -557,7 +557,7 @@ def q9_product_type_profit(spark, sf_dir):
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(sup, li.l_suppkey == sup.s_suppkey)
-        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"))
     )
 
@@ -1102,7 +1102,7 @@ def top_k_per_group(spark, sf_dir):
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        orders.withColumn("rank", F.row_number().over(w))
+        orders.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
     )
@@ -2711,7 +2711,7 @@ def text_stats(spark, sf_dir):
     with_toks = docs.select("doc_id", "text", tx.tokenize(F.col("text")).alias("__toks"))
     return with_toks.select(
         "doc_id",
-        tx.token_count(F.col("text"), F.col("__toks")).alias("n_tokens"),
+        tx.token_count(F.col("text"), F.col("__toks")).cast("long").alias("n_tokens"),
         tx.quality_score(F.col("text"), F.col("__toks")).alias("quality"),
     )
 
@@ -3222,7 +3222,7 @@ def sample_stratified(spark, sf_dir):
     h = docs.select("doc_id", "lang", _phash_col(F.col("doc_id")).alias("hv"))
     w = Window.partitionBy("lang").orderBy("hv", "doc_id")
     return (
-        h.withColumn("rn", F.row_number().over(w))
+        h.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "rn")
     )
@@ -3285,7 +3285,7 @@ def embedding_centroids(spark, sf_dir):
     pos = emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
     scaled = pos.select(
         "label",
-        (F.col("dim0") + 1).alias("dim"),
+        (F.col("dim0") + 1).cast("long").alias("dim"),
         F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xi"),
     )
     return scaled.groupBy("label", "dim").agg(
@@ -4079,7 +4079,7 @@ def multimodal_meta(spark, sf_dir):
     media = documents_as_media(T(spark, sf_dir, "documents"))
     return media.select(
         "media_id",
-        F.octet_length("payload").alias("n_bytes"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
         F.sha2(F.col("payload"), 256).alias("payload_sha"),
     )
 
@@ -5087,11 +5087,11 @@ def window_function_battery(spark, sf_dir):
     w = Window.partitionBy("o_orderstatus").orderBy("o_orderdate", "o_orderkey")
     return orders.select(
         "o_orderkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
         F.lag("o_orderkey").over(w).alias("prev_key"),
         F.lead("o_orderkey").over(w).alias("next_key"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n_in_status"),
     )
 
@@ -5471,7 +5471,7 @@ def regex_battery(spark, sf_dir):
     return docs.select(
         "doc_id",
         F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
-        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("devoweled_len"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("devoweled_len"),
         F.col("text").rlike("spark").alias("mentions_spark"),
         F.size(F.expr("regexp_extract_all(text, '(the)')")).cast("long").alias("the_count"),
     )
@@ -7643,7 +7643,7 @@ def udtf_tokenize(spark, sf_dir):
            round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
            round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
            round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-           regr_count(l_extendedprice, l_quantity)               AS n_pairs,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
            round(regr_avgx(l_extendedprice, l_quantity), 6)      AS avgx,
            round(regr_avgy(l_extendedprice, l_quantity), 4)      AS avgy,
            round(regr_sxx(l_extendedprice, l_quantity)
@@ -8101,10 +8101,10 @@ def pii_redaction(spark, sf_dir):
     )
     return aug.select(
         "doc_id",
-        F.size(F.regexp_extract_all("t", F.lit(_PII_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_RE), 0)).cast("long").alias("n_emails"),
         F.regexp_extract("t", _PII_RE, 0).alias("first_email"),
-        F.length(F.regexp_replace("t", _PII_RE, "[EMAIL]")).alias("redacted_len"),
-        F.length(F.regexp_replace("t", "[^0-9]", "")).alias("n_digits"),
+        F.length(F.regexp_replace("t", _PII_RE, "[EMAIL]")).cast("long").alias("redacted_len"),
+        F.length(F.regexp_replace("t", "[^0-9]", "")).cast("long").alias("n_digits"),
     )
 
 
@@ -13726,7 +13726,7 @@ def _hll_merge_sql() -> str:
            round(CAST({_HLL_NUM} AS DOUBLE) / CAST(dsum.s AS DOUBLE), 2)
              AS hll_direct,
            msum.occ AS occupied,
-           CASE WHEN msum.s = dsum.s THEN 1 ELSE 0 END AS is_lossless
+           CAST(CASE WHEN msum.s = dsum.s THEN 1 ELSE 0 END AS BIGINT) AS is_lossless
     FROM exact, msum, dsum
     """
 
@@ -13796,7 +13796,7 @@ def hll_merge_rollup(spark, sf_dir):
                 est("sd").alias("hll_direct"),
                 "occupied",
                 F.when(F.col("s") == F.col("sd"), 1).otherwise(0)
-                .alias("is_lossless"),
+                .cast("long").alias("is_lossless"),
             )
         )
         return out.localCheckpoint()
@@ -14979,7 +14979,7 @@ _RL_CAP = 2 * _RL_COST  # bucket holds 2 admits
                            >= {_RL_COST} THEN {_RL_COST} ELSE 0 END
       FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
     )
-    SELECT user_id, event_id, admitted FROM rec
+    SELECT user_id, event_id, CAST(admitted AS BIGINT) AS admitted FROM rec
     """,
 )
 def streaming_rate_limit_stateful(spark, sf_dir):
@@ -16567,10 +16567,10 @@ def conformal_interval_orders(spark, sf_dir):
         q_hat = rows[0][2]
         tst = t.filter(F.col("grp") == 0)
         out = tst.agg(
-            F.lit(n_cal).alias("n_cal"),
+            F.lit(n_cal).cast("long").alias("n_cal"),
             F.count(F.lit(1)).alias("n_test"),
-            F.lit(pred).alias("pred_cents"),
-            F.lit(q_hat).alias("q_hat_cents"),
+            F.lit(pred).cast("long").alias("pred_cents"),
+            F.lit(q_hat).cast("long").alias("q_hat_cents"),
             F.expr(
                 f"(2000 * sum(CASE WHEN abs(cents - {pred}) <= {q_hat}"
                 " THEN 1 ELSE 0 END) + count(*)) div (2 * count(*))"
@@ -16623,7 +16623,7 @@ _QSK_W, _QSK_B = 1074, 1024  # fixed bin width (cents), bin count
     SELECT est.nn AS n, (est.mb + 1) * {_QSK_W} - 1 AS est_p50_v,
            exact.med AS exact_p50_v,
            (est.mb + 1) * {_QSK_W} - 1 - exact.med AS err_v,
-           lossless.ok AS is_lossless
+           CAST(lossless.ok AS BIGINT) AS is_lossless
     FROM est, exact, lossless
     """,
 )
@@ -17679,12 +17679,12 @@ def embedding_silhouette_simplified(spark, sf_dir):
     gg AS (SELECT user_id, count(DISTINCT gap_s) AS n_gaps
            FROM gaps WHERE gap_s IS NOT NULL GROUP BY 1)
     SELECT f.user_id, f.n,
-           (CASE WHEN 10 * f.errs > 3 * f.n THEN 1 ELSE 0 END)
+           CAST((CASE WHEN 10 * f.errs > 3 * f.n THEN 1 ELSE 0 END)
            + (CASE WHEN mg.max_minute >= 3 THEN 2 ELSE 0 END)
            + (CASE WHEN f.n >= 5 AND coalesce(gg.n_gaps, 99) = 1
                    THEN 4 ELSE 0 END)
            + (CASE WHEN f.n >= 10 AND f.n_hours <= 2 THEN 8 ELSE 0 END)
-             AS anomaly_mask
+             AS BIGINT) AS anomaly_mask
     FROM f
     JOIN mg ON mg.user_id = f.user_id
     LEFT JOIN gg ON gg.user_id = f.user_id
