@@ -55,7 +55,22 @@ def disagreements(
 def _retime(names: list[str], sf_dir: str) -> dict[str, dict]:
     """Min-of-3 clean re-timing with a sentinel reading after each
     query; a row measured while the host reads drift > 1.3 is retried
-    once after a pause and flagged if still dirty."""
+    once after a pause and flagged if still dirty.
+
+    Refuses to start while the 1-minute load average exceeds half the
+    CPU count: a concurrent workload (measured failure mode: a zombie
+    JVM left by a killed prior re-time saturating all cores) inflates
+    every reading 3-30x while the in-process sentinel can still read
+    plausibly — the numbers would adjudicate the wrong way."""
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    if load1 > ncpu / 2:
+        raise RuntimeError(
+            f"host busy (load1={load1:.1f} on {ncpu} CPUs) — another "
+            "workload would pollute every re-timing; find and stop it "
+            "(stale JVMs from killed Spark runs are the usual culprit) "
+            "or wait for load to drain"
+        )
     # same fixed sentinel plan and clamp band as bench.py
     from bench import EXPECTED_BASELINE_SEC, _sentinel_sec
     from gravity_spark.queries import REGISTRY
