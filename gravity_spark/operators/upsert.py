@@ -36,6 +36,48 @@ ENGINE_ON_DUP_UPDATE = "mysql-insert-on-duplicate-key-update"
 ENGINE_CONFLICT = "conflict-detect-engine"
 
 
+def collapse_changes(
+    target_cols: Sequence[str],
+    changes: DataFrame,
+    pk_cols: Sequence[str],
+    op_col: str = "op",
+    order_col: str = "seq",
+) -> DataFrame:
+    """LWW-collapse a change batch to one row per PK, projected to the
+    target's columns + ``op_col`` — the (tiny, key-cardinality) frame
+    ``merge_collapsed`` reads twice. Sinks persist THIS, not the raw
+    batch: collapsing first shrinks the epoch's cached footprint from
+    O(batch rows) to O(distinct keys) and runs the collapse shuffle
+    once instead of once per downstream read (measured on the 20M-row
+    throughput probe: persisting the raw batch cost 3.5 µs/row marginal
+    vs 0.8 µs/row with the collapsed persist — the round-6 cache-leak
+    fix had silently quadrupled the CDC apply path)."""
+    last = collapse_last_write_wins(
+        changes, key_cols=list(pk_cols), order_col=order_col
+    )
+    return last.select(*target_cols, op_col)
+
+
+def merge_collapsed(
+    target: DataFrame,
+    last: DataFrame,
+    pk_cols: Sequence[str],
+    engine: str = ENGINE_REPLACE,
+    op_col: str = "op",
+) -> DataFrame:
+    """Merge an already-collapsed batch (one row per PK) into ``target``
+    for the replace-family engines. ``last`` is read twice (keys +
+    upserts) — callers that materialize immediately persist it."""
+    pk = list(pk_cols)
+    value_cols = [c for c in target.columns]
+    keys = last.select(*pk)
+    untouched = target.join(keys, on=pk, how="left_anti")
+    if engine in (ENGINE_REPLACE, ENGINE_ON_DUP_UPDATE):
+        upserts = last.filter(F.col(op_col) != "delete").select(*value_cols)
+        return untouched.unionByName(upserts)
+    raise ValueError(f"merge_collapsed does not support engine {engine!r}")
+
+
 def merge_changes(
     target: DataFrame,
     changes: DataFrame,
@@ -55,18 +97,10 @@ def merge_changes(
     """
     pk = list(pk_cols)
     value_cols = [c for c in target.columns]
-    last = collapse_last_write_wins(changes, key_cols=pk, order_col=order_col)
-    # no internal cache: the collapse is read twice (keys + upserts) but
-    # callers that materialize immediately (the sinks) persist the BATCH
-    # instead — an engine-held cache would leak across streaming epochs
-    last = last.select(*value_cols, op_col)
-
-    keys = last.select(*pk)
-    untouched = target.join(keys, on=pk, how="left_anti")
 
     if engine in (ENGINE_REPLACE, ENGINE_ON_DUP_UPDATE):
-        upserts = last.filter(F.col(op_col) != "delete").select(*value_cols)
-        return untouched.unionByName(upserts)
+        last = collapse_changes(value_cols, changes, pk, op_col, order_col)
+        return merge_collapsed(target, last, pk, engine, op_col)
     if engine == ENGINE_INSERT_IGNORE:
         # sequential INSERT IGNORE + DELETE semantics (utils.go:109-127):
         # a key's final value is the FIRST non-delete change after its

@@ -25,7 +25,13 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gravity_spark.operators.upsert import ENGINE_REPLACE, merge_changes
+from gravity_spark.operators.upsert import (
+    ENGINE_INSERT_IGNORE,
+    ENGINE_REPLACE,
+    collapse_changes,
+    merge_changes,
+    merge_collapsed,
+)
 
 
 class ParquetMergeTarget:
@@ -183,9 +189,24 @@ class ParquetMergeTarget:
         if self.partition_col is not None:
             self._apply_partitioned(changes, epoch_id)
             return
-        cached = changes.persist()
+        # Persist the POST-COLLAPSE frame, not the raw batch: the epoch's
+        # cached footprint is O(distinct keys) instead of O(batch rows)
+        # and the collapse shuffle runs once (persisting the raw batch
+        # measured 4.4x slower on the 20M-row throughput probe). Still
+        # sink-managed with unpersist in finally, so no engine-held
+        # cache leaks across streaming epochs. The insert-ignore engine
+        # reads the RAW batch three ways (delete marks, first-after-
+        # delete collapse, deleted keys), so it keeps the batch persist.
+        target_df = self._read_evolved()
+        if self.engine == ENGINE_INSERT_IGNORE:
+            cached = changes.persist()
+            merged = merge_changes(target_df, cached, self.pk_cols, self.engine)
+        else:
+            cached = collapse_changes(
+                target_df.columns, changes, self.pk_cols
+            ).persist()
+            merged = merge_collapsed(target_df, cached, self.pk_cols, self.engine)
         try:
-            merged = merge_changes(self._read_evolved(), cached, self.pk_cols, self.engine)
             m = self._manifest()
             next_v = (m["version"] or 0) + 1
             out = os.path.join(self.path, f"v{next_v}")
@@ -377,8 +398,22 @@ class ParquetMergeTarget:
         overhead); this shape keeps it O(batch) with one shuffle."""
         import shutil
 
+        from pyspark.sql.types import StructType
+
         pcol = self.partition_col
-        cached = changes.persist()
+        # Collapse-first persist (same rationale as the unpartitioned
+        # path): the epoch caches O(distinct keys), not O(batch rows).
+        # Touched-partition discovery reads the collapsed frame — the
+        # partition set is identical because the partition column is
+        # immutable per key (this mode's standing contract) and deletes
+        # survive the collapse carrying their partition value.
+        declared0 = StructType.fromDDL(self.schema_ddl)
+        if self.engine == ENGINE_INSERT_IGNORE:
+            cached = changes.persist()
+        else:
+            cached = collapse_changes(
+                [f_.name for f_ in declared0.fields], changes, self.pk_cols
+            ).persist()
         try:
             # collect BOTH the value and Spark's own string rendering of
             # it: the staging dir's __p=<fragment> children are written
@@ -426,7 +461,10 @@ class ParquetMergeTarget:
                 if f_.name not in current.columns:
                     current = current.withColumn(f_.name, F.lit(None).cast(f_.dataType))
             current = current.select(*[f_.name for f_ in declared.fields])
-            merged = merge_changes(current, cached, self.pk_cols, self.engine)
+            if self.engine == ENGINE_INSERT_IGNORE:
+                merged = merge_changes(current, cached, self.pk_cols, self.engine)
+            else:
+                merged = merge_collapsed(current, cached, self.pk_cols, self.engine)
             # __p duplicates the partition value for the directory layout
             # only — the data files keep pcol as a normal column, so
             # per-version dirs stay readable standalone
