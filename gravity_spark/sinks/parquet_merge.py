@@ -236,13 +236,18 @@ class ParquetMergeTarget:
                 + [f"{f.name} {f.dataType.simpleString()}" for f in new_fields]
             )
         # align the batch to the (possibly wider) declared schema: old-
-        # schema changes arriving after evolution get NULL-filled too
+        # schema changes arriving after evolution get NULL-filled too.
+        # A declared column may itself be named op/seq (e.g. an SCD2
+        # version table keyed on (user_id, seq)) — select each column
+        # once, or the duplicate attribute breaks downstream resolution
         declared = StructType.fromDDL(self.schema_ddl)
         out = changes
         for f in declared.fields:
             if f.name not in out.columns:
                 out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
-        return out.select(*[f.name for f in declared.fields], "op", "seq")
+        names = [f.name for f in declared.fields]
+        names += [c for c in ("op", "seq") if c not in names]
+        return out.select(*names)
 
     def _read_evolved(self) -> DataFrame:
         """Current state widened to the declared schema (columns added
