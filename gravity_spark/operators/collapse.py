@@ -65,10 +65,16 @@ def collapse_last_write_wins(
     # BEFORE the shuffle, so the exchange carries O(distinct keys x
     # tasks) rows instead of the whole batch — on the 20M-row CDC
     # throughput probe the sort-based window shuffled all 20M rows where
-    # this shuffles ~1.2k keys' partials. NULL order values lose to any
-    # non-NULL one (as the window's desc-nulls-last sort did); an
-    # all-NULL key still yields a winner via the coalesced sentinel.
-    ordv = F.coalesce(F.col(order_col).cast("long"), F.lit(-(1 << 62)))
+    # this shuffles ~1.2k keys' partials. The ordering key is a
+    # (isNotNull, value) struct, compared lexicographically in the
+    # column's NATIVE type: NULL order values lose to any non-NULL one
+    # (as the window's desc-nulls-last sort did), an all-NULL key still
+    # yields a winner, and non-integral order columns (timestamp,
+    # decimal, string) order exactly as the window did — a long-cast
+    # sentinel here would NULL-out strings and truncate timestamps.
+    ordv = F.struct(
+        F.col(order_col).isNotNull().alias("n"), F.col(order_col).alias("v")
+    )
     winner = F.max_by(F.struct(*[F.col(c) for c in df.columns]), ordv)
     out = df.groupBy(*keys).agg(winner.alias("__w")).select("__w.*")
     return out.drop("__pk") if not key_cols else out

@@ -55,7 +55,11 @@ def collapse_changes(
     last = collapse_last_write_wins(
         changes, key_cols=list(pk_cols), order_col=order_col
     )
-    return last.select(*target_cols, op_col)
+    # the target may itself declare a column named `op` (the same case
+    # _evolve_schema's dedup supports) — select it once, or the duplicate
+    # attribute breaks merge_collapsed's op filter with an ambiguous-
+    # reference error
+    return last.select(*target_cols, *([op_col] if op_col not in target_cols else []))
 
 
 def merge_collapsed(
@@ -116,7 +120,10 @@ def merge_changes(
         first = collapse_last_write_wins(
             marked.filter(
                 (F.col(op_col) != "delete")
-                & (F.col(order_col) > F.coalesce(F.col("__del_seq"), F.lit(-(1 << 62))))
+                & (
+                    F.col("__del_seq").isNull()
+                    | (F.col(order_col) > F.col("__del_seq"))
+                )
             ).withColumn("__neg", -F.col(order_col)),
             key_cols=pk,
             order_col="__neg",

@@ -57,6 +57,16 @@ class ParquetMergeTarget:
         self.path = path
         self.pk_cols = list(pk_cols)
         self.schema_ddl = schema_ddl
+        # fail misconfiguration at sink construction, not mid-stream at
+        # the first epoch apply (where it surfaced as merge_collapsed's
+        # less-obvious "does not support engine")
+        from gravity_spark.operators.upsert import ENGINE_ON_DUP_UPDATE
+
+        supported = {ENGINE_REPLACE, ENGINE_ON_DUP_UPDATE, ENGINE_INSERT_IGNORE}
+        if engine not in supported:
+            raise ValueError(
+                f"unknown merge engine {engine!r}; supported: {sorted(supported)}"
+            )
         self.engine = engine
         self.partition_col = partition_col
         os.makedirs(path, exist_ok=True)
@@ -408,17 +418,25 @@ class ParquetMergeTarget:
         pcol = self.partition_col
         # Collapse-first persist (same rationale as the unpartitioned
         # path): the epoch caches O(distinct keys), not O(batch rows).
-        # Touched-partition discovery reads the collapsed frame — the
-        # partition set is identical because the partition column is
-        # immutable per key (this mode's standing contract) and deletes
-        # survive the collapse carrying their partition value.
+        # Touched-partition discovery reads the RAW batch, not the
+        # collapsed frame: the sets are identical (the partition column
+        # is immutable per key — this mode's standing contract — and
+        # deletes carry their partition value), but the raw read is a
+        # column-pruned pcol-only distinct with no collapse shuffle, so
+        # the collapsed cache materializes lazily INSIDE the single
+        # merge/write job instead of as its own per-epoch job (the
+        # +1.2 s fixed small-scale cost the r7 collapse-first persist
+        # added; the broadcast of the anti-join keys populates the
+        # cache, the upsert leg then reads it).
         declared0 = StructType.fromDDL(self.schema_ddl)
         if self.engine == ENGINE_INSERT_IGNORE:
             cached = changes.persist()
+            discovery_src = cached  # read 3 ways later — materialize now
         else:
             cached = collapse_changes(
                 [f_.name for f_ in declared0.fields], changes, self.pk_cols
             ).persist()
+            discovery_src = changes
         try:
             # collect BOTH the value and Spark's own string rendering of
             # it: the staging dir's __p=<fragment> children are written
@@ -428,7 +446,7 @@ class ParquetMergeTarget:
             # str() for bools/None/timestamps — matching on str(val)
             # silently treated live partitions as fully-deleted
             touched_rows = (
-                cached.select(
+                discovery_src.select(
                     F.col(pcol).alias("_v"), F.col(pcol).cast("string").alias("_s")
                 )
                 .distinct()

@@ -116,3 +116,61 @@ def test_manual_sql_engine(spark):
     rows = {r["id"]: r for r in merge_with_manual_sql(target, changes, sql, ["id"]).collect()}
     assert set(rows) == {1, 2, 4}
     assert rows[2]["name"] == "b2"
+
+
+def test_collapse_native_order_types(spark):
+    """The LWW ordering key keeps the order column's NATIVE type: string
+    and timestamp order columns must order correctly (a long-cast would
+    NULL-out strings — arbitrary winners — and truncate timestamps into
+    false ties), and NULL order values must always lose to non-NULL ones
+    regardless of how negative the non-NULL value is."""
+    strings = spark.createDataFrame(
+        [(1, "x", "2024-01-02"), (1, "y", "2024-01-10"), (1, "z", "2024-01-05")],
+        "id long, v string, ord string",
+    )
+    out = collapse_last_write_wins(strings, key_cols=["id"], order_col="ord").collect()
+    assert len(out) == 1 and out[0]["v"] == "y"
+
+    ts = spark.createDataFrame(
+        [(1, "early", "2024-01-01 00:00:00.100"), (1, "late", "2024-01-01 00:00:00.900")],
+        "id long, v string, ord string",
+    ).withColumn("ord", F.col("ord").cast("timestamp"))
+    out = collapse_last_write_wins(ts, key_cols=["id"], order_col="ord").collect()
+    assert out[0]["v"] == "late"
+
+    # NULL loses even to a value below the old long sentinel; all-NULL
+    # keys still yield a winner
+    nulls = spark.createDataFrame(
+        [(1, "null-seq", None), (1, "real", -(1 << 62) - 5), (2, "only-null", None)],
+        "id long, v string, ord long",
+    )
+    rows = {r["id"]: r for r in collapse_last_write_wins(nulls, key_cols=["id"], order_col="ord").collect()}
+    assert rows[1]["v"] == "real" and rows[2]["v"] == "only-null"
+
+
+def test_merge_target_with_op_named_column(spark):
+    """A target that itself declares a column named `op` (alongside the
+    envelope's op marker) must collapse without a duplicate-attribute
+    ambiguity in merge_collapsed's delete filter."""
+    from gravity_spark.operators.upsert import collapse_changes, merge_collapsed
+
+    target = spark.createDataFrame([(1, "keep")], "id long, op string")
+    changes = spark.createDataFrame(
+        [(2, "insert", 1), (1, "delete", 2)],
+        "id long, op string, seq long",
+    )
+    last = collapse_changes(["id", "op"], changes, ["id"], op_col="op")
+    assert last.columns.count("op") == 1
+    # with op_col == a declared data column, the marker IS the data
+    # column — the delete filter reads it once, unambiguously
+    rows = {r["id"]: r for r in merge_collapsed(target, last, ["id"], op_col="op").collect()}
+    assert set(rows) == {2} and rows[2]["op"] == "insert"
+
+
+def test_merge_target_rejects_unknown_engine(spark, tmp_path):
+    import pytest
+
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    with pytest.raises(ValueError, match="unknown merge engine"):
+        ParquetMergeTarget(spark, str(tmp_path / "t"), ["id"], "id long", engine="no-such-engine")
