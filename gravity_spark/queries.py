@@ -18240,75 +18240,65 @@ def customer_top1pct_share(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------
-# Driver visibility window: the external CORRECTNESS_r{N} gate grades
-# only the FIRST 50 registry entries, so each round rotates that
-# round's changed queries — plus previously-ungraded queries — into
-# the window for one round of external confirmation (the round-5
-# verdict's standing instruction; round-6 verdict "missing #3" calls
-# the per-round grading fraction the main structural gap). Rotation is
-# explicit here rather than by moving function definitions around the
-# file. Round-7 window = 6 TPC-H canaries (continuity with every prior
-# round's grading) + the round-7-changed queries + the five heavies
-# the r6 verdict named for confirmation + 36 more never-externally-
-# graded rows spanning every operator family — 40 of the 50 slots are
-# new external coverage this round (prior rounds re-graded the same
-# TPC-H/battery prefix in 42+ slots).
+# Grader-facing rotation: the driver grades only the first 50 entries of
+# queries(). DRIVER_WINDOW fills the 44 slots after the 6 TPC-H
+# canaries; REGISTRY order itself NEVER changes (bench comparability) —
+# the rotation is explicit here rather than by moving function
+# definitions around the file. Round-8 window = the 5 CDC merge-family
+# rows the r7 verdict asked re-graded on the rewritten max_by collapse
+# path (their last external grades predate it), + 39 never-externally-
+# graded rows drawn most-expensive-first from the GRADED.md backlog
+# with family spread (dedup, embedding, streaming, graph, text, stats,
+# multimodal) — 39/50 slots are new external coverage this round
+# (113 -> 152 of 292 once CORRECTNESS_r08 lands; backlog 179 -> 140).
 DRIVER_WINDOW = [
-    # round-7 changed queries (plans touched this round)
-    "orders_keyspace_gaps",        # floor-division sharding (negative keys)
-    "graph_kcore_fixpoint",        # lazy-checkpoint fusion
-    "graph_components_incremental",
-    "streaming_minhash_dedup_gate",
-    # the five heavies the r6 verdict task 1 named for confirmation
-    "corpus_dedup_pipeline",
-    "semdedup_prune",
-    "dedup_lsh_precision_recall",
-    "esmodel_incremental_docs",
-    # never-externally-graded, by family — dedup
-    "dedup_method_agreement",
-    "dedup_prefix_filter",
-    "dedup_containment",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "doc_winnowing",
-    "substring_dedup_spans",
-    "minhash_estimate_error",
-    # similarity / ANN
-    "sim_ivf_topk",
-    "sim_lsh_topk",
-    "ann_recall",
-    "embedding_outlier_prune",
-    # graph
-    "graph_pagerank_purchases",
-    "graph_triangle_count",
-    "graph_kcore_peel",
-    "graph_label_propagation",
-    "graph_link_prediction",
-    "recursive_reachability",
-    # streaming
-    "streaming_scd2_maintain",
-    "streaming_sessionize_stateful",
-    "streaming_dedup_watermark",
-    "streaming_cdc_pipeline",
-    "streaming_late_data_audit",
-    "session_window_native",
-    # CDC / replication
-    "cdc_conflict_detect",
-    "cdc_conflict_preview",
-    "cdc_scd2_history",
-    "cdc_snapshot_at",
-    "cdc_padder_backfill",
-    "cdc_replayed_epoch_idempotent",
-    # text / corpus
-    "text_bm25",
-    "perplexity_filter",
-    "decontaminate_ngram_overlap",
-    # sketches
-    "countmin_heavy_hitters",
-    "kmv_set_ops",
-    # relational battery / misc
-    "market_basket_rules",
+    # CDC merge family: re-grade on the r7 collapse/merge rewrite
+    "cdc_merge_replace",
+    "cdc_partitioned_merge",
+    "cdc_insert_ignore",
+    "cdc_collapse_lww",
+    "cdc_bidirectional_sync",
+    # never-externally-graded, most-expensive-first
+    "dedup_cluster_aware_split",
+    "orders_winsorized_stats",
+    "embedding_truncation_recall",
+    "streaming_incremental_rollup",
+    "customer_copurchase_jaccard",
+    "text_bigram_lm",
+    "embedding_silhouette_simplified",
+    "graph_degree_assortativity",
+    "streaming_stream_outer_join",
+    "shipping_cycle_percentiles",
+    "market_basket_triples",
+    "streaming_rate_limit_stateful",
+    "dpp_partition_pruned",
+    "text_tfidf_doc_sim",
+    "stat_agg_battery",
+    "weighted_median_descent",
+    "orders_open_backlog",
+    "streaming_stream_join",
+    "langid_confusion_matrix",
+    "quantile_sketch_merge_rollup",
+    "events_peak_concurrency",
+    "streaming_sliding_window_counts",
+    "dedup_embedding_near",
+    "parts_price_index",
+    "bootstrap_mean_ci_orders",
+    "dedup_bucket_stats",
+    "corpus_ngram_novelty",
+    "bucketed_join_colocated",
+    "order_proration_residual",
+    "classifier_hashed_linear",
+    "conformal_interval_orders",
+    "graph_degree_histogram",
+    "attribution_position_based",
+    "streaming_topk_trending",
+    "entity_resolution_customers",
+    "table_profile",
+    "bloom_prefilter_blocklist",
+    # family coverage: multimodal has never been driver-graded
+    "multimodal_features",
+    "multimodal_meta",
 ]
 
 

@@ -35,10 +35,9 @@ from gravity_spark.streaming.pipeline import run_stream
 from gravity_spark.operators.filters import apply_filter_chain
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    spark = get_spark("throughput_probe")
+def run_probe(spark, sf_dir: str, mult: int = 1) -> dict:
+    """One full pipeline pass; returns the result record (also the
+    shape printed by the CLI). Reusable by tools/throughput_gate.py."""
     n_rows = T(spark, sf_dir, "events").count()
 
     src_dir = sf_dir
@@ -92,24 +91,28 @@ def main() -> None:
     elapsed = time.time() - t0
     out_rows = target.read().count()
 
-    print(
-        json.dumps(
-            {
-                "metric": "cdc_pipeline_rows_per_sec",
-                "value": round(n_rows / elapsed, 1),
-                "unit": "rows/sec",
-                "input_rows": n_rows,
-                "merged_keys": out_rows,
-                "elapsed_sec": round(elapsed, 2),
-                "sf_dir": sf_dir,
-            }
-        )
-    )
+    result = {
+        "metric": "cdc_pipeline_rows_per_sec",
+        "value": round(n_rows / elapsed, 1),
+        "unit": "rows/sec",
+        "input_rows": n_rows,
+        "merged_keys": out_rows,
+        "elapsed_sec": round(elapsed, 2),
+        "sf_dir": sf_dir,
+    }
     import shutil
 
     if src_dir != sf_dir:
         shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
+    return result
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    spark = get_spark("throughput_probe")
+    print(json.dumps(run_probe(spark, sf_dir, mult)))
 
 
 if __name__ == "__main__":
