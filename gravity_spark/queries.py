@@ -7185,7 +7185,15 @@ def streaming_minhash_dedup_gate(spark, sf_dir):
     of its buckets was claimed earlier. Verdicts from the second epoch
     depend on state built in the first — the incremental-corpus-growth
     path batch dedup can't express. Graded against the sequential batch
-    truth (_gate_sql)."""
+    truth (_gate_sql).
+
+    Runs the gate's default ``salt_buckets=1024`` (bounded-state fast
+    path): per-salt-key state value measured 378 bytes max at the
+    bench corpus, pinned under 16 KiB by tests/test_minhash_gate.py::
+    test_salted_state_value_bounded_at_bench_corpus; a corpus-scale
+    deployment with millions of occupied buckets should pick
+    ``salt_buckets=None`` deliberately (the RocksDB-sharded per-bucket
+    path — tradeoff table in minhash_bucket_gate's docstring)."""
     import glob
     import os
     import shutil

@@ -62,3 +62,50 @@ def test_gate_rejects_cross_batch_near_dup(spark, tmp_path, salt):
     assert not is_new_10  # duplicate of doc 1, seen one epoch earlier
     assert is_new_11
     assert epoch_10 > verdicts[1][1]  # decided in a LATER epoch than doc 1
+
+
+def test_salted_state_value_bounded_at_bench_corpus(spark):
+    """Salted-gate state-value audit (r7 verdict task 6): the registry
+    query runs ``salt_buckets=1024`` — the bounded-state fast path whose
+    tradeoff is per-key state VALUE size (an HDFS-backed store rewrites
+    a key's whole value per update). This pins the bound at the bench
+    corpus: the per-salt-key owners map, JSON-encoded exactly as the
+    handler stores it, stays far under 16 KiB (measured 378 bytes max at
+    sf0.1 — 2,525 occupied buckets over 1,024 salt keys). The value
+    grows ~linearly with occupied-buckets/1024, so a deployment whose
+    bucket count reaches the millions should pass ``salt_buckets=None``
+    (one long per bucket, sharded across RocksDB stores) — the
+    documented scale path in minhash_bucket_gate's docstring."""
+    import os
+
+    import pytest as _pytest
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.isdir(sf):
+        _pytest.skip(f"bench corpus {sf} not present")
+    from gravity_spark.queries import T, _banded_row_local
+
+    docs = T(spark, sf, "documents").select("doc_id", "text")
+    keyed = _banded_row_local(docs).withColumn(
+        "gk", F.pmod(F.xxhash64("band", "bh"), F.lit(1024))
+    )
+    per_bucket = keyed.groupBy("gk", "band", "bh").agg(F.min("doc_id").alias("mid"))
+    # exact byte size of json.dumps(owners_map, separators=(",", ":")):
+    # '"band:bh":<id>' per entry + commas (over-counted by <=1) + braces
+    sizes = (
+        per_bucket.groupBy("gk")
+        .agg(
+            F.sum(
+                F.length(
+                    F.concat_ws(
+                        "",
+                        F.lit('"'), F.col("band"), F.lit(":"), F.col("bh"),
+                        F.lit('":'), F.col("mid").cast("string"), F.lit(","),
+                    )
+                )
+            ).alias("jlen")
+        )
+        .collect()
+    )
+    assert sizes, "banding produced no buckets"
+    assert max(r.jlen + 2 for r in sizes) < 16 * 1024
