@@ -418,25 +418,27 @@ class ParquetMergeTarget:
         pcol = self.partition_col
         # Collapse-first persist (same rationale as the unpartitioned
         # path): the epoch caches O(distinct keys), not O(batch rows).
-        # Touched-partition discovery reads the RAW batch, not the
-        # collapsed frame: the sets are identical (the partition column
-        # is immutable per key — this mode's standing contract — and
-        # deletes carry their partition value), but the raw read is a
-        # column-pruned pcol-only distinct with no collapse shuffle, so
-        # the collapsed cache materializes lazily INSIDE the single
-        # merge/write job instead of as its own per-epoch job (the
-        # +1.2 s fixed small-scale cost the r7 collapse-first persist
-        # added; the broadcast of the anti-join keys populates the
-        # cache, the upsert leg then reads it).
+        # Touched-partition discovery reads the COLLAPSED frame: the
+        # touched set is identical to the raw batch's (the partition
+        # column is immutable per key — this mode's standing contract —
+        # and deletes survive the collapse carrying their partition
+        # value), and the discovery job doubles as the cache
+        # materialization, so the raw batch is read exactly ONCE per
+        # epoch. (A raw-batch discovery variant was tried for round 8:
+        # it saves nothing — same job count, the collapse just moves
+        # into the broadcast build — and costs a second source scan per
+        # epoch, which at streaming scale means re-reading the batch's
+        # source files. The per-epoch fixed cost of collapse-first is
+        # the measured price of the 3x win at 200x batch scale;
+        # honest small-scale band pinned in BASELINE.md §13.)
         declared0 = StructType.fromDDL(self.schema_ddl)
         if self.engine == ENGINE_INSERT_IGNORE:
             cached = changes.persist()
-            discovery_src = cached  # read 3 ways later — materialize now
         else:
             cached = collapse_changes(
                 [f_.name for f_ in declared0.fields], changes, self.pk_cols
             ).persist()
-            discovery_src = changes
+        discovery_src = cached
         try:
             # collect BOTH the value and Spark's own string rendering of
             # it: the staging dir's __p=<fragment> children are written
