@@ -9,9 +9,10 @@ Usage: python tools/determinism_check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gravity_spark.queries import REGISTRY
 from gravity_spark.session import get_spark

@@ -17,9 +17,10 @@ Usage: python tools/explain_audit.py [sf_dir] > plans.txt
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gravity_spark.session import get_spark
 from gravity_spark.queries import REGISTRY

@@ -23,6 +23,6 @@ echo "== 2/7 oracle @ sf0.01 (driver gate scale)" && python tools/check_oracle.p
 echo "== 3/7 oracle under a VANILLA session (driver session shape)" && SPARK_GRAFT_VANILLA=1 python tools/check_oracle.py /root/testdata/sf0.001
 echo "== 4/7 determinism (double-run, value-identical)" && python tools/determinism_check.py /root/testdata/sf0.001
 echo "== 5/7 plan hygiene (pushdown, no cartesian, no partition-less windows)" && python tools/explain_audit.py /root/testdata/sf0.001 > /dev/null
-echo "== 6/7 CDC apply-path throughput floor (5M rows; the r7 regression class)" && python tools/throughput_gate.py 2>/dev/null
+echo "== 6/7 CDC apply-path throughput floor (20M rows; the r7 regression class)" && python tools/throughput_gate.py 2>/dev/null
 echo "== 7/7 bench @ sf0.1 (stall-sentinel-stamped)" && python bench.py 2>/dev/null | tail -1
 echo "ROUND GATE: all green on HEAD ${HEAD_SHA}"

@@ -47,7 +47,7 @@ import shutil
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import functions as F
