@@ -327,6 +327,7 @@ def connected_components_bipartite(
     bucket_col: str = "bucket",
     max_iter: int = 25,
     stats: dict | None = None,
+    broadcast_small: bool = False,
 ) -> DataFrame:
     """Connected components over doc↔bucket membership (bipartite form).
 
@@ -338,6 +339,15 @@ def connected_components_bipartite(
     band). Alternating min-label rounds: bucket label = min over member
     docs, doc label = min over its buckets; bucket vertices never
     surface in the output so their ids never pollute the label space.
+
+    ``broadcast_small=True`` statically broadcast-hints every per-round
+    small frame (labels, bucket labels, neighbor minima, the
+    compression map) — for DELTA-scale graphs (IVM relabel loops over
+    touched components) where every round's frames provably fit in a
+    broadcast, so the loop no longer depends on AQE's runtime
+    broadcast conversion and its per-stage-job driver latency. Leave
+    False for corpus-scale graphs: labels there is O(vertices) and a
+    static broadcast hint would be a scale bug.
     """
     # Lazy checkpoints + the label-sum action as the materializing pass:
     # caching a round's labels and reading its convergence scalar are
@@ -356,11 +366,12 @@ def connected_components_bipartite(
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
     rounds = 0
+    hb = F.broadcast if broadcast_small else (lambda df: df)
     for _ in range(max_iter):
         rounds += 1
-        bucket_label = m.join(labels, "v").groupBy("bk").agg(F.min("label").alias("bl"))
-        neighbor_min = m.join(bucket_label, "bk").groupBy("v").agg(F.min("bl").alias("nl"))
-        labels = labels.join(neighbor_min, "v", "left").select(
+        bucket_label = m.join(hb(labels), "v").groupBy("bk").agg(F.min("label").alias("bl"))
+        neighbor_min = m.join(hb(bucket_label), "bk").groupBy("v").agg(F.min("bl").alias("nl"))
+        labels = labels.join(hb(neighbor_min), "v", "left").select(
             "v",
             F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
                 "label"
@@ -372,7 +383,7 @@ def connected_components_bipartite(
         # convergence by O(log n) regardless of chain length.
         l2 = labels.select(F.col("v").alias("v2"), F.col("label").alias("label2"))
         labels = (
-            labels.join(l2, labels.label == l2.v2, "left")
+            labels.join(hb(l2), labels.label == l2.v2, "left")
             .select("v", F.coalesce(F.col("label2"), F.col("label")).alias("label"))
             .localCheckpoint(eager=False)
         )

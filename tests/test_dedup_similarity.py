@@ -165,6 +165,18 @@ def test_connected_components_bipartite_matches_pairwise(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
+    # broadcast_small (the delta-IVM opt-in: statically hints every
+    # per-round small frame) must be value-identical — it only changes
+    # join strategy, and stays off by default (a static broadcast of a
+    # corpus-scale label frame would be a scale bug)
+    hinted = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_bipartite(
+            members, broadcast_small=True
+        ).collect()
+    }
+    assert hinted == got
+
 
 # ---- prefix-filter exactness: property-based vs brute force ----------
 
