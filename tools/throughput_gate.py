@@ -14,9 +14,14 @@ healthy path clears under noise, so the gate pays the larger batch.
 Policy on this host (timings oscillate 3–6×, see PLANS bench notes):
 up to 3 attempts, pass on the FIRST that clears the floor (min-of-N
 semantics — host noise only ever slows a run down). If every attempt
-fails AND the host sentinel reads degraded (>2.5× the healthy band),
-the gate SKIPS loudly instead of failing — a degraded-host skip is
-recorded in the transcript and the next clean-window gate re-checks.
+fails AND either the pre- or post-attempt host sentinel reads degraded
+(>1.7× the healthy band), the gate SKIPS loudly instead of failing —
+a degraded-host skip is recorded in the transcript and the next
+clean-window gate re-checks. The 1.7 bound is arithmetic, not taste:
+the healthy path (~918k rows/s clean) reads 918k/d at drift d, so any
+d > 918/500 ≈ 1.8 makes a fixed 500k floor unclearable even with no
+regression — a first re-gate of round 8 failed spuriously at measured
+drift 2.33 under the old 2.5 skip bound.
 
 Usage: python tools/throughput_gate.py [floor_rows_per_sec] [mult]
 Exit 0 = pass or loud host-degraded skip; exit 1 = confirmed below
@@ -33,7 +38,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 FLOOR = float(sys.argv[1]) if len(sys.argv) > 1 else 500_000.0
 MULT = int(sys.argv[2]) if len(sys.argv) > 2 else 200
 ATTEMPTS = 3
-SENTINEL_DEGRADED = 2.5  # × the healthy-band expectation
+SENTINEL_DEGRADED = 1.7  # × healthy band; see module docstring
 
 
 def main() -> int:
@@ -43,6 +48,7 @@ def main() -> int:
 
     spark = get_spark("throughput_gate")
     spark.sparkContext.setLogLevel("ERROR")
+    drift_pre = _sentinel_sec(spark) / EXPECTED_BASELINE_SEC
     best = None
     for i in range(ATTEMPTS):
         res = run_probe(spark, "/root/testdata/sf0.1", MULT)
@@ -56,7 +62,7 @@ def main() -> int:
         if rps >= FLOOR:
             print(f"THROUGHPUT GATE: pass ({rps:,.0f} >= {FLOOR:,.0f} rows/s)")
             return 0
-    drift = _sentinel_sec(spark) / EXPECTED_BASELINE_SEC
+    drift = max(drift_pre, _sentinel_sec(spark) / EXPECTED_BASELINE_SEC)
     if drift > SENTINEL_DEGRADED:
         print(
             f"THROUGHPUT GATE: SKIPPED — host degraded (sentinel {drift:.2f}x "
