@@ -40,13 +40,19 @@ def collapse_last_write_wins(
     changes: DataFrame,
     key_cols: Sequence[str] | None = None,
     order_col: str = "seq",
+    ascending: bool = False,
 ) -> DataFrame:
     """Collapse a change batch to the newest change per key.
 
     ``key_cols`` defaults to the envelope addressing (database, table,
     pks map). The winner per key is the row with the highest
     ``order_col`` (InputSequence — per-stream monotonic,
-    pkg/core/msg.go:70-76).
+    pkg/core/msg.go:70-76). ``ascending=True`` flips the winner to the
+    LOWEST ``order_col`` (first-write-wins — the INSERT IGNORE engine's
+    shape) *without* negating the column, so timestamp/string/decimal
+    order columns work in both directions; NULL order values lose to
+    any non-NULL one in either direction (an all-NULL key still yields
+    a winner).
 
     Note PK-updates arrive as delete(old)+insert(new) pairs with
     *different* pks (pkg/inputs/mysqlstream/msg.go:170-225), so they
@@ -72,9 +78,19 @@ def collapse_last_write_wins(
     # yields a winner, and non-integral order columns (timestamp,
     # decimal, string) order exactly as the window did — a long-cast
     # sentinel here would NULL-out strings and truncate timestamps.
-    ordv = F.struct(
-        F.col(order_col).isNotNull().alias("n"), F.col(order_col).alias("v")
-    )
-    winner = F.max_by(F.struct(*[F.col(c) for c in df.columns]), ordv)
+    # Ascending mode keeps the same NULL-always-loses rule by flipping
+    # the null flag's polarity instead of negating the value: min_by on
+    # (isNull, v) ranks every non-NULL v below every NULL one, exactly
+    # mirroring max_by on (isNotNull, v).
+    if ascending:
+        ordv = F.struct(
+            F.col(order_col).isNull().alias("n"), F.col(order_col).alias("v")
+        )
+        winner = F.min_by(F.struct(*[F.col(c) for c in df.columns]), ordv)
+    else:
+        ordv = F.struct(
+            F.col(order_col).isNotNull().alias("n"), F.col(order_col).alias("v")
+        )
+        winner = F.max_by(F.struct(*[F.col(c) for c in df.columns]), ordv)
     out = df.groupBy(*keys).agg(winner.alias("__w")).select("__w.*")
     return out.drop("__pk") if not key_cols else out

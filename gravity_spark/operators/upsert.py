@@ -112,21 +112,33 @@ def merge_changes(
         # row (first-writer-wins — IGNORE can never overwrite).
         # One hash shuffle: both the per-key last-delete mark and the
         # had-delete flag ride the same unordered window partitioning.
+        # NULL order values follow the collapse path's NULL-always-loses
+        # total order (NULL < every non-NULL): a NULL-seq change
+        # survives only when its key saw NO delete at all, and a
+        # NULL-seq delete (the minimum) kills only other NULL-seq
+        # changes — non-NULL-seq ones are strictly after it.
         w_all = Window.partitionBy(*pk)
         del_mark = F.max(
             F.when(F.col(op_col) == "delete", F.col(order_col))
         ).over(w_all)
-        marked = changes.withColumn("__del_seq", del_mark)
+        had_del = F.max(
+            F.when(F.col(op_col) == "delete", F.lit(True))
+        ).over(w_all)
+        marked = changes.withColumn("__del_seq", del_mark).withColumn(
+            "__had_del", had_del
+        )
+        after_last_delete = F.col("__had_del").isNull() | (
+            F.col(order_col).isNotNull()
+            & (
+                F.col("__del_seq").isNull()
+                | (F.col(order_col) > F.col("__del_seq"))
+            )
+        )
         first = collapse_last_write_wins(
-            marked.filter(
-                (F.col(op_col) != "delete")
-                & (
-                    F.col("__del_seq").isNull()
-                    | (F.col(order_col) > F.col("__del_seq"))
-                )
-            ).withColumn("__neg", -F.col(order_col)),
+            marked.filter((F.col(op_col) != "delete") & after_last_delete),
             key_cols=pk,
-            order_col="__neg",
+            order_col=order_col,
+            ascending=True,
         ).select(*value_cols)
         deleted_keys = (
             changes.filter(F.col(op_col) == "delete").select(*pk).distinct()

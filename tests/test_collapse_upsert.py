@@ -174,3 +174,90 @@ def test_merge_target_rejects_unknown_engine(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown merge engine"):
         ParquetMergeTarget(spark, str(tmp_path / "t"), ["id"], "id long", engine="no-such-engine")
+
+
+def test_collapse_first_write_wins_ascending(spark):
+    """ascending=True picks the LOWEST order value per key without
+    negating the column, so string/timestamp order columns work, and
+    NULL still always loses (all-NULL keys still yield a winner)."""
+    strings = spark.createDataFrame(
+        [(1, "x", "2024-01-02"), (1, "y", "2024-01-10"), (1, "z", "2024-01-05")],
+        "id long, v string, ord string",
+    )
+    out = collapse_last_write_wins(
+        strings, key_cols=["id"], order_col="ord", ascending=True
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == "x"
+
+    nulls = spark.createDataFrame(
+        [(1, "null-seq", None), (1, "real", 7), (2, "only-null", None)],
+        "id long, v string, ord long",
+    )
+    rows = {
+        r["id"]: r
+        for r in collapse_last_write_wins(
+            nulls, key_cols=["id"], order_col="ord", ascending=True
+        ).collect()
+    }
+    assert rows[1]["v"] == "real" and rows[2]["v"] == "only-null"
+
+
+def test_merge_insert_ignore_typed_order_column(spark):
+    """INSERT IGNORE with a timestamp order column: the first-wins
+    collapse must not negate the order column (analysis error pre-fix);
+    first non-delete change after the last delete wins."""
+    target = spark.createDataFrame([(1, "t")], "id long, name string")
+    changes = spark.createDataFrame(
+        [
+            (1, None, "delete", "2024-01-01 00:00:02"),
+            (1, "after-del-early", "insert", "2024-01-01 00:00:03"),
+            (1, "after-del-late", "update", "2024-01-01 00:00:04"),
+            (2, "fresh-late", "update", "2024-01-01 00:00:09"),
+            (2, "fresh-early", "insert", "2024-01-01 00:00:08"),
+        ],
+        "id long, name string, op string, seq string",
+    ).withColumn("seq", F.col("seq").cast("timestamp"))
+    rows = {
+        r["id"]: r
+        for r in merge_changes(target, changes, ["id"], ENGINE_INSERT_IGNORE).collect()
+    }
+    assert rows[1]["name"] == "after-del-early"
+    assert rows[2]["name"] == "fresh-early"
+
+
+def test_merge_insert_ignore_null_order_rules(spark):
+    """NULL order values follow the collapse path's NULL-always-loses
+    total order: a NULL-seq change survives only when its key saw NO
+    delete at all; a NULL-seq delete (the minimum) kills only other
+    NULL-seq changes, never non-NULL-seq ones."""
+    target = spark.createDataFrame([(9, "t")], "id long, name string")
+    changes = spark.createDataFrame(
+        [
+            # key 1: no delete — NULL-seq insert survives (first-wins
+            # among {NULL, 5} picks the non-NULL per NULL-loses)
+            (1, "null-seq", "insert", None),
+            (1, "seq5", "update", 5),
+            # key 2: delete at seq 3 — the NULL-seq insert is BEFORE it
+            # (NULL = minimum), only seq 4 survives
+            (2, "null-seq", "insert", None),
+            (2, None, "delete", 3),
+            (2, "seq4", "insert", 4),
+            # key 3: NULL-seq delete — kills the NULL-seq insert (tie
+            # loses to the delete) but not the seq-1 insert
+            (3, "null-seq", "insert", None),
+            (3, None, "delete", None),
+            (3, "seq1", "insert", 1),
+            # key 4: only a NULL-seq insert, no delete — survives
+            (4, "only-null", "insert", None),
+        ],
+        "id long, name string, op string, seq long",
+    )
+    rows = {
+        r["id"]: r
+        for r in merge_changes(target, changes, ["id"], ENGINE_INSERT_IGNORE).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 9}
+    assert rows[1]["name"] == "seq5"
+    assert rows[2]["name"] == "seq4"
+    assert rows[3]["name"] == "seq1"
+    assert rows[4]["name"] == "only-null"
