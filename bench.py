@@ -55,6 +55,16 @@ Round-7 hardening (r6 verdict task 5 + advisor items):
   existing best repairs host noise and re-confirms genuine code
   regressions at their honest number.
 
+Round-9 hardening (r8 verdict task 1): the committed TOTAL is now
+defensible across rounds. A MACRO-sentinel (one real micro-batch epoch
++ one small shuffled parquet write — the fixed costs the tiny plan
+misses and the heavy tail pays) is timed min-of-3 at session start
+(after a throwaway warm-up) and once at close; the record carries the
+readings, the session floor, its drift vs the pinned clean-window
+healthy floor (MACRO_HEALTHY_SEC), and `value_normalized = value /
+floor-drift`. Cross-round comparisons of an unchanged registry should
+read value_normalized; BASELINE §13 pins the honest TOTAL band.
+
 The measurement policy lives in BenchEngine with injectable
 run-query/sentinel callables — tests/test_bench_engine.py injects a
 synthetic mid-window stall and asserts its rows get flagged.
@@ -81,6 +91,71 @@ ABS_DRIFT_GATE = 1.2
 REL_DRIFT_GATE = 1.35
 DISAGREE_RATIO = 1.5  # two best runs farther apart than this = suspect
 SUSPECT_DRIFT = 1.4  # stamped drift above this = repass candidate
+
+
+# Clean-window macro-sentinel floor: session minima 2.53/2.87 s across
+# two r9 sessions bracketed by healthy tiny sentinels (0.92-1.0x);
+# in-session band up to ~4 s (micro-batch scheduling jitter).
+# Pinned at the low edge so a mis-pin UNDER-normalizes (normalized
+# total stays close to raw — the conservative error direction).
+# The macro plan exercises the cost classes the tiny sentinel is blind
+# to — micro-batch epoch planning + checkpoint commits, job-scheduling/
+# commit latency of a small shuffled parquet write — which dominate the
+# heavy streaming/CDC tail of the registry.
+# r6→r8 committed totals drifted 337.7→495.9 s on an unchanged registry
+# while every tiny-sentinel median read healthy; this floor is what
+# lets a future round tell host drift from code drift from the record
+# alone (r8 verdict task 1).
+MACRO_HEALTHY_SEC = 2.6
+
+
+def _macro_sentinel_sec(spark) -> float:
+    """One REAL micro-batch epoch (file stream -> agg -> memory sink,
+    availableNow, checkpointed) plus one small shuffled parquet write.
+    Timing THIS times the session's fixed streaming/job overhead — the
+    component of the heavy bench rows that the tiny codegen'd-fold
+    sentinel does not share (observed: tiny sentinels healthy while
+    epoch-bound rows ran 1.5-3x their records)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    t0 = time.time()
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix="bench_macro_", dir=base)
+    try:
+        (
+            spark.range(200_000)
+            .selectExpr("id % 97 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.mode("overwrite")
+            .parquet(f"{d}/out")
+        )
+        src = f"{d}/stream"
+        os.makedirs(src)
+        with open(f"{src}/000.json", "w") as f:
+            f.write('{"a": 1}\n{"a": 2}\n')
+        name = f"macro_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.schema("a long")
+            .json(src)
+            .groupBy("a")
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise RuntimeError("macro sentinel stream timed out")
+        spark.catalog.dropTempView(name)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return time.time() - t0
 
 
 def _sentinel_sec(spark) -> float:
@@ -385,21 +460,42 @@ def main() -> None:
         names = wanted
         subset = True
 
+    # macro-sentinel session floor: one throwaway (first-epoch codegen /
+    # stream-planning warm-up belongs to the session, not the floor),
+    # then min-of-3 at start + one closing reading. The FLOOR (min of
+    # all readings) estimates the best this host would let the heavy
+    # epoch-bound rows run at any point in the session; the normalized
+    # total divides the raw total by floor drift so cross-round
+    # comparisons of an unchanged registry read the CODE, not the host.
+    _macro_sentinel_sec(spark)  # throwaway warm-up
+    macro_runs = [round(_macro_sentinel_sec(spark), 3) for _ in range(3)]
+
     eng = BenchEngine(
         run_query, lambda: _sentinel_sec(spark), baseline_raw, prior=prior
     )
     eng.run(names)
     eng.repass()
+    macro_runs.append(round(_macro_sentinel_sec(spark), 3))
+    session_floor = min(macro_runs)
+    # drift < 1 clamps to 1: a faster-than-band host must not inflate
+    # the normalized record
+    session_floor_drift = round(max(session_floor / MACRO_HEALTHY_SEC, 1.0), 3)
     for msg in eng.errors:
         print(msg, file=sys.stderr)
 
     timings = eng.timings
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_normalized = round(total / session_floor_drift, 3)
     median_drift, median_drift_rel = eng.median_drifts()
     stalled = eng.stalled
     detail = {
         "metric": "total_query_seconds",
         "value": total,
+        "value_normalized": total_normalized,
+        "macro_sentinels": macro_runs,
+        "macro_healthy_sec": MACRO_HEALTHY_SEC,
+        "session_floor_sec": session_floor,
+        "session_floor_drift": session_floor_drift,
         "unit": "sec",
         "queries": timings,
         "query_drift": eng.query_drift,
@@ -446,6 +542,8 @@ def main() -> None:
             {
                 "metric": "total_query_seconds",
                 "value": total,
+                "value_normalized": total_normalized,
+                "session_floor_drift": session_floor_drift,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
