@@ -1,39 +1,41 @@
-"""Pin the throughput gate's drift-scaled decision arithmetic at the
-exact drift points the r8 policy mishandled (tools/throughput_gate.py
-docstring): the healthy path (~918k rows/s clean) and the regressed
-pre-fix path (~281k clean, the r7 raw-persist bug) scale ~1:1 with host
-drift, so a floor of 500k/d must separate them at ANY drift — including
-d=2.33 (the measured window where a fixed floor spurious-failed and the
-r8 1.7x skip bound would have graded nothing)."""
+"""Pin the throughput gate's decision arithmetic.
 
-from tools.throughput_gate import decide
+r9 recalibration (tools/throughput_gate.py docstring): wall-clock
+rows/s classes OVERLAP on this host (same-day healthy-sentinel
+measurements — HEAD 293k-816k, pre-fix regressed tree 122k-536k), so
+the fine-grained separation moved to the structural persisted-footprint
+check (tests/test_merge_persist_footprint.py). The wall floor's job is
+now catastrophic breakage only: 250k sits below every healthy reading
+ever recorded (min 293k, degraded window) and scales down 1:1 with
+sentinel drift so it grades every window instead of skipping."""
 
-HEALTHY_CLEAN = 918_000.0
-REGRESSED_CLEAN = 281_000.0  # worst (fastest) pre-fix measurement
-FLOOR = 500_000.0
+from tools.throughput_gate import DEFAULT_FLOOR, decide
+
+HEALTHY_WORST = 293_000.0  # slowest healthy-sentinel HEAD reading (r9)
+CATASTROPHIC = 80_000.0  # order-of-magnitude breakage class
 
 
-def test_healthy_passes_at_any_drift():
-    for d in (0.6, 1.0, 1.7, 1.84, 2.33, 4.0):
-        passed, eff = decide(HEALTHY_CLEAN / max(d, 1.0), FLOOR, d)
+def test_healthy_worst_case_passes_at_any_drift():
+    for d in (0.6, 1.0, 1.7, 2.33, 4.0):
+        passed, eff = decide(HEALTHY_WORST / max(d, 1.0), DEFAULT_FLOOR, d)
         assert passed, f"healthy tree failed at drift {d} (eff floor {eff})"
 
 
-def test_regressed_fails_at_any_drift():
-    for d in (0.6, 1.0, 1.7, 1.84, 2.33, 4.0):
-        passed, eff = decide(REGRESSED_CLEAN / max(d, 1.0), FLOOR, d)
-        assert not passed, f"regressed tree passed at drift {d} (eff floor {eff})"
+def test_catastrophic_fails_at_any_drift():
+    for d in (0.6, 1.0, 1.7, 2.33, 4.0):
+        passed, eff = decide(CATASTROPHIC / max(d, 1.0), DEFAULT_FLOOR, d)
+        assert not passed, f"catastrophic tree passed at drift {d} (eff {eff})"
 
 
 def test_fast_host_still_owes_full_floor():
     # drift < 1 must not RAISE the bar above the calibrated floor, and
     # must not lower it either
-    passed, eff = decide(499_000.0, FLOOR, 0.5)
-    assert not passed and eff == FLOOR
-    passed, eff = decide(501_000.0, FLOOR, 0.5)
+    passed, eff = decide(DEFAULT_FLOOR - 1_000, DEFAULT_FLOOR, 0.5)
+    assert not passed and eff == DEFAULT_FLOOR
+    passed, eff = decide(DEFAULT_FLOOR + 1_000, DEFAULT_FLOOR, 0.5)
     assert passed
 
 
 def test_effective_floor_scales_inverse_with_drift():
-    _, eff = decide(0.0, FLOOR, 2.0)
-    assert eff == FLOOR / 2.0
+    _, eff = decide(0.0, DEFAULT_FLOOR, 2.0)
+    assert eff == DEFAULT_FLOOR / 2.0

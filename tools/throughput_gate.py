@@ -1,40 +1,46 @@
-"""CDC apply-path throughput floor — round-gate regression guard.
+"""CDC apply-path regression gate: structural check + throughput floor.
 
 Round 7's only real regression (the merge sink silently persisting the
 raw batch instead of the collapsed frame, cutting 200×-scale apply
-throughput from ~1.36M to ~300k rows/s) was caught only because the
-BASELINE §5 probe happened to be re-run by hand. This gate makes that
-probe a standing check: the 20M-row configuration (sf0.1 events ×200)
-must clear a floor chosen to separate the healthy path (~900k rows/s
-clean at 200×) from the regressed one (~300–420k) with margin for host
-noise on both sides — at 50× the raw-persist regression only drops
-throughput to ~416k (measured), too close to any floor that the
-healthy path clears under noise, so the gate pays the larger batch.
+throughput ~4×) was caught only because the BASELINE §5 probe happened
+to be re-run by hand. This gate makes that class mechanically
+unshippable, with two teeth:
 
-Degraded-host policy (r9, replacing the r8 loud skip): at sentinel
-drift d the healthy path reads ~918k/d rows/s and the regressed one
-~300k/d — the RATIO is drift-invariant, so a floor of ``FLOOR / d``
-separates the two classes at any drift, where a fixed floor becomes
-arithmetically unclearable above d ≈ 918/500 ≈ 1.8 (a first re-gate of
-round 8 failed spuriously at measured drift 2.33, and the r8 skip
-bound of 1.7 traded that for a 1.7–1.84 false-negative window where a
-genuine regression exited 0 ungraded). The scaled floor grades every
-window. Drift is the max of sentinel readings bracketing the attempts
-(the probe may hit a slow phase a single pre-read misses); it only
-ever LOWERS the floor (d < 1 clamps to 1 — a fast host must still
-clear the full floor). Every run appends a machine-readable record
-(best/floor/effective_floor/drift/verdict) to THROUGHPUT_GATE.json so
-degraded-window grades can be re-audited instead of forgotten
-(r8-advisor ask).
+1. STRUCTURAL (primary, deterministic): run one merge-sink apply_batch
+   over a 1M-row / 1k-key change batch with DataFrame.persist spied,
+   and assert every frame the sink persists is O(distinct keys), not
+   O(batch rows). This is the exact scale property the r7 bug broke —
+   the epoch's cached/shuffled footprint must be the collapsed frame —
+   and it is immune to host noise: the pre-fix tree fails it at ANY
+   drift, on ANY host. (r9 calibration measured why wall-clock alone
+   cannot be the primary check here: interleaved same-day runs gave
+   HEAD 293k-816k rows/s under HEALTHY sentinels and the pre-fix tree
+   122k-536k — the classes OVERLAP under this host's sentinel-blind
+   oscillation, so any fixed or drift-scaled floor either spuriously
+   fails HEAD or lets a warm regressed run through.)
 
-Decision arithmetic is in ``decide()`` — pytest pins the separation at
-the observed drift points (healthy 918k and regressed 281k at d=2.33,
-the exact window that used to skip/spurious-fail):
-tests/test_throughput_gate_decision.py.
+2. WALL-CLOCK floor (catastrophic catch): the 20M-row probe (sf0.1
+   events ×200) must clear ``FLOOR / max(drift, 1)`` rows/s on its best
+   of 3 attempts, sentinels warmed + min-of-3 (a cold-JVM sentinel
+   reads 4-12× and would collapse the effective floor — measured).
+   The drift scaling replaces r8's loud skip: the floor grades every
+   window instead of skipping the 1.7-1.84× band. Floor 250k: below
+   every healthy reading ever recorded (min 293k, degraded-window),
+   above the pre-fix tree's cold readings (122-226k) — it catches
+   order-of-magnitude breakage (a driver-side loop, a lost broadcast,
+   an accidental cartesian) while the structural check carries the
+   fine-grained separation.
+
+Every run appends a machine-readable record (best/floor/effective
+floor/drift/structural outcome/verdict) to THROUGHPUT_GATE.json so
+degraded-window grades can be re-audited (r8-advisor ask). Decision
+arithmetic is unit-pinned in tests/test_throughput_gate_decision.py;
+the structural property is ALSO a standing pytest
+(tests/test_merge_persist_footprint.py) so it runs in step 1 of the
+round gate too.
 
 Usage: python tools/throughput_gate.py [floor_rows_per_sec] [mult]
-Exit 0 = best attempt cleared the drift-scaled floor; exit 1 = below
-it (a regression at ANY measured drift).
+Exit 0 = structural pass AND floor cleared; exit 1 = either failed.
 """
 
 from __future__ import annotations
@@ -45,9 +51,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_FLOOR = 500_000.0
+DEFAULT_FLOOR = 250_000.0
 DEFAULT_MULT = 200
 ATTEMPTS = 3
+STRUCT_ROWS = 1_000_000
+STRUCT_KEYS = 1_000
 
 
 def decide(best_rps: float, floor: float, drift: float) -> tuple[bool, float]:
@@ -59,7 +67,45 @@ def decide(best_rps: float, floor: float, drift: float) -> tuple[bool, float]:
     return best_rps >= effective, effective
 
 
+def structural_check(spark, tmpdir: str) -> tuple[bool, list[int]]:
+    """Apply one REPLACE-engine batch (STRUCT_ROWS rows, STRUCT_KEYS
+    keys) with DataFrame.persist spied; pass iff every persisted frame
+    is O(keys). The pre-fix sink persists the raw batch (1M rows) and
+    fails deterministically. Returns (passed, persisted_row_counts)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from gravity_spark.sinks.parquet_merge import ParquetMergeTarget
+
+    persisted: list[DataFrame] = []
+    orig = DataFrame.persist
+
+    def spy(self, *a, **k):
+        persisted.append(self)
+        return orig(self, *a, **k)
+
+    target = ParquetMergeTarget(
+        spark, os.path.join(tmpdir, "struct_target"), ["k"], "k long, v long"
+    )
+    changes = spark.range(STRUCT_ROWS).selectExpr(
+        f"id % {STRUCT_KEYS} AS k",
+        "id AS v",
+        "'update' AS op",
+        "id AS seq",
+    )
+    DataFrame.persist = spy
+    try:
+        target.apply_batch(changes, epoch_id=1)
+    finally:
+        DataFrame.persist = orig
+    counts = [df.count() for df in persisted]
+    # tolerance 2x keys: the collapsed frame is exactly STRUCT_KEYS rows;
+    # anything near batch size is the regression
+    return all(c <= 2 * STRUCT_KEYS for c in counts) and counts != [], counts
+
+
 def main() -> int:
+    import tempfile
+
     from bench import EXPECTED_BASELINE_SEC, _sentinel_sec
     from gravity_spark.session import get_spark
     from tools.throughput_probe import run_probe
@@ -69,7 +115,23 @@ def main() -> int:
 
     spark = get_spark("throughput_gate")
     spark.sparkContext.setLogLevel("ERROR")
-    drifts = [_sentinel_sec(spark) / EXPECTED_BASELINE_SEC]
+    # warm the session before the first sentinel: a cold-JVM sentinel
+    # reads 4-12x its honest value (codegen compile), which through the
+    # drift-scaled floor would let ANY tree pass (measured: drift 11.9
+    # -> 42k effective floor on the negative control).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    with tempfile.TemporaryDirectory(prefix="tp_gate_") as td:
+        struct_ok, struct_counts = structural_check(spark, td)
+    print(
+        f"structural: persisted row counts {struct_counts} "
+        f"(bound {2 * STRUCT_KEYS}) -> {'pass' if struct_ok else 'FAIL'}",
+        flush=True,
+    )
+
+    drifts = [
+        min(_sentinel_sec(spark) for _ in range(3)) / EXPECTED_BASELINE_SEC
+    ]
     best = 0.0
     for i in range(ATTEMPTS):
         res = run_probe(spark, "/root/testdata/sf0.1", MULT)
@@ -82,11 +144,17 @@ def main() -> int:
         )
         if rps >= FLOOR:
             break  # full floor cleared — no more attempts needed
-        drifts.append(_sentinel_sec(spark) / EXPECTED_BASELINE_SEC)
+        drifts.append(
+            min(_sentinel_sec(spark) for _ in range(3)) / EXPECTED_BASELINE_SEC
+        )
     drift = max(drifts)
-    passed, effective = decide(best, FLOOR, drift)
+    floor_ok, effective = decide(best, FLOOR, drift)
+    passed = struct_ok and floor_ok
     record = {
-        "gate": "cdc_throughput_floor",
+        "gate": "cdc_apply_path",
+        "structural_pass": struct_ok,
+        "structural_persisted_rows": struct_counts,
+        "structural_bound": 2 * STRUCT_KEYS,
         "best_rows_per_sec": round(best),
         "floor": round(FLOOR),
         "effective_floor": round(effective),
@@ -100,7 +168,8 @@ def main() -> int:
     print(json.dumps(record))
     if passed:
         print(
-            f"THROUGHPUT GATE: pass ({best:,.0f} >= {effective:,.0f} rows/s"
+            f"THROUGHPUT GATE: pass (structural O(keys) footprint; "
+            f"{best:,.0f} >= {effective:,.0f} rows/s"
             + (
                 f"; floor drift-scaled {FLOOR:,.0f}/{drift:.2f}x)"
                 if effective < FLOOR
@@ -108,11 +177,18 @@ def main() -> int:
             )
         )
         return 0
-    print(
-        f"THROUGHPUT GATE: FAIL — best {best:,.0f} < drift-scaled floor "
-        f"{effective:,.0f} rows/s (raw floor {FLOOR:,.0f}, sentinel "
-        f"{drift:.2f}x) — a regression at any measured drift"
-    )
+    why = []
+    if not struct_ok:
+        why.append(
+            f"persisted footprint {struct_counts} exceeds O(keys) bound "
+            f"{2 * STRUCT_KEYS} — the r7 raw-persist regression class"
+        )
+    if not floor_ok:
+        why.append(
+            f"best {best:,.0f} < drift-scaled floor {effective:,.0f} rows/s "
+            f"(raw floor {FLOOR:,.0f}, sentinel {drift:.2f}x)"
+        )
+    print("THROUGHPUT GATE: FAIL — " + "; ".join(why))
     return 1
 
 
