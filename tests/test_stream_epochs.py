@@ -64,3 +64,11 @@ def test_cdc_pipeline_single_epoch(spark, sf_dir):
     # one parquet file, trigger once: the whole feed lands in one merge
     g = _geom(spark, sf_dir, "streaming_cdc_pipeline")
     assert g["data_batches"] == 1
+
+
+def test_scd2_maintain_exactly_two_epochs(spark, sf_dir):
+    # 2 seq-split files x maxFilesPerTrigger=1: the SCD2 maintenance is
+    # specifically a two-epoch history build (close-then-open per key
+    # across the seq midpoint), so the epoch count is semantic here too
+    g = _geom(spark, sf_dir, "streaming_scd2_maintain")
+    assert g["data_batches"] == 2
