@@ -224,6 +224,16 @@ class BenchEngine:
         self.errors: list[str] = []
         self.suspects: set[str] = set()
         self._current_drift = 1.0
+        # optional macro-sentinel sampling: the session-floor estimate
+        # is a MIN, so it only converges with enough samples — 4
+        # endpoint readings once all landed in slow moments (floor
+        # 1.451) while the run's raw total matched a clean session's,
+        # over-normalizing the record by 1.45x. In-run readings every
+        # ``macro_every`` queries (~4 extra over a full registry, ~3 s
+        # each) bound that estimator error.
+        self.macro_sentinel = None
+        self.macro_every = 60
+        self.macro_inrun: list[float] = []
 
     def _drifts(self, sec: float) -> tuple[float, float]:
         return (
@@ -316,6 +326,8 @@ class BenchEngine:
             q_idx += 1
             if q_idx % self.sentinel_every == 0:
                 self._take_sentinel(q_idx)
+            if self.macro_sentinel is not None and q_idx % self.macro_every == 0:
+                self.macro_inrun.append(round(self.macro_sentinel(), 3))
         self._take_sentinel(q_idx)  # closing sentinel
 
     def repass(self) -> None:
@@ -473,8 +485,10 @@ def main() -> None:
     eng = BenchEngine(
         run_query, lambda: _sentinel_sec(spark), baseline_raw, prior=prior
     )
+    eng.macro_sentinel = lambda: _macro_sentinel_sec(spark)
     eng.run(names)
     eng.repass()
+    macro_runs.extend(eng.macro_inrun)
     macro_runs.append(round(_macro_sentinel_sec(spark), 3))
     session_floor = min(macro_runs)
     # drift < 1 clamps to 1: a faster-than-band host must not inflate
