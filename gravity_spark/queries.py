@@ -8212,10 +8212,10 @@ def try_arithmetic_battery(spark, sf_dir):
       FROM lineitem
     )
     SELECT l_returnflag,
-           CAST(sum(cents) AS DECIMAL(28,0))       AS sum_cents,
-           min(cents)       AS min_cents,
-           max(cents)       AS max_cents,
-           CAST(sum(cents * qty) AS DECIMAL(33,0)) AS weighted_cents,
+           CAST(sum(cents) AS BIGINT)       AS sum_cents,
+           CAST(min(cents) AS BIGINT)       AS min_cents,
+           CAST(max(cents) AS BIGINT)       AS max_cents,
+           CAST(sum(cents * qty) AS BIGINT) AS weighted_cents,
            count(*)         AS n
     FROM d GROUP BY l_returnflag
     """,
@@ -8225,9 +8225,15 @@ def decimal_exact_battery(spark, sf_dir):
     scale-growing decimal product — bit-exact across engines because no
     float ever enters an accumulator (the TPC-H battery's bigint-cents
     trick, here on the DECIMAL surface itself: Spark's Decimal128 sums
-    are exact and overflow-checked at p=38). Python Decimal equality is
-    numeric, so engine-specific result scales (18,0 vs 38,0) compare
-    clean. One partial-agg + one exchange of 3 group states."""
+    are exact and overflow-checked at p=38). The GRADED surface is cast
+    to BIGINT on both engines (values bounded ~2.7e16 at sf100 —
+    int64-safe): the r9 driver window proved a DECIMAL output column
+    hashes differently through DuckDB's pandas path (float64) vs
+    Spark's Arrow path (object Decimal) even when every value is equal,
+    so only representation-stable types may reach the graded surface.
+    The Decimal128 partial aggregation that is this row's point is
+    unchanged — the cast happens after the agg. One partial-agg + one
+    exchange of 3 group states."""
     li = T(spark, sf_dir, "lineitem")
     cents = (
         F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").cast("decimal(18,0)")
@@ -8237,10 +8243,10 @@ def decimal_exact_battery(spark, sf_dir):
         li.select("l_returnflag", cents.alias("cents"), qty.alias("qty"))
         .groupBy("l_returnflag")
         .agg(
-            F.sum("cents").alias("sum_cents"),
-            F.min("cents").alias("min_cents"),
-            F.max("cents").alias("max_cents"),
-            F.sum(F.col("cents") * F.col("qty")).alias("weighted_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum(F.col("cents") * F.col("qty")).cast("bigint").alias("weighted_cents"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -11396,10 +11402,23 @@ def embedding_pca_project(spark, sf_dir):
     (functions/similarity.py::pca_fit). Projection is JVM-only
     zip_with/aggregate folds against one broadcast constants row
     (::pca_project). Non-SQL-expressible (eigendecomposition) →
-    rows-only; the numpy cross-check lives in tests/test_pca.py."""
+    rows-only; the numpy cross-check lives in tests/test_pca.py.
+
+    Graded surface is SCALAR-ONLY (r9 driver ERR fix): the driver's
+    canonicalizer pandas-sorts every output column and raises
+    `TypeError: unhashable type: 'list'` on array columns, so the
+    projection array is exploded to p1..p8 double columns (rounded at
+    6 inside pca_project) + recon_err. Same values, same rounding —
+    only the container changed."""
     emb = T(spark, sf_dir, "embeddings")
     mean, comps, _ = sim.pca_fit(emb, k=8, dim=64)
-    return sim.pca_project(emb, mean, comps)
+    out = sim.pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        "label",
+        *[F.col("proj")[i].alias(f"p{i + 1}") for i in range(8)],
+        "recon_err",
+    )
 
 
 @register(

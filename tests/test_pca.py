@@ -33,12 +33,17 @@ def _numpy_reference(sf_dir, k=8):
 
 def test_pca_matches_numpy(spark, sf_dir):
     df = REGISTRY["embedding_pca_project"].spark(spark, sf_dir)
+    # graded surface is scalar p1..p8 (driver canonicalizer can't sort
+    # array columns) — also assert no array/map/struct column leaks back
+    for f in df.schema.fields:
+        assert f.dataType.simpleString() in ("bigint", "string", "double"), f
     rows = {r.vec_id: r for r in df.collect()}
     ids, proj, err = _numpy_reference(sf_dir)
     assert len(rows) == len(ids)
     for i, vid in enumerate(ids):
         r = rows[int(vid)]
-        assert np.allclose(r.proj, proj[i], atol=1e-5)
+        got = [getattr(r, f"p{j + 1}") for j in range(8)]
+        assert np.allclose(got, proj[i], atol=1e-5)
         assert abs(r.recon_err - err[i]) < 1e-4
         assert r.recon_err >= -1e-9  # orthonormal W => non-negative
 
@@ -56,8 +61,6 @@ def test_pca_fit_components_orthonormal(spark, sf_dir):
 
 def test_pca_deterministic_across_runs(spark, sf_dir):
     q = REGISTRY["embedding_pca_project"].spark
-    a = sorted(map(tuple, ((r.vec_id, tuple(r.proj), r.recon_err)
-                           for r in q(spark, sf_dir).collect())))
-    b = sorted(map(tuple, ((r.vec_id, tuple(r.proj), r.recon_err)
-                           for r in q(spark, sf_dir).collect())))
+    a = sorted(map(tuple, (tuple(r) for r in q(spark, sf_dir).collect())))
+    b = sorted(map(tuple, (tuple(r) for r in q(spark, sf_dir).collect())))
     assert a == b
