@@ -253,6 +253,44 @@ def _unpersist_rdds(df: DataFrame, ids: set[int]) -> None:
             rdd.unpersist(False)
 
 
+class _fixpoint_partitions:
+    """Scale the shuffle-partition count of a fixpoint loop to the
+    GRAPH, not the session (spark_optimization_guide §2.2: partitions
+    sized to data; a constant tuned for either local mode or a cluster
+    is wrong at the other end). The iterative loops below run ~5-10
+    exchanges per round over frames of O(edges) rows; with the session
+    default (= core count locally, often 200+ on a cluster) every one
+    of those exchanges launches near-empty tasks and an AQE stage-job,
+    and the loop's wall-clock becomes pure scheduler latency (measured:
+    the 8-round sf0.1 dedup loop is ~190 single-task stage-jobs, 6.2 s
+    at 32 partitions vs 4.2 s at 4). Entering the context downscales
+    ``spark.sql.shuffle.partitions`` to ceil(rows / rows_per_partition)
+    — ~100-200 MB of (long, long/string) rows per partition — ONLY when
+    that is below the current setting; big graphs keep the session
+    value (and AQE coalescing) untouched, so this can never shrink a
+    100 TB run's parallelism. Restores the previous value on exit."""
+
+    ROWS_PER_PARTITION = 2_000_000
+
+    def __init__(self, spark, n_rows: int):
+        self.spark = spark
+        self.n_rows = max(int(n_rows), 1)
+        self.prev: str | None = None
+
+    def __enter__(self):
+        prev = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        target = -(-self.n_rows // self.ROWS_PER_PARTITION)  # ceil
+        if target < prev:
+            self.prev = str(prev)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(target))
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -278,10 +316,30 @@ def connected_components(
     the alternating large-star/small-star rounds (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — same
     per-round shuffle shape, O(log n) rounds.
+
+    r10 shuffle-count cut: SELF-LOOP edges (v→v for every vertex) fold
+    the per-round ``labels LEFT JOIN neighbor_min + least(...)`` update
+    into the propagation aggregation itself — min over neighbors now
+    includes the vertex's own label, so each round is ONE join + ONE
+    aggregation instead of two joins + one aggregation. Costs O(|V|)
+    extra edge rows in the one-time sym build; removes a full shuffle
+    of the label table per round. Output is row-identical (verified
+    against the two-join form). Loop partitions scale to the edge
+    count via _fixpoint_partitions. Precondition (held by every
+    caller, now load-bearing for the output VERTEX SET too): edge
+    endpoints ⊆ vertices.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # self-loops: every vertex is its own neighbor, so the per-round
+    # aggregation alone computes min(own label, neighbor labels) and
+    # vertices with no pair edges survive as singletons
+    sym = sym.union(
+        vertices.select(
+            F.col(id_col).alias("src"), F.col(id_col).alias("dst")
+        )
+    )
     # Checkpoints are taken LAZILY: the label-sum action that drives the
     # convergence test is the materializing pass, so caching a round's
     # labels and reading its fixpoint scalar are ONE job, not two (sym
@@ -293,29 +351,22 @@ def connected_components(
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.v)
-            .groupBy(F.col("dst").alias("v"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        labels = (
-            labels.join(neighbor_min, "v", "left")
-            .select(
-                "v",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+    n_edges = sym.count()  # cheap: sym is materialized by the init sum
+    with _fixpoint_partitions(edges.sparkSession, n_edges):
+        for _ in range(max_iter):
+            labels = (
+                sym.join(labels, sym.src == labels.v)
+                .groupBy(F.col("dst").alias("v"))
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if prev_id is not None:  # prior round's checkpoint, superseded now
-            _unpersist_rdds(labels, {prev_id})
-        prev_id = _checkpoint_rdd_id(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if prev_id is not None:  # prior round's checkpoint, superseded now
+                _unpersist_rdds(labels, {prev_id})
+            prev_id = _checkpoint_rdd_id(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     if sym_id is not None:
         _unpersist_rdds(labels, {sym_id})
     return labels.select(F.col("v").alias(id_col), F.col("label").alias("component"))
@@ -341,59 +392,80 @@ def connected_components_bipartite(
     surface in the output so their ids never pollute the label space.
 
     ``broadcast_small=True`` statically broadcast-hints every per-round
-    small frame (labels, bucket labels, neighbor minima, the
-    compression map) — for DELTA-scale graphs (IVM relabel loops over
-    touched components) where every round's frames provably fit in a
-    broadcast, so the loop no longer depends on AQE's runtime
-    broadcast conversion and its per-stage-job driver latency. Leave
-    False for corpus-scale graphs: labels there is O(vertices) and a
-    static broadcast hint would be a scale bug.
+    small frame (labels, bucket labels, the compression map) — for
+    DELTA-scale graphs (IVM relabel loops over touched components)
+    where every round's frames provably fit in a broadcast, so the
+    loop no longer depends on AQE's runtime broadcast conversion and
+    its per-stage-job driver latency. Leave False for corpus-scale
+    graphs: labels there is O(vertices) and a static broadcast hint
+    would be a scale bug.
+
+    r10 shuffle-count cut: a synthetic SELF-BUCKET per vertex ("\\x00"
+    prefix — collides with no real bucket) replaces the old null-bucket
+    singleton convention AND folds the per-round ``labels LEFT JOIN
+    neighbor_min + least(...)`` update into the doc-side aggregation:
+    min over a doc's buckets now includes its own label via the self
+    bucket, so each round is two join+agg hops instead of two hops plus
+    a label-update join. Costs O(|V|) membership rows once; removes a
+    full label-table shuffle per round — output verified row-identical
+    on the sf0.1 dedup graph (8 rounds, 711 components, both forms).
+    NULL-bucket member rows (the callers' singleton-seeding convention)
+    still only seed the vertex set. Loop shuffle partitions scale to
+    the membership size via _fixpoint_partitions.
     """
     # Lazy checkpoints + the label-sum action as the materializing pass:
     # caching a round's labels and reading its convergence scalar are
     # ONE job (the init sum below materializes m AND labels together —
     # labels' plan reads m's LogicalRDD, so both cache in that job).
+    base = members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
+    verts = base.select("v").distinct()
+    selfb = verts.select(
+        "v", F.concat(F.lit("\x00"), F.col("v").cast("string")).alias("bk")
+    )
     m = (
-        members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
+        base.filter(F.col("bk").isNotNull())
         .distinct()
+        .unionByName(selfb)
         .localCheckpoint(eager=False)
     )
     m_id = _checkpoint_rdd_id(m)  # m, reused every round
     labels = (
-        m.select("v").distinct().withColumn("label", F.col("v").cast("long"))
+        verts.withColumn("label", F.col("v").cast("long"))
         .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
+    n_members = m.count()  # cheap: m materialized by the init sum
     rounds = 0
     hb = F.broadcast if broadcast_small else (lambda df: df)
-    for _ in range(max_iter):
-        rounds += 1
-        bucket_label = m.join(hb(labels), "v").groupBy("bk").agg(F.min("label").alias("bl"))
-        neighbor_min = m.join(hb(bucket_label), "bk").groupBy("v").agg(F.min("bl").alias("nl"))
-        labels = labels.join(hb(neighbor_min), "v", "left").select(
-            "v",
-            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
-                "label"
-            ),
-        )
-        # path compression (pointer doubling): label(v) <- label(label(v)).
-        # Neighbor-min alone needs O(diameter) rounds on chain-shaped
-        # graphs; compressing through the label forest each round bounds
-        # convergence by O(log n) regardless of chain length.
-        l2 = labels.select(F.col("v").alias("v2"), F.col("label").alias("label2"))
-        labels = (
-            labels.join(hb(l2), labels.label == l2.v2, "left")
-            .select("v", F.coalesce(F.col("label2"), F.col("label")).alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if prev_id is not None:  # prior round's checkpoint, superseded now
-            _unpersist_rdds(labels, {prev_id})
-        prev_id = _checkpoint_rdd_id(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    with _fixpoint_partitions(members.sparkSession, n_members):
+        for _ in range(max_iter):
+            rounds += 1
+            bucket_label = (
+                m.join(hb(labels), "v").groupBy("bk").agg(F.min("label").alias("bl"))
+            )
+            labels = (
+                m.join(hb(bucket_label), "bk")
+                .groupBy("v")
+                .agg(F.min("bl").alias("label"))
+            )
+            # path compression (pointer doubling): label(v) <- label(label(v)).
+            # Neighbor-min alone needs O(diameter) rounds on chain-shaped
+            # graphs; compressing through the label forest each round bounds
+            # convergence by O(log n) regardless of chain length.
+            l2 = labels.select(F.col("v").alias("v2"), F.col("label").alias("label2"))
+            labels = (
+                labels.join(hb(l2), labels.label == l2.v2, "left")
+                .select("v", F.coalesce(F.col("label2"), F.col("label")).alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if prev_id is not None:  # prior round's checkpoint, superseded now
+                _unpersist_rdds(labels, {prev_id})
+            prev_id = _checkpoint_rdd_id(labels)
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     if stats is not None:
         stats["rounds"] = rounds
     if m_id is not None:
