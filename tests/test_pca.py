@@ -36,7 +36,7 @@ def test_pca_matches_numpy(spark, sf_dir):
     # graded surface is scalar p1..p8 (driver canonicalizer can't sort
     # array columns) — also assert no array/map/struct column leaks back
     for f in df.schema.fields:
-        assert f.dataType.simpleString() in ("bigint", "string", "double"), f
+        assert f.dataType.simpleString() in ("int", "bigint", "string", "double"), f
     rows = {r.vec_id: r for r in df.collect()}
     ids, proj, err = _numpy_reference(sf_dir)
     assert len(rows) == len(ids)
