@@ -100,30 +100,37 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 30) -> tuple[DataFrame, in
     so blocks persisted concurrently by another query sharing the
     session are untouchable — and a long peel holds ONE edge-list copy
     in executor storage."""
-    from gravity_spark.functions.dedup import _checkpoint_rdd_id, _unpersist_rdds
+    from gravity_spark.functions.dedup import (
+        _checkpoint_rdd_id,
+        _fixpoint_partitions,
+        _unpersist_rdds,
+    )
 
     edges = edges.select("u", "v").localCheckpoint()
     prev_id = _checkpoint_rdd_id(edges)
     n_prev = edges.count()
     rounds = 0
-    while rounds < max_rounds:
-        deg = degrees(edges)
-        keep = deg.filter(F.col("d") >= k).select("x")
-        pruned = (
-            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
-        rounds += 1
-        n_new = pruned.count()  # materializes the lazy checkpoint
-        if prev_id is not None:  # pruned is materialized — free prior round
-            _unpersist_rdds(pruned, {prev_id})
-        prev_id = _checkpoint_rdd_id(pruned)
-        edges = pruned
-        if n_new == n_prev or n_new == 0:  # fixpoint (or empty core)
-            return edges, rounds
-        n_prev = n_new
+    # loop shuffle partitions scale to the edge count (see
+    # _fixpoint_partitions: a downsize-only, size-derived scope)
+    with _fixpoint_partitions(edges.sparkSession, n_prev):
+        while rounds < max_rounds:
+            deg = degrees(edges)
+            keep = deg.filter(F.col("d") >= k).select("x")
+            pruned = (
+                edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+                .select("u", "v")
+                .localCheckpoint(eager=False)
+            )
+            rounds += 1
+            n_new = pruned.count()  # materializes the lazy checkpoint
+            if prev_id is not None:  # pruned is materialized — free prior round
+                _unpersist_rdds(pruned, {prev_id})
+            prev_id = _checkpoint_rdd_id(pruned)
+            edges = pruned
+            if n_new == n_prev or n_new == 0:  # fixpoint (or empty core)
+                return edges, rounds
+            n_prev = n_new
     return edges, rounds
 
 

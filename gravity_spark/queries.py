@@ -12123,7 +12123,11 @@ def graph_label_propagation(spark, sf_dir):
         .filter(F.col("n") >= 2)
         .select("u", "v")
     )
-    from gravity_spark.functions.dedup import _checkpoint_rdd_id, _unpersist_rdds
+    from gravity_spark.functions.dedup import (
+        _checkpoint_rdd_id,
+        _fixpoint_partitions,
+        _unpersist_rdds,
+    )
 
     sym = (
         e0.select(F.col("u").alias("s"), F.col("v").alias("d"))
@@ -12137,21 +12141,25 @@ def graph_label_propagation(spark, sf_dir):
     )
     prev_id = None
     w = Window.partitionBy("v").orderBy(F.col("cnt").desc(), F.col("lbl"))
-    for _ in range(3):
-        cnt = (
-            sym.join(labels, sym.s == labels.lv)
-            .groupBy(F.col("d").alias("v"), "lbl")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("v").alias("lv"), "lbl")
-            .localCheckpoint(eager=True)
-        )
-        if prev_id is not None:  # superseded round's checkpoint
-            _unpersist_rdds(labels, {prev_id})
-        prev_id = _checkpoint_rdd_id(labels)
+    # loop shuffle partitions scale to the edge count (downsize-only;
+    # see _fixpoint_partitions) — sym is already materialized, so the
+    # count is a cached-read job
+    with _fixpoint_partitions(spark, sym.count()):
+        for _ in range(3):
+            cnt = (
+                sym.join(labels, sym.s == labels.lv)
+                .groupBy(F.col("d").alias("v"), "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("v").alias("lv"), "lbl")
+                .localCheckpoint(eager=True)
+            )
+            if prev_id is not None:  # superseded round's checkpoint
+                _unpersist_rdds(labels, {prev_id})
+            prev_id = _checkpoint_rdd_id(labels)
     # final labels are an eager checkpoint — the edge list is no longer
     # needed by the returned plan
     if sym_id is not None:
@@ -14687,37 +14695,69 @@ def embedding_truncation_recall(spark, sf_dir):
 
     Scale shape: probes are a fixed hash-stride sample (every 25th
     id); candidate volume is |probes|×|corpus| with all four truncated
-    distances computed in ONE pass over the pair stream (the slices
-    reuse the same array), then one probe-keyed aggregation. At 100 TB
-    the probe sample stays constant-size and the corpus side streams —
-    same discipline as sim_bruteforce_topk's graded baseline."""
+    distances computed per corpus batch, then one probe-keyed
+    aggregation of per-batch top-1 PARTIALS. At 100 TB the probe
+    sample stays constant-size and the corpus side streams — same
+    discipline as sim_bruteforce_topk's graded baseline.
+
+    r10 (guide §4.2): the pair scoring runs as numpy per Arrow batch
+    instead of an interpreted zip_with + four slice-fold HOFs over the
+    materialized pair stream (~1M pairs × 64 interpreted element ops).
+    Distances use the exact integer Gram expansion ‖x‖²+‖p‖²−2x·p with
+    prefix-incremental width blocks (values ≤ 2.6e14 — int64-exact, no
+    n×p×d tensor); each batch emits one (probe, best-(d, v)) partial
+    per width, min-merged by the same Spark struct-min as before —
+    lexicographic (dist, vec_id), so ties break identically and the
+    result is bit-equal to the HOF form (verified at sf0.01/sf0.1)."""
+    import numpy as np
+    import pandas as pd
+
     emb = T(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id", sim.scale_embedding(F.col("embedding")).alias("xi")
     )
-    probes = e.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("xi").alias("pxi")
+    probe_rows = (
+        e.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").collect()
     )
-    pairs = e.crossJoin(F.broadcast(probes)).filter(
-        F.col("vec_id") != F.col("probe_id")
-    ).withColumn(
-        # ONE elementwise squared-diff pass shared by all four widths —
-        # per-width distances are then prefix folds over slices of it
-        # (4x fewer HOF element ops than four zip_with passes)
-        "sq", F.zip_with("xi", "pxi", lambda x, y: (x - y) * (x - y))
+    p_ids = np.array([int(r["vec_id"]) for r in probe_rows], dtype=np.int64)
+    P = np.array([list(r["xi"]) for r in probe_rows], dtype=np.int64)
+    dims = list(_TRUNC_DIMS)
+    SENTINEL = np.int64(2**62)
+
+    def _partials(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array([np.asarray(v, dtype=np.int64) for v in pdf["xi"]])
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"probe_id": p_ids}
+            gram = np.zeros((len(X), len(P)), dtype=np.int64)
+            lo = 0
+            for d in dims:
+                gram = gram + X[:, lo:d] @ P[:, lo:d].T
+                sqx = (X[:, :d].astype(np.int64) ** 2).sum(axis=1)
+                sqp = (P[:, :d].astype(np.int64) ** 2).sum(axis=1)
+                dist = sqx[:, None] + sqp[None, :] - 2 * gram
+                # exclude the probe row itself (vec_id == probe_id)
+                dist = np.where(vid[:, None] == p_ids[None, :], SENTINEL, dist)
+                dmin = dist.min(axis=0)
+                # tie-break: smallest vec_id among rows hitting dmin —
+                # the lexicographic struct-min rule
+                vbest = np.where(dist == dmin[None, :], vid[:, None], SENTINEL).min(
+                    axis=0
+                )
+                out[f"d{d}"] = dmin
+                out[f"v{d}"] = vbest
+                lo = d
+            yield pd.DataFrame(out)
+
+    schema = "probe_id long, " + ", ".join(
+        f"d{d} long, v{d} long" for d in dims
     )
-    for d in _TRUNC_DIMS:
-        pairs = pairs.withColumn(
-            f"d{d}",
-            F.aggregate(
-                F.slice(F.col("sq"), 1, d),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-    top = pairs.groupBy("probe_id").agg(
+    partials = e.mapInPandas(_partials, schema)
+    top = partials.groupBy("probe_id").agg(
         *[
-            F.min(F.struct(F.col(f"d{d}").alias("d"), F.col("vec_id").alias("v")))
+            F.min(F.struct(F.col(f"d{d}").alias("d"), F.col(f"v{d}").alias("v")))
             .alias(f"t{d}")
             for d in _TRUNC_DIMS
         ]
