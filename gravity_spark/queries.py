@@ -9292,6 +9292,38 @@ def hll_distinct_portable(spark, sf_dir):
     )
 
 
+def _copurchase_edges(li, min_support: int = 2):
+    """Support-filtered co-purchase pair counts (u < v, one row per
+    pair with multiplicity m) from a (l_orderkey, l_partkey)
+    projection — the shared edge generator for the graph battery and
+    market-basket rules.
+
+    r10 (guide §2.2): per-order sorted part arrays exploded into
+    in-order pairs replace the lineitem self-join — lineitem shuffles
+    ONCE (groupBy order) instead of twice (both join sides), and the
+    pair stream is generated in-task from each order's array. Pair
+    multiplicity is identical to the join form (cnt_o(u)·cnt_o(v)):
+    positions i<j over the sorted array with ps[i] < ps[j] enumerate
+    exactly the a.partkey < b.partkey join pairs, duplicates included.
+    Quadratic only within an order (≤7 line items). Set-identical
+    verified against the join form at sf0.1 (exceptAll both ways = 0);
+    measured 2.08 → 0.99 s isolated on the support-2 graph."""
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("ps")
+    )
+    return (
+        arr.select(F.col("ps"), F.posexplode("ps").alias("i", "u"))
+        .select(
+            "u",
+            F.explode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= min_support)
+    )
+
+
 @register(
     "graph_triangle_count",
     """
@@ -9328,18 +9360,7 @@ def graph_triangle_count(spark, sf_dir):
     from gravity_spark.functions import graph as G
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    ).persist()
+    e0 = _copurchase_edges(li).select("u", "v").persist()
     tri = G.triangle_count(e0)
     edges = e0.agg(F.count(F.lit(1)).alias("n_edges"))
     return tri.crossJoin(F.broadcast(edges))
@@ -9411,17 +9432,8 @@ def graph_kcore_peel(spark, sf_dir):
     from gravity_spark.functions import graph as G
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
+        _copurchase_edges(li).select("u", "v")
     ).localCheckpoint()  # eager: truncates lineage — each round's plan
     # references the edge list twice (degrees + semi-join probe), so an
     # un-truncated chain doubles the optimizer's tree per round
@@ -9462,18 +9474,7 @@ def graph_kcore_fixpoint(spark, sf_dir):
     from gravity_spark.functions import graph as G
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li).select("u", "v")
     # cap == oracle unroll depth: even if a pathological graph hasn't
     # converged by round 10, both engines have then run the same rounds
     core, _rounds = G.kcore(edges, _KCORE_K, max_rounds=_KCORE_FIX_ROUNDS)
@@ -9897,18 +9898,15 @@ def market_basket_rules(spark, sf_dir):
     Scale shape: the pair generation is quadratic only within an order
     (≤7 items); item counts and the order total are one agg each, the
     total a 1-row broadcast; the support-≥2 floor keeps the rule table
-    sparse as order volume grows."""
+    sparse as order volume grows. The co-occurrence count is SYMMETRIC
+    (m(u,v) = Σ_o cnt_o(u)·cnt_o(v) = m(v,u)), so the generator joins
+    and aggregates only the u < v half and mirrors the aggregated rule
+    table — half the join output and half the pair-agg shuffle for the
+    identical directed result (r10, guide §2.2)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
+    half = _copurchase_edges(li)
+    pairs = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "m")
     )
     items = li.groupBy(F.col("l_partkey").alias("item")).agg(
         F.countDistinct("l_orderkey").alias("n")
@@ -10376,18 +10374,7 @@ def graph_link_prediction(spark, sf_dir):
     agg broadcast-joined back. The common ≥ 2 floor keeps the output a
     shortlist as the graph grows."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") >= 2)
-        .select("u", "v")
-    ).persist()
+    e0 = _copurchase_edges(li).select("u", "v").persist()
     sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     s1, s2 = sym.alias("s1"), sym.alias("s2")
@@ -11704,67 +11691,77 @@ def orders_open_backlog(spark, sf_dir):
     )
 
 
-def weighted_median_groups(
-    t: DataFrame, stats: dict | None = None, k_fn=None
-) -> list[tuple]:
-    """Exact per-group weighted quantile by iterated histogram descent.
+def weighted_quantiles_groups(
+    t: DataFrame, k_fns: list, stats: dict | None = None
+) -> list[list[tuple]]:
+    """Exact per-group weighted quantiles by iterated histogram descent,
+    ALL ranks descending in the same job each round.
 
     ``t`` must have columns (flag, c, w) with integer c (value) and w
-    (weight). Returns [(flag, total_weight, value_c), ...] sorted by
-    flag, where value_c is the smallest c whose cumulative weight
-    reaches ``k_fn(total_weight)`` (default: the weighted median rank
-    (tot+1)//2 — pass e.g. ``lambda tot: (tot*95 + 99) // 100`` for the
-    lower p95). Pass a ``stats`` dict to receive {"rounds",
-    "driver_rows"} — the scale probe (tools/descent_scale_probe.py)
-    instruments THIS function, so the measured evidence covers the
-    production shape. Each round ships ≤1024 rows per live group to the
-    driver; rounds are bounded by ⌈log₁₀₂₄(value range)⌉, independent
-    of row count."""
-    if k_fn is None:
-        k_fn = lambda tot: (tot + 1) // 2  # noqa: E731
+    (weight). For each rank function in ``k_fns`` returns
+    [(flag, total_weight, value_c), ...] sorted by flag, where value_c
+    is the smallest c whose cumulative weight reaches
+    ``k_fn(total_weight)``. Multi-rank callers (p05+p95, p50+p90) pay
+    ONE bounds job and ONE filtered aggregation per round instead of
+    per rank per round: each row is exploded with a rank index qi (the
+    scanned aggregate is tiny — (flag, value) cardinality, not facts)
+    and the descent state is keyed by (flag, qi), so diverging windows
+    for different ranks of the same flag still bin in the same scan.
+    Rounds stay bounded by ⌈log₁₀₂₄(value range)⌉, independent of row
+    count; each round ships ≤1024 rows per live (flag, rank) to the
+    driver."""
+    nq = len(k_fns)
     first = t.groupBy("flag").agg(
         F.sum("w").alias("tot"), F.min("c").alias("lo"), F.max("c").alias("hi")
     ).collect()
-    state = {r["flag"]: [r["lo"], r["hi"] + 1, k_fn(r["tot"])] for r in first}
+    state = {
+        (r["flag"], i): [r["lo"], r["hi"] + 1, k_fns[i](r["tot"])]
+        for r in first
+        for i in range(nq)
+    }
     tots = {r["flag"]: r["tot"] for r in first}
+    t2 = t.select(
+        "flag", "c", "w",
+        F.explode(F.array(*[F.lit(i) for i in range(nq)])).alias("qi"),
+    )
     rounds, driver_rows = 0, len(first)
-    # every group descends in the SAME job each round: a when-chain
-    # maps each flag to its current [lo, width), so rounds (≤3), not
-    # groups × rounds, bound the number of scans
+    # every (group, rank) descends in the SAME job each round: a
+    # when-chain maps each (flag, qi) to its current [lo, width), so
+    # rounds (≤3), not groups × ranks × rounds, bound the scans
     while any(hi - lo > 1 for lo, hi, _ in state.values()):
         rounds += 1
-        live = {f: s for f, s in state.items() if s[1] - s[0] > 1}
+        live = {fq: s for fq, s in state.items() if s[1] - s[0] > 1}
         widths = {
-            f: max(1, (hi - lo + 1023) // 1024) for f, (lo, hi, _) in live.items()
+            fq: max(1, (hi - lo + 1023) // 1024)
+            for fq, (lo, hi, _) in live.items()
         }
         in_range = None
         bin_expr = None
-        for f, (lo, hi, _) in live.items():
-            cond = (F.col("flag") == f) & (F.col("c") >= lo) & (F.col("c") < hi)
+        for (f, qi), (lo, hi, _) in live.items():
+            key = (F.col("flag") == f) & (F.col("qi") == qi)
+            cond = key & (F.col("c") >= lo) & (F.col("c") < hi)
             in_range = cond if in_range is None else (in_range | cond)
-            be = ((F.col("c") - lo) / widths[f]).cast("long")
+            be = ((F.col("c") - lo) / widths[(f, qi)]).cast("long")
             bin_expr = (
-                F.when(F.col("flag") == f, be)
-                if bin_expr is None
-                else bin_expr.when(F.col("flag") == f, be)
+                F.when(key, be) if bin_expr is None else bin_expr.when(key, be)
             )
         hists = (
-            t.filter(in_range)
-            .groupBy("flag", bin_expr.alias("b"))
+            t2.filter(in_range)
+            .groupBy("flag", "qi", bin_expr.alias("b"))
             .agg(F.sum("w").alias("sw"))
             .collect()
         )
         driver_rows += len(hists)
-        by_flag: dict = {}
+        by_key: dict = {}
         for r in hists:
-            by_flag.setdefault(r["flag"], []).append((r["b"], r["sw"]))
-        for f, (lo, hi, k) in live.items():
+            by_key.setdefault((r["flag"], r["qi"]), []).append((r["b"], r["sw"]))
+        for fq, (lo, hi, k) in live.items():
             cum = 0
-            for b, sw in sorted(by_flag.get(f, [])):
+            for b, sw in sorted(by_key.get(fq, [])):
                 if cum + sw >= k:
-                    state[f] = [
-                        lo + b * widths[f],
-                        min(hi, lo + (b + 1) * widths[f]),
+                    state[fq] = [
+                        lo + b * widths[fq],
+                        min(hi, lo + (b + 1) * widths[fq]),
                         k - cum,
                     ]
                     break
@@ -11772,7 +11769,24 @@ def weighted_median_groups(
     if stats is not None:
         stats["rounds"] = rounds
         stats["driver_rows"] = driver_rows
-    return [(f, tots[f], state[f][0]) for f in sorted(state)]
+    return [
+        [(f, tots[f], state[(f, i)][0]) for f in sorted(tots)]
+        for i in range(nq)
+    ]
+
+
+def weighted_median_groups(
+    t: DataFrame, stats: dict | None = None, k_fn=None
+) -> list[tuple]:
+    """Exact per-group weighted quantile by iterated histogram descent
+    — single-rank wrapper over `weighted_quantiles_groups` (the scale
+    probe, tools/descent_scale_probe.py, instruments this entry point;
+    delegation keeps the measured shape the production one). Default
+    rank is the weighted median (tot+1)//2 — pass e.g.
+    ``lambda tot: (tot*95 + 99) // 100`` for the lower p95."""
+    if k_fn is None:
+        k_fn = lambda tot: (tot + 1) // 2  # noqa: E731
+    return weighted_quantiles_groups(t, [k_fn], stats)[0]
 
 
 @register(
@@ -12109,20 +12123,7 @@ def graph_label_propagation(spark, sf_dir):
     the support-≥2 co-purchase join (quadratic only within an order's
     ≤7 line items)."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    e0 = _copurchase_edges(li).select("u", "v")
     from gravity_spark.functions.dedup import (
         _checkpoint_rdd_id,
         _fixpoint_partitions,
@@ -13619,15 +13620,16 @@ def orders_winsorized_stats(spark, sf_dir):
     )
     g = t.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("w")).persist()
     try:
-        p05 = {
-            f: v
-            for f, _, v in weighted_median_groups(
-                g, k_fn=lambda tot: (5 * tot + 99) // 100
-            )
-        }
-        p95rows = weighted_median_groups(
-            g, k_fn=lambda tot: (95 * tot + 99) // 100
+        # both ranks descend in one shared job per round (r10: halves
+        # the descent's driver-latency job count vs two separate calls)
+        p05rows, p95rows = weighted_quantiles_groups(
+            g,
+            [
+                lambda tot: (5 * tot + 99) // 100,
+                lambda tot: (95 * tot + 99) // 100,
+            ],
         )
+        p05 = {f: v for f, _, v in p05rows}
     finally:
         g.unpersist()
     p95 = {f: v for f, _, v in p95rows}
@@ -15745,9 +15747,10 @@ def shipping_cycle_percentiles(spark, sf_dir):
     )
     g = t.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("w")).persist()
     try:
-        p50 = weighted_median_groups(g)  # default (tot+1)//2
-        p90 = weighted_median_groups(
-            g, k_fn=lambda tot: (9 * tot + 9) // 10
+        # one shared descent job per round for both ranks (r10)
+        p50, p90 = weighted_quantiles_groups(
+            g,
+            [lambda tot: (tot + 1) // 2, lambda tot: (9 * tot + 9) // 10],
         )
     finally:
         g.unpersist()
