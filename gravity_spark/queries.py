@@ -8556,10 +8556,20 @@ def minhash_estimate_error(spark, sf_dir):
     pipeline runs before trusting a signature config at corpus scale.
 
     Scale shape: candidates come from the banded equi-join (never
-    all-pairs); the exact intersection is a token equi-join confined to
-    candidate pairs; every division is exact integer arithmetic
+    all-pairs); the exact intersection is an array_intersect confined
+    to candidate pairs; every division is exact integer arithmetic
     (floor-div in both engines). Signature table is computed once and
-    persisted — three reuses (bands, est join ×2)."""
+    persisted — three reuses (bands, side join ×2).
+
+    r10 (guide §2.3, §3.1): ONE per-doc side table (signature columns
+    + distinct-token array + token count) attaches to the pair set
+    with two doc-keyed joins, and estimate, exact intersection and
+    sizes are all computed from those two rows — the old shape paid
+    six pair/doc-keyed joins plus a token-explode equi-join and a
+    pair-keyed re-join (est ⋈ inter ⋈ sizes ×2).
+    size(array_intersect) over distinct-token arrays equals the old
+    matched-token count; pairs with an empty intersection are filtered
+    to mirror the old inner est⋈inter join."""
     sig = _sig_df(spark, sf_dir).persist()
     bands, width = _MINHASH_BANDS, _NUM_MINHASH // _MINHASH_BANDS
     band_structs = F.array(
@@ -8593,45 +8603,41 @@ def minhash_estimate_error(spark, sf_dir):
         # lesson, PLANS.md)
         .persist()
     )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
+    )
+    side = sig.join(toks, "doc_id").withColumn("nt", F.size("toks"))
+    sa = side.alias("sa")
+    sb = side.alias("sb")
     agree = sum(
         F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
         for i in range(_NUM_MINHASH)
     )
-    est = (
+    scored = (
         pairs.join(sa, F.col("sa.doc_id") == F.col("id_a"))
         .join(sb, F.col("sb.doc_id") == F.col("id_b"))
-        .select("id_a", "id_b", agree.cast("long").alias("est16"))
-    )
-    docs = T(spark, sf_dir, "documents")
-    tok2 = docs.select(
-        "doc_id", F.explode(F.array_distinct(tx.tokenize(F.col("text")))).alias("t")
-    ).persist()  # three reads: sizes + both sides of the intersection
-    sizes = tok2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
-    ta, tb = tok2.alias("ta"), tok2.alias("tb")
-    inter = (
-        pairs.join(ta, F.col("ta.doc_id") == F.col("id_a"))
-        .join(tb, (F.col("tb.doc_id") == F.col("id_b")) & (F.col("tb.t") == F.col("ta.t")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    uni = F.col("za.nt") + F.col("zb.nt") - F.col("n_inter")
-    est_milli = F.expr("(1000 * est16) div 16")
-    exact_milli = (1000 * F.col("n_inter") - (1000 * F.col("n_inter")) % uni) / uni
-    out = (
-        est.join(inter, ["id_a", "id_b"])
-        .join(za, F.col("za.doc_id") == F.col("id_a"))
-        .join(zb, F.col("zb.doc_id") == F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            "est16",
-            exact_milli.cast("long").alias("exact_milli"),
-            F.abs(est_milli - exact_milli.cast("long")).cast("long").alias("err_milli"),
+            agree.cast("long").alias("est16"),
+            F.size(F.array_intersect("sa.toks", "sb.toks")).alias("n_inter"),
+            F.col("sa.nt").alias("na"),
+            F.col("sb.nt").alias("nb"),
         )
+        # mirrors the old inner est⋈inter join: a candidate pair with
+        # no shared token never appeared in the matched-token agg
+        .filter(F.col("n_inter") > 0)
+    )
+    uni = F.col("na") + F.col("nb") - F.col("n_inter")
+    est_milli = F.expr("(1000 * est16) div 16")
+    exact_milli = (1000 * F.col("n_inter") - (1000 * F.col("n_inter")) % uni) / uni
+    out = scored.select(
+        "id_a",
+        "id_b",
+        "est16",
+        exact_milli.cast("long").alias("exact_milli"),
+        F.abs(est_milli - exact_milli.cast("long")).cast("long").alias("err_milli"),
     )
     return out
 
@@ -9292,7 +9298,9 @@ def hll_distinct_portable(spark, sf_dir):
     )
 
 
-def _copurchase_edges(li, min_support: int = 2):
+def _copurchase_edges(
+    li, min_support: int = 2, key: str = "l_orderkey", val: str = "l_partkey"
+):
     """Support-filtered co-purchase pair counts (u < v, one row per
     pair with multiplicity m) from a (l_orderkey, l_partkey)
     projection — the shared edge generator for the graph battery and
@@ -9307,10 +9315,12 @@ def _copurchase_edges(li, min_support: int = 2):
     exactly the a.partkey < b.partkey join pairs, duplicates included.
     Quadratic only within an order (≤7 line items). Set-identical
     verified against the join form at sf0.1 (exceptAll both ways = 0);
-    measured 2.08 → 0.99 s isolated on the support-2 graph."""
-    arr = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("ps")
-    )
+    measured 2.08 → 0.99 s isolated on the support-2 graph.
+
+    ``key``/``val`` generalize the same shape to any bipartite
+    projection (customer_copurchase_jaccard groups customers per
+    part)."""
+    arr = li.groupBy(key).agg(F.sort_array(F.collect_list(val)).alias("ps"))
     return (
         arr.select(F.col("ps"), F.posexplode("ps").alias("i", "u"))
         .select(
@@ -14122,14 +14132,15 @@ def customer_copurchase_jaccard(spark, sf_dir):
     ).persist()
     try:
         sz = kept.groupBy("ck").agg(F.count(F.lit(1)).alias("n"))
-        a = kept.select(F.col("ck").alias("c1"), "pk")
-        b = kept.select(F.col("ck").alias("c2"), "pk")
-        pairs = (
-            a.join(b, "pk")
-            .filter(F.col("c2") > F.col("c1"))
-            .groupBy("c1", "c2")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .filter(F.col("shared") >= 3)
+        # r10 (guide §2.2): per-part sorted customer arrays exploded
+        # into in-order pairs — kept shuffles once (groupBy pk)
+        # instead of on both sides of a pk-keyed self-join; (ck, pk)
+        # is distinct, so in-array pairs are exactly the c1 < c2 join
+        # pairs (quadratic bounded by the deg ≤ 60 stop-item cap)
+        pairs = _copurchase_edges(kept, min_support=3, key="pk", val="ck").select(
+            F.col("u").alias("c1"),
+            F.col("v").alias("c2"),
+            F.col("m").alias("shared"),
         )
         sa = sz.select(F.col("ck").alias("c1"), F.col("n").alias("na"))
         sb = sz.select(F.col("ck").alias("c2"), F.col("n").alias("nb"))
