@@ -549,8 +549,18 @@ def prefix_filter_pairs(
 
     Input rows must have distinct, non-empty ``tokens_col`` arrays.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    r10 (guide §2.3): ``g`` and ``prefix`` are persisted — the
+    candidate self-join reads ``prefix`` on BOTH sides and the verify
+    step reads ``g`` on both sides, so without the persists the
+    tokenize → explode → freq-join → window subtree ran twice and the
+    tokenizer four times (verified in the before plan: the whole
+    prefix subtree appears duplicated). Both tables are O(docs) /
+    O(docs · prefix_len) — linear in the input, disk-spillable.
     """
-    g = df.select(F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks"))
+    g = df.select(
+        F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks")
+    ).persist()
     ex = g.select("doc_id", F.size("toks").alias("la"), F.explode("toks").alias("tok"))
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     prefix_len = (
@@ -564,6 +574,7 @@ def prefix_filter_pairs(
         )
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "tok")
+        .persist()
     )
     cand = (
         prefix.alias("pa")
