@@ -652,9 +652,17 @@ def substring_dedup_spans(
             F.md5(F.array_join(F.slice("__toks", i, k), " ")).alias("h"),
         ),
     )
+    # r10 (guide §2.3): g feeds both the dup-count agg and the join
+    # back — persisted so the tokenize + per-position md5 subtree runs
+    # once (it dominated the query: 1.96 → 1.58 s warm). The cache is
+    # O(total tokens), disk-spillable. A count-window over h measured
+    # faster still (0.98 s) but was REJECTED: it concentrates every
+    # occurrence of a hot gram in one unsplittable window task, while
+    # the groupBy keeps map-side combine and the join back stays
+    # AQE-skew-splittable — the 100 TB shape this function documents.
     g = base.select(id_col, F.explode(grams).alias("e")).select(
         id_col, F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
-    )
+    ).persist()
     dup = g.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
     marks = g.join(dup, "h").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")

@@ -7395,10 +7395,38 @@ def recursive_reachability(spark, sf_dir):
     step and re-plans — same shuffle shape as the hand-rolled label
     propagation); the depth bound keeps path explosion polynomial.
     Complements graph_pagerank_purchases (DataFrame loop) and
-    dedup_components (recursive-CTE used oracle-side only)."""
+    dedup_components (recursive-CTE used oracle-side only).
+
+    r10 (guide §2.3): the edge list is materialized ONCE (persisted
+    view) before the recursion — Spark re-plans the recursive step
+    each iteration and inlined the edges CTE, so the orders⋈lineitem
+    distinct ran once per hop (3×). The recursive execution itself is
+    unchanged (same native WITH RECURSIVE step join); the oracle keeps
+    the single-statement form. Measured 4.67 → 3.44 s warm."""
     T(spark, sf_dir, "orders").createOrReplaceTempView("rr_orders")
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("rr_lineitem")
-    return spark.sql(_reach_sql("rr_orders", "rr_lineitem"))
+    pairs = spark.sql(
+        "SELECT DISTINCT o_custkey AS c, l_suppkey AS s "
+        "FROM rr_orders JOIN rr_lineitem ON o_orderkey = l_orderkey"
+    )
+    edges = (
+        pairs.selectExpr("2 * c AS src", "2 * s + 1 AS dst")
+        .unionAll(pairs.selectExpr("2 * s + 1 AS src", "2 * c AS dst"))
+        .persist()
+    )
+    edges.createOrReplaceTempView("rr_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach AS (
+          SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT e.dst AS node, r.hops + 1 AS hops
+          FROM reach r JOIN rr_edges e ON e.src = r.node
+          WHERE r.hops < 2
+        )
+        SELECT node, min(hops) AS hops FROM reach GROUP BY node
+        """
+    )
 
 
 _CHUNK_W, _CHUNK_S = 200, 150  # window / stride (50-char overlap)
