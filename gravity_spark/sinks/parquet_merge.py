@@ -220,7 +220,13 @@ class ParquetMergeTarget:
             m = self._manifest()
             next_v = (m["version"] or 0) + 1
             out = os.path.join(self.path, f"v{next_v}")
-            merged.write.mode("overwrite").parquet(out)
+            # r10 (guide §6): REBALANCE before the version write — the
+            # merge join otherwise emits one near-empty file per task
+            # (measured 32 × ~1 KB per version at sf0.1), and every
+            # later epoch re-reads all those footers. AQE sizes the
+            # output: small states coalesce to one file, large ones
+            # split at the advisory partition size.
+            merged.hint("rebalance").write.mode("overwrite").parquet(out)
             self._write_manifest({"version": next_v, "epoch": epoch_id, "partitions": {}})
         finally:
             cached.unpersist()
@@ -495,9 +501,18 @@ class ParquetMergeTarget:
             # per-version dirs stay readable standalone
             staging = os.path.join(self.path, f"_stage_e{epoch_id}")
             shutil.rmtree(staging, ignore_errors=True)
-            merged.withColumn("__p", F.col(pcol)).write.mode("overwrite").partitionBy(
-                "__p"
-            ).parquet(staging)
+            # r10 (guide §6): REBALANCE on the partition column before
+            # the staged partitionBy write — without it every shuffle
+            # task emits a sliver into every touched partition dir
+            # (measured 32 files × ~1 KB per partition per version at
+            # sf0.1; the next epoch's current-state read then pays 256
+            # footers). Rebalance is the scale-safe form: AQE coalesces
+            # small partitions into shared tasks and SPLITS a skewed
+            # partition value across tasks, so no single writer owns a
+            # 100 TB partition.
+            merged.withColumn("__p", F.col(pcol)).hint("rebalance", "__p").write.mode(
+                "overwrite"
+            ).partitionBy("__p").parquet(staging)
             # enumerate what Spark ACTUALLY wrote and decode the
             # partition-path fragments (percent-escaping is Spark's own;
             # unquote inverts it exactly since '%' itself is escaped)
@@ -687,7 +702,10 @@ class AggregateRollupTarget:
             return  # epoch already applied (redelivery after restart)
         merged = merge_aggregate(self.read(), partials, self.key_cols, self.agg_cols)
         next_v = (m["version"] or 0) + 1
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v{next_v}"))
+        # r10 (guide §6): rebalance — see ParquetMergeTarget.apply_batch
+        merged.hint("rebalance").write.mode("overwrite").parquet(
+            os.path.join(self.path, f"v{next_v}")
+        )
         tmp = os.path.join(self.path, "_manifest.json.tmp")
         with open(tmp, "w") as fh:
             json.dump({"version": next_v, "epoch": epoch_id}, fh)

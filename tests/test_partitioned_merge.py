@@ -244,10 +244,20 @@ def test_compact_partitioned(spark, tmp_path):
     t = ParquetMergeTarget(spark, str(tmp_path / "tcp"), ["id"],
                            "id long, dt string, v string", partition_col="dt")
     rows = [(i, f"d{i % 2}", f"v{i}", "insert", i) for i in range(60)]
-    with _no_coalesce(spark):
-        t.apply_batch(
-            spark.createDataFrame(rows, "id long, dt string, v string, op string, seq long")
-            .repartition(6), 0)
+    t.apply_batch(
+        spark.createDataFrame(rows, "id long, dt string, v string, op string, seq long"), 0)
+    # apply_batch now rebalances its staged write to right-sized files,
+    # so fragment each partition's current version BY HAND to build the
+    # accumulated-small-files state compaction exists for
+    m = t._manifest()
+    for val, ver in m["partitions"].items():
+        src = str(tmp_path / "tcp" / f"p={val}" / f"v{ver}")
+        frag = src + "_frag"
+        with _no_coalesce(spark):
+            spark.read.parquet(src).repartition(3).write.parquet(frag)
+        import shutil
+        shutil.rmtree(src)
+        os.replace(frag, src)
     before = {(r["id"], r["v"]) for r in t.read().collect()}
     stats = t.compact(target_bytes=10**9)
     assert set(stats) == {"d0", "d1"}
