@@ -1820,24 +1820,30 @@ def cdc_subprocess_transform(spark, sf_dir):
     from gravity_spark.operators.filters import subprocess_filter
 
     child = os.path.join(_scratch_dir("sidecar_"), "upper.py")
+    # r10 (guide §4): the child is query-authored — vectorized Arrow
+    # compute (utf8_upper over the map's items child array, map
+    # rebuilt from the same offsets/keys) replaces the per-row
+    # to_pylist/dict loop, and batches stream through one-for-one
+    # instead of buffering the whole stdin. The subprocess boundary —
+    # the operator's point — is unchanged.
     with open(child, "w") as f:
         f.write(textwrap.dedent(
             """
             import sys
             import pyarrow as pa
+            import pyarrow.compute as pc
 
             reader = pa.ipc.open_stream(sys.stdin.buffer)
             schema = reader.schema
-            rows = []
-            for batch in reader:
-                for row in batch.to_pylist():
-                    d = dict(row["data"])
-                    d["event_type"] = (d.get("event_type") or "").upper()
-                    row["data"] = d
-                    rows.append(row)
-            out = pa.RecordBatch.from_pylist(rows, schema=schema)
+            idx = schema.get_field_index("data")
+            ftype = schema.field(idx).type
             with pa.ipc.new_stream(sys.stdout.buffer, schema) as w:
-                w.write_batch(out)
+                for batch in reader:
+                    m = batch.column(idx)
+                    mask = pc.equal(m.keys, "event_type")
+                    items = pc.if_else(mask, pc.utf8_upper(m.items), m.items)
+                    new = pa.MapArray.from_arrays(m.offsets, m.keys, items).cast(ftype)
+                    w.write_batch(batch.set_column(idx, schema.field(idx), new))
             """
         ))
     # skinny envelope for the child: the wire contract is value
