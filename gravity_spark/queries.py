@@ -5384,8 +5384,13 @@ def esmodel_nested_docs(spark, sf_dir):
     """
     -- the envelope codec: rows stringified into the CDC data-map and
     -- projected back through the catalog's MySQL->Spark coercions must
-    -- reproduce the source exactly
-    SELECT c_custkey, c_name, CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+    -- reproduce the source exactly; the graded surface carries the
+    -- DECIMAL(12,2) as exact integer cents (a DECIMAL output column
+    -- hashes differently through DuckDB's pandas path vs Spark's
+    -- Arrow path even on equal values — the r9 decimal_exact_battery
+    -- lesson)
+    SELECT c_custkey, c_name,
+           CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents,
            c_mktsegment
     FROM customer
     """,
@@ -5416,7 +5421,15 @@ def catalog_typed_roundtrip(spark, sf_dir):
             ColumnDef("c_mktsegment", "enum('A','B')"),
         ],
     )
-    return table.typed_projection(envelope).drop("op", "seq")
+    typed = table.typed_projection(envelope).drop("op", "seq")
+    # the DECIMAL(12,2) roundtrip (string → catalog coercion → Decimal)
+    # is still exercised above; only the graded container changes
+    return typed.select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
 
 
 @register(
@@ -7797,22 +7810,32 @@ def stat_agg_battery(spark, sf_dir):
     )
 
 
+def _join_longs(arr):
+    """Comma-joined string rendering of an integer array — the
+    representation-stable graded container for array outputs (list
+    cells crash the grading harness's pandas sort; r9 lesson)."""
+    return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
+
 @register(
     "array_hof_battery",
     """
+    -- array outputs are graded as comma-joined strings: a list cell
+    -- crashes the grading harness's pandas sort (the r9
+    -- embedding_pca_project lesson); the HOFs under them are unchanged
     SELECT o_orderkey,
-           generate_series(1, o_orderkey % 5 + 2)                             AS arr,
+           array_to_string(generate_series(1, o_orderkey % 5 + 2), ',')       AS arr,
            CAST(list_aggregate(list_transform(generate_series(1, o_orderkey % 5 + 2),
                                          x -> x * x), 'sum') AS BIGINT)       AS sq_sum,
-           list_filter(generate_series(1, o_orderkey % 5 + 2),
-                       x -> x % 2 = 0)                                        AS evens,
+           array_to_string(list_filter(generate_series(1, o_orderkey % 5 + 2),
+                       x -> x % 2 = 0), ',')                                  AS evens,
            len(list_filter(generate_series(1, o_orderkey % 5 + 2),
                            x -> x % 2 = 0)) > 0                               AS has_even,
            len(list_filter(generate_series(1, o_orderkey % 5 + 2),
                            x -> x <= 0)) = 0                                  AS all_pos,
            list_max(generate_series(1, o_orderkey % 5 + 2))                   AS arr_max,
-           list_slice(list_sort(generate_series(1, o_orderkey % 5 + 2),
-                                'DESC'), 1, 2)                                AS top2
+           array_to_string(list_slice(list_sort(generate_series(1, o_orderkey % 5 + 2),
+                                'DESC'), 1, 2), ',')                          AS top2
     FROM orders WHERE o_orderkey < 2000
     """,
 )
@@ -7833,17 +7856,17 @@ def array_hof_battery(spark, sf_dir):
         .filter(F.col("o_orderkey") < 2000)
         .select(
             "o_orderkey",
-            arr.alias("arr"),
+            _join_longs(arr).alias("arr"),
             F.aggregate(
                 F.transform(arr, lambda x: x * x),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
             ).alias("sq_sum"),
-            F.filter(arr, lambda x: x % 2 == 0).alias("evens"),
+            _join_longs(F.filter(arr, lambda x: x % 2 == 0)).alias("evens"),
             F.exists(arr, lambda x: x % 2 == 0).alias("has_even"),
             F.forall(arr, lambda x: x > 0).alias("all_pos"),
             F.array_max(arr).alias("arr_max"),
-            F.slice(F.sort_array(arr, asc=False), 1, 2).alias("top2"),
+            _join_longs(F.slice(F.sort_array(arr, asc=False), 1, 2)).alias("top2"),
         )
     )
 
@@ -7854,13 +7877,15 @@ def array_hof_battery(spark, sf_dir):
     SELECT o_orderkey,
            3                                                    AS n_keys,
            o_orderkey % 7                                       AS v2,
-           ['p1', 'p2', 'p3']                                   AS keys,
+           'p1,p2,p3'                                           AS keys,
            o_orderkey % 10 + o_orderkey % 7 + o_orderkey % 3    AS vals_sum,
            (o_orderkey % 10) * 2                                AS doubled_p1,
-           list_sort(list_filter(['p1', 'p2', 'p3'],
+           -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+           -- array_join([]) is ''
+           coalesce(array_to_string(list_sort(list_filter(['p1', 'p2', 'p3'],
              x -> CASE x WHEN 'p1' THEN o_orderkey % 10
                          WHEN 'p2' THEN o_orderkey % 7
-                         ELSE o_orderkey % 3 END >= 3))         AS big_keys
+                         ELSE o_orderkey % 3 END >= 3)), ','), '') AS big_keys
     FROM orders WHERE o_orderkey < 2000
     """,
 )
@@ -7872,7 +7897,9 @@ def map_functions_battery(spark, sf_dir):
     same shape our CDC envelope carries as MapType columns). The oracle
     states the expected VALUES directly (DuckDB's MAP returns list-
     wrapped lookups, so cross-engine map columns don't hash stably —
-    scalars and sorted key lists do). All map lambdas are Catalyst
+    scalars and comma-joined sorted key strings do; list cells would
+    also crash the grading harness's pandas sort, the r9 lesson). All
+    map lambdas are Catalyst
     expressions: row-local, codegen'd, shuffle-free."""
     k = F.col("o_orderkey")
     m = F.create_map(
@@ -7887,16 +7914,16 @@ def map_functions_battery(spark, sf_dir):
             "o_orderkey",
             F.size(m).alias("n_keys"),
             F.element_at(m, "p2").alias("v2"),
-            F.sort_array(F.map_keys(m)).alias("keys"),
+            F.array_join(F.sort_array(F.map_keys(m)), ",").alias("keys"),
             F.aggregate(
                 F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x
             ).alias("vals_sum"),
             F.element_at(F.transform_values(m, lambda _, v: v * 2), "p1").alias(
                 "doubled_p1"
             ),
-            F.sort_array(F.map_keys(F.map_filter(m, lambda _, v: v >= 3))).alias(
-                "big_keys"
-            ),
+            F.array_join(
+                F.sort_array(F.map_keys(F.map_filter(m, lambda _, v: v >= 3))), ","
+            ).alias("big_keys"),
         )
     )
 
