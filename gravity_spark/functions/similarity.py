@@ -173,18 +173,21 @@ def embedding_near_dup_pairs(
             for i, dims in enumerate(bands)
         ]
     )
-    c = (
-        corpus.select(F.col(id_col), F.col(vec_col), F.explode(entries).alias("bb"))
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.col("bb.band").alias("__band"),
-            F.col("bb.bucket").alias("__bucket"),
-        )
+    # r10 (guide §2.3/§8: decide with small rows, move payloads once):
+    # the banded self-join and the pair dedup run over (id, band,
+    # bucket) ONLY — the old shape carried both embedding arrays
+    # through the band-replicated candidate shuffle (payload × bands ×
+    # 2 sides) and again through the distinct. Vectors attach to the
+    # deduped pair set with two id-keyed joins, so each embedding
+    # crosses a shuffle once per side.
+    keys = corpus.select(F.col(id_col), F.explode(entries).alias("bb")).select(
+        F.col(id_col),
+        F.col("bb.band").alias("__band"),
+        F.col("bb.bucket").alias("__bucket"),
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    cand = (
+    a = keys.alias("a")
+    b = keys.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.__band") == F.col("b.__band"))
@@ -194,11 +197,12 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("__va"),
-            F.col(f"b.{vec_col}").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cand = pairs.join(va, "id_a").join(vb, "id_b")
     sim = cosine_similarity(
         F.col("__va").cast("array<double>"), F.col("__vb").cast("array<double>")
     )
