@@ -374,6 +374,19 @@ class BenchEngine:
         return m_abs > ABS_DRIFT_GATE or m_rel > REL_DRIFT_GATE
 
 
+def floor_sentinel_disagreement(
+    session_floor_drift: float, median_drift: float
+) -> bool:
+    """True when the macro session floor and the tiny-sentinel median
+    disagree materially about host health (BASELINE §13 trust rule,
+    mechanized). Both estimators are clamped at 1.0 — sub-1 readings
+    mean "healthy", not disagreement — and the same ABS_DRIFT_GATE
+    ratio that quarantines a stalled run decides "materially"."""
+    a = max(session_floor_drift, 1.0)
+    b = max(median_drift, 1.0)
+    return max(a, b) / min(a, b) > ABS_DRIFT_GATE
+
+
 def main() -> None:
     from gravity_spark.session import get_spark
     from gravity_spark.queries import REGISTRY
@@ -501,6 +514,24 @@ def main() -> None:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_normalized = round(total / session_floor_drift, 3)
     median_drift, median_drift_rel = eng.median_drifts()
+    # BASELINE §13 trust rule, mechanized (r9-advisor ask): the macro
+    # session floor and the tiny-sentinel median watch the same host;
+    # when they disagree materially, neither estimator alone is
+    # trustworthy — the min-of-readings floor can land in a clean
+    # moment of a degraded window (r9 driver: floor 1.0, median 1.457)
+    # or over-correct a healthy one (r9 gate-2: floor 1.451, median
+    # ~1.0). Stamp the record so readers adjudicate instead of trusting
+    # value_normalized blindly.
+    floor_sentinel_disagree = floor_sentinel_disagreement(
+        session_floor_drift, median_drift
+    )
+    if floor_sentinel_disagree:
+        print(
+            f"bench: session floor drift {session_floor_drift} disagrees "
+            f"with tiny-sentinel median {median_drift} — treat "
+            f"value_normalized with suspicion (BASELINE §13 trust rule)",
+            file=sys.stderr,
+        )
     stalled = eng.stalled
     detail = {
         "metric": "total_query_seconds",
@@ -510,6 +541,7 @@ def main() -> None:
         "macro_healthy_sec": MACRO_HEALTHY_SEC,
         "session_floor_sec": session_floor,
         "session_floor_drift": session_floor_drift,
+        "floor_sentinel_disagree": floor_sentinel_disagree,
         "unit": "sec",
         "queries": timings,
         "query_drift": eng.query_drift,
@@ -558,6 +590,7 @@ def main() -> None:
                 "value": total,
                 "value_normalized": total_normalized,
                 "session_floor_drift": session_floor_drift,
+                "floor_sentinel_disagree": floor_sentinel_disagree,
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),

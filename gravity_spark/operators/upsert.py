@@ -112,11 +112,16 @@ def merge_changes(
         # row (first-writer-wins — IGNORE can never overwrite).
         # One hash shuffle: both the per-key last-delete mark and the
         # had-delete flag ride the same unordered window partitioning.
-        # NULL order values follow the collapse path's NULL-always-loses
-        # total order (NULL < every non-NULL): a NULL-seq change
-        # survives only when its key saw NO delete at all, and a
-        # NULL-seq delete (the minimum) kills only other NULL-seq
-        # changes — non-NULL-seq ones are strictly after it.
+        # NULL order values are handled by TWO deliberately different
+        # rules (r9-advisor note — both pinned in
+        # tests/test_collapse_upsert.py):
+        # - after-last-delete FILTER: NULL is the minimum — a NULL-seq
+        #   change is "before" every delete, so it survives only when
+        #   its key saw NO delete at all, and a NULL-seq delete kills
+        #   only other NULL-seq changes (non-NULL ones are after it);
+        # - WINNER SELECTION (the ascending collapse below): NULL
+        #   always LOSES — a NULL-seq change wins its key only when no
+        #   non-NULL-seq competitor survived the filter.
         w_all = Window.partitionBy(*pk)
         del_mark = F.max(
             F.when(F.col(op_col) == "delete", F.col(order_col))

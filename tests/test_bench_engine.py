@@ -195,3 +195,17 @@ def test_sentinel_blind_slow_phase_repaired_by_repass():
         assert eng.timings[n] == 1.0, f"{n} not repaired"
     assert all(eng.retimed.get(f"q{i}") for i in (2, 3, 4))
     assert not any(eng.retimed.get(f"q{i}") for i in (0, 1, 5))
+
+
+def test_floor_sentinel_disagreement_matrix():
+    """BASELINE §13 trust rule, mechanized (r9-advisor ask): flag a
+    record when the macro floor and the tiny-sentinel median disagree
+    materially — the two real r9 cases plus the agreeing quadrants."""
+    from bench import floor_sentinel_disagreement as d
+
+    assert d(1.0, 1.457)  # r9 driver: floor clean, window degraded
+    assert d(1.451, 0.95)  # r9 gate-2: floor over-corrected, window fine
+    assert not d(1.0, 0.74)  # healthy window, healthy floor
+    assert not d(1.0, 1.1)  # mild drift, inside the gate ratio
+    assert not d(1.5, 1.45)  # both degraded and AGREEING — no flag
+    assert not d(1.0, 1.0)

@@ -18,12 +18,22 @@ from gravity_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     runs = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--runs"):
+    names: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--runs":  # space-separated form: --runs N
+            runs = int(argv[i + 1])
+            i += 2
+        elif a.startswith("--runs="):
             runs = int(a.split("=", 1)[1])
-    names = args or ["streaming_stream_join"]
+            i += 1
+        else:
+            names.append(a)
+            i += 1
+    names = names or ["streaming_stream_join"]
 
     from gravity_spark import queries as Q
 

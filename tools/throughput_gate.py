@@ -32,8 +32,10 @@ unshippable, with two teeth:
    fine-grained separation.
 
 Every run appends a machine-readable record (best/floor/effective
-floor/drift/structural outcome/verdict) to THROUGHPUT_GATE.json so
-degraded-window grades can be re-audited (r8-advisor ask). Decision
+floor/drift/structural outcome/verdict) to THROUGHPUT_GATE.json — a
+JSON list, one record per run, newest last — so degraded-window grades
+can be re-audited (r8-advisor ask; the r9 advisor caught the 'w'-mode
+write that silently kept only the latest record). Decision
 arithmetic is unit-pinned in tests/test_throughput_gate_decision.py;
 the structural property is ALSO a standing pytest
 (tests/test_merge_persist_footprint.py) so it runs in step 1 of the
@@ -48,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+from datetime import datetime, timezone
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -161,10 +164,22 @@ def main() -> int:
         "sentinel_drift": round(drift, 3),
         "mult": MULT,
         "verdict": "pass" if passed else "fail",
+        # audit key: without a stamp a history of records can't be
+        # matched back to gate transcripts / host windows
+        "utc": datetime.now(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ"),
     }
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "THROUGHPUT_GATE.json"), "w") as f:
-        json.dump(record, f, indent=1, sort_keys=True)
+    audit_path = os.path.join(here, "THROUGHPUT_GATE.json")
+    try:
+        with open(audit_path) as f:
+            history = json.load(f)
+        if isinstance(history, dict):  # pre-r10 single-record format
+            history = [history]
+    except (OSError, ValueError):
+        history = []
+    history.append(record)
+    with open(audit_path, "w") as f:
+        json.dump(history, f, indent=1, sort_keys=True)
     print(json.dumps(record))
     if passed:
         print(
