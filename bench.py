@@ -564,6 +564,27 @@ def main() -> None:
     # SHORT single JSON line so the driver's tail capture can parse it
     # (round 1 had "parsed": null — the 132-query line was head-truncated).
     print(json.dumps(detail), file=sys.stderr)
+    # r10 verdict task 2: the driver could not do per-query perf
+    # comparison because per-query seconds lived only in the sidecar
+    # file. Print the FULL contract line ({"metric","value","unit",
+    # "queries","sf"}) as the PENULTIMATE stdout line: a consumer that
+    # reads whole stdout gets per-query seconds straight from the
+    # bench's own output, while the final line stays short so a
+    # fixed-size tail capture still parses the total (putting the
+    # 292-entry map on the LAST line is exactly round 1's
+    # head-truncation failure). Additions only — timed actions, query
+    # set, and the short final line are unchanged.
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
     here = os.path.dirname(os.path.abspath(__file__))
     if subset:
         detail_name = "BENCH_DETAIL_SUBSET.json"

@@ -291,6 +291,20 @@ class _fixpoint_partitions:
         return False
 
 
+# Auto-broadcast bound for the fixpoint loops (guide §3.1: broadcast
+# the side that FITS, decided from a measured count, not a guess). The
+# per-round label/bucket-label frames are bounded by the loop's input
+# row count; below this bound they are statically broadcast-hinted.
+# Why it matters: under AQE a hint-less round plans as SMJ and AQE
+# materializes BOTH sides' shuffle stages (including the big membership
+# frame, re-shuffled EVERY round) before converting to broadcast at
+# runtime — the static hint removes the membership shuffle and its
+# stage-jobs outright. ~4M (v, label) rows ≈ 200 MB as a hashed
+# relation: comfortably a broadcast on any executor profile; a 100 TB
+# graph is far above the bound and keeps the shuffle path.
+_BROADCAST_FIXPOINT_ROWS = 4_000_000
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame,
@@ -351,11 +365,20 @@ def connected_components(
     ).localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
-    n_edges = sym.count()  # cheap: sym is materialized by the init sum
+    # labels is built from vertices only, so the init sum does NOT
+    # materialize sym — this count() is the action that pays the one-
+    # time distinct/union edge build (r10 advisor comment fix), and its
+    # value drives both the loop partition scale and the broadcast
+    # decision below
+    n_edges = sym.count()
+    # scale-adaptive broadcast (guide §3.1): labels is O(vertices) ≤
+    # n_edges rows; when the measured count fits, hint it so no round
+    # ever shuffles the edge table (see _BROADCAST_FIXPOINT_ROWS)
+    hb = F.broadcast if n_edges <= _BROADCAST_FIXPOINT_ROWS else (lambda df: df)
     with _fixpoint_partitions(edges.sparkSession, n_edges):
         for _ in range(max_iter):
             labels = (
-                sym.join(labels, sym.src == labels.v)
+                sym.join(hb(labels), sym.src == labels.v)
                 .groupBy(F.col("dst").alias("v"))
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=False)
@@ -415,8 +438,9 @@ def connected_components_bipartite(
     """
     # Lazy checkpoints + the label-sum action as the materializing pass:
     # caching a round's labels and reading its convergence scalar are
-    # ONE job (the init sum below materializes m AND labels together —
-    # labels' plan reads m's LogicalRDD, so both cache in that job).
+    # ONE job per round. (labels is built from verts only, so the init
+    # sum materializes labels alone; m's one-time distinct/union build
+    # is priced by the count() below — r10 advisor comment fix.)
     base = members.select(F.col(id_col).alias("v"), F.col(bucket_col).alias("bk"))
     verts = base.select("v").distinct()
     selfb = verts.select(
@@ -435,33 +459,57 @@ def connected_components_bipartite(
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     prev_id = _checkpoint_rdd_id(labels)
-    n_members = m.count()  # cheap: m materialized by the init sum
+    # the action that pays m's one-time distinct/union build; its value
+    # drives the loop partition scale and the broadcast decision
+    n_members = m.count()
     rounds = 0
-    hb = F.broadcast if broadcast_small else (lambda df: df)
+    # scale-adaptive broadcast (guide §3.1, r11): labels / bucket_label
+    # / the compression map are all bounded by n_members rows; when the
+    # measured count fits (_BROADCAST_FIXPOINT_ROWS), statically hint
+    # them so NO round shuffles the membership table — the hint-less
+    # plan had AQE materialize m's shuffle stage in every round's joins
+    # before converting to broadcast at runtime. Corpus-scale graphs
+    # stay on the shuffle path (the hint is count-gated, not assumed).
+    small = broadcast_small or n_members <= _BROADCAST_FIXPOINT_ROWS
+    hb = F.broadcast if small else (lambda df: df)
     with _fixpoint_partitions(members.sparkSession, n_members):
         for _ in range(max_iter):
             rounds += 1
             bucket_label = (
                 m.join(hb(labels), "v").groupBy("bk").agg(F.min("label").alias("bl"))
             )
-            labels = (
+            base_l = (
                 m.join(hb(bucket_label), "bk")
                 .groupBy("v")
                 .agg(F.min("bl").alias("label"))
             )
+            base_id = None
+            if small:
+                # broadcast plans have no exchanges to reuse, so the
+                # compression self-join below would otherwise compute
+                # the round subtree twice (broadcast build + probe);
+                # a lazy checkpoint makes both sides read one cache.
+                # (In the shuffle path this was measured a wash in r10
+                # — ReusedExchange already dedups the heavy stages —
+                # so it is gated to the broadcast path.)
+                base_l = base_l.localCheckpoint(eager=False)
+                base_id = _checkpoint_rdd_id(base_l)
             # path compression (pointer doubling): label(v) <- label(label(v)).
             # Neighbor-min alone needs O(diameter) rounds on chain-shaped
             # graphs; compressing through the label forest each round bounds
             # convergence by O(log n) regardless of chain length.
-            l2 = labels.select(F.col("v").alias("v2"), F.col("label").alias("label2"))
+            l2 = base_l.select(F.col("v").alias("v2"), F.col("label").alias("label2"))
             labels = (
-                labels.join(hb(l2), labels.label == l2.v2, "left")
+                base_l.join(hb(l2), base_l.label == l2.v2, "left")
                 .select("v", F.coalesce(F.col("label2"), F.col("label")).alias("label"))
                 .localCheckpoint(eager=False)
             )
             new_sum = labels.agg(F.sum("label")).collect()[0][0]
-            if prev_id is not None:  # prior round's checkpoint, superseded now
-                _unpersist_rdds(labels, {prev_id})
+            # prior round's labels + this round's pre-compression frame,
+            # both superseded once the new labels materialized
+            dead = {i for i in (prev_id, base_id) if i is not None}
+            if dead:
+                _unpersist_rdds(labels, dead)
             prev_id = _checkpoint_rdd_id(labels)
             if new_sum == prev_sum:
                 break

@@ -427,9 +427,9 @@ def kmeans_fit(
     JVM HOF tree — int64-exact, order-independent partials, so outputs
     are bit-identical (cross-checked by test_kmeans_numpy_matches_
     literal) at a fraction of the per-row cost. The final returned
-    assignment keeps the JVM literal form: its (id, xi, cluster) frame
-    feeds JVM-side joins/windows downstream and one projection over
-    the corpus is not the bottleneck."""
+    assignment is ALSO the numpy mapInPandas form (_kmeans_assign_fn),
+    pinned equal to the JVM literal _assign_literal by
+    test_kmeans_final_assignment_matches_literal."""
     scaled = corpus.select(
         F.col(id_col), scale_embedding(F.col(vec_col)).alias("xi")
     ).persist()

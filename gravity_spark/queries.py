@@ -90,6 +90,24 @@ def _scratch_dir(prefix: str) -> str:
     return d
 
 
+def _one_part_file(pattern: str) -> str:
+    """The single part file a one-task write produced, with a clear
+    error instead of IndexError when a wave came out EMPTY (an empty
+    wave produces no w=<idx> directory at all — latent at bench scales,
+    where every wave is non-empty, but a hard crash on a skewed split
+    otherwise; r10 advisor item)."""
+    import glob
+
+    hits = glob.glob(pattern)
+    if not hits:
+        raise RuntimeError(
+            f"no part file matches {pattern!r}: the wave split produced "
+            "an empty wave (no rows on one side of the split point) — "
+            "the stream source needs one non-empty file per wave"
+        )
+    return hits[0]
+
+
 # Micro-batch geometry of the most recent completed stream per query
 # name: {"batches", "data_batches", "nodata_batches"}. Epoch count is
 # measurement geometry — a bench row whose wall time moves because the
@@ -6919,7 +6937,18 @@ def graph_pagerank_purchases(spark, sf_dir):
     edge list against the rank table + one hash agg — the same shuffle
     profile as the label-propagation components operator; rank and
     degree tables are O(nodes), edges never materialize pairs beyond the
-    input relation. Fixed rounds ⇒ no convergence collect in the loop."""
+    input relation. Fixed rounds ⇒ no convergence collect in the loop.
+
+    r11 (guide §2.3/§3.1): the edge list and the degree table are
+    materialized ONCE (localCheckpoint) — the old plan re-derived the
+    orders⋈lineitem distinct in every round's subtree. The per-round
+    O(nodes) frames (ranks, degree, contrib) are statically
+    broadcast-hinted when the MEASURED node count fits
+    (_BROADCAST_FIXPOINT_ROWS), so no round shuffles the edge table;
+    above the bound the shuffle path is kept — the hint is count-gated,
+    never assumed."""
+    from gravity_spark.functions.dedup import _BROADCAST_FIXPOINT_ROWS
+
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
@@ -6932,20 +6961,29 @@ def graph_pagerank_purchases(spark, sf_dir):
     ).unionAll(
         pairs.select((2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst"))
     )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
+    # one job: materializes deg (and edges, its input) and measures the
+    # node count that gates the broadcast decision
+    n_nodes = deg.count()
+    hb = F.broadcast if n_nodes <= _BROADCAST_FIXPOINT_ROWS else (lambda df: df)
     ranks = deg.select("node", F.lit(1000000).cast("long").alias("rank_micro"))
     for _ in range(3):
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
+            edges.join(hb(ranks), edges.src == ranks.node)
             .join(
-                deg.select(F.col("node").alias("dn"), "degree"),
+                hb(deg.select(F.col("node").alias("dn"), "degree")),
                 F.col("src") == F.col("dn"),
             )
             .select("dst", F.expr("rank_micro div degree").alias("part"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("part").alias("contrib"))
         )
-        ranks = deg.join(contrib, "node", "left").select(
+        ranks = deg.join(hb(contrib), "node", "left").select(
             "node",
             (
                 F.lit(150000)
@@ -7288,7 +7326,7 @@ def streaming_minhash_dedup_gate(spark, sf_dir):
         .json(part_dir)
     )
     for idx in (0, 1):
-        src = glob.glob(f"{part_dir}/w={idx}/part-*.json")[0]
+        src = _one_part_file(f"{part_dir}/w={idx}/part-*.json")
         dst = f"{stream_dir}/{idx:03d}.json"
         shutil.move(src, dst)
         os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
@@ -9839,7 +9877,7 @@ def streaming_scd2_maintain(spark, sf_dir):
         .json(part_dir)
     )
     for idx in (0, 1):
-        src = glob.glob(f"{part_dir}/w={idx}/part-*.json")[0]
+        src = _one_part_file(f"{part_dir}/w={idx}/part-*.json")
         dst = f"{stream_dir}/{idx:03d}.json"
         shutil.move(src, dst)
         os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
@@ -12216,10 +12254,19 @@ def graph_label_propagation(spark, sf_dir):
     # loop shuffle partitions scale to the edge count (downsize-only;
     # see _fixpoint_partitions) — sym is already materialized, so the
     # count is a cached-read job
-    with _fixpoint_partitions(spark, sym.count()):
+    n_sym = sym.count()
+    # scale-adaptive broadcast (guide §3.1, r11): labels is O(vertices)
+    # ≤ n_sym rows; when the measured count fits, hint it so no round
+    # shuffles the edge table (see dedup._BROADCAST_FIXPOINT_ROWS —
+    # hint-less AQE re-materializes sym's shuffle stage every round
+    # before converting the join to broadcast at runtime)
+    from gravity_spark.functions.dedup import _BROADCAST_FIXPOINT_ROWS
+
+    hb = F.broadcast if n_sym <= _BROADCAST_FIXPOINT_ROWS else (lambda df: df)
+    with _fixpoint_partitions(spark, n_sym):
         for _ in range(3):
             cnt = (
-                sym.join(labels, sym.s == labels.lv)
+                sym.join(hb(labels), sym.s == labels.lv)
                 .groupBy(F.col("d").alias("v"), "lbl")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
@@ -13495,7 +13542,7 @@ def streaming_late_data_audit(spark, sf_dir):
         .json(part_dir)
     )
     for idx in (0, 1, 2):
-        src = glob.glob(f"{part_dir}/w={idx}/part-*.json")[0]
+        src = _one_part_file(f"{part_dir}/w={idx}/part-*.json")
         dst = f"{stream_dir}/{idx:03d}.json"
         shutil.move(src, dst)
         os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
@@ -15245,7 +15292,7 @@ def streaming_rate_limit_stateful(spark, sf_dir):
         .json(part_dir)
     )
     for idx in (0, 1):
-        src = glob.glob(f"{part_dir}/w={idx}/part-*.json")[0]
+        src = _one_part_file(f"{part_dir}/w={idx}/part-*.json")
         dst = f"{stream_dir}/{idx:03d}.json"
         shutil.move(src, dst)
         os.utime(dst, (1700000000 + idx * 60, 1700000000 + idx * 60))
@@ -15444,7 +15491,7 @@ def cdc_replayed_epoch_idempotent(spark, sf_dir):
     os.makedirs(stream_dir)
     part = f"{tmp}/w0"
     changes.coalesce(1).write.mode("overwrite").json(part)
-    src = glob.glob(f"{part}/part-*.json")[0]
+    src = _one_part_file(f"{part}/part-*.json")
     for idx in range(2):  # epoch 0 + byte-identical redelivery
         dst = f"{stream_dir}/{idx:03d}.json"
         shutil.copyfile(src, dst)
