@@ -3938,7 +3938,24 @@ def dedup_lsh_precision_recall(spark, sf_dir):
     g = docs.select(
         "doc_id", "source", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
     ).persist()
-    ta, tb = g.alias("ta"), g.alias("tb")
+    # sub-block the truth self-join (r11, guide §2.5): its only equi key
+    # is `source` — 5 distinct values caps the quadratic verify at 5
+    # tasks on any cluster size. Replicating side A across 8 sub-blocks
+    # of side B (join key (source, doc_id%8) — the dedup_ngram_jaccard
+    # template) yields the IDENTICAL pair set with 8x the schedulable
+    # units; explicit numbered repartition because AQE would coalesce
+    # the byte-small but CPU-heavy join down to one task.
+    nsub = 8
+    ta = (
+        g.withColumn("sb", F.explode(F.sequence(F.lit(0), F.lit(nsub - 1))))
+        .repartition(64, "source", "sb")
+        .alias("ta")
+    )
+    tb = (
+        g.withColumn("sb", (F.col("doc_id") % nsub).cast("int"))
+        .repartition(64, "source", "sb")
+        .alias("tb")
+    )
     la, lb = F.size(F.col("ta.toks")), F.size(F.col("tb.toks"))
     inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
     union = la + lb - inter
@@ -3946,6 +3963,7 @@ def dedup_lsh_precision_recall(spark, sf_dir):
         ta.join(
             tb,
             (F.col("ta.source") == F.col("tb.source"))
+            & (F.col("ta.sb") == F.col("tb.sb"))
             & (F.col("ta.doc_id") < F.col("tb.doc_id"))
             # implied by J >= 0.5: 2·min < max ⟹ 2·inter < union —
             # prunes pairs before the O(|A|+|B|) intersect

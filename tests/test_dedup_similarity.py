@@ -364,3 +364,49 @@ def test_substring_dedup_adjacent_marks_merge(spark):
         (1, 1, 20),
         (2, 3, 22),
     ]
+
+
+def test_lsh_precision_recall_truth_subblock_identical(spark):
+    """The r11 sub-blocked truth self-join in dedup_lsh_precision_recall
+    (join key (source, doc_id%8) instead of source alone — parallelism,
+    guide §2.5) must produce the IDENTICAL exact-Jaccard>=0.5 pair set:
+    cross-check the query's per-source n_truth against a Python-set
+    recomputation over the same tokenized arrays at sf0.001."""
+    from gravity_spark.functions import text as tx
+    from gravity_spark.queries import REGISTRY, T
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["source"]: r["n_truth"]
+        for r in REGISTRY["dedup_lsh_precision_recall"].spark(spark, sf).collect()
+    }
+    all_docs = T(spark, sf, "documents")
+    eval_sources = [
+        r["source"]
+        for r in all_docs.select("source").distinct().orderBy("source").limit(5).collect()
+    ]
+    g = (
+        all_docs.filter(F.col("source").isin(eval_sources))
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(tx.tokenize(F.col("text"))).alias("toks"),
+        )
+        .collect()
+    )
+    by_src: dict = {}
+    for r in g:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], set(r["toks"])))
+    naive = {}
+    for src, rows in by_src.items():
+        n = 0
+        rows = sorted(rows)
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                a, b = rows[i][1], rows[j][1]
+                inter = len(a & b)
+                union = len(a | b)
+                if 2 * inter >= union:
+                    n += 1
+        naive[src] = n
+    assert {s: out[s] for s in naive} == naive
