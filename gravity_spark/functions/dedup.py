@@ -605,6 +605,15 @@ def prefix_filter_pairs(
     tokenizer four times (verified in the before plan: the whole
     prefix subtree appears duplicated). Both tables are O(docs) /
     O(docs · prefix_len) — linear in the input, disk-spillable.
+
+    CACHING CONTRACT (r11, advisor item): the returned frame is LAZY,
+    so this function cannot unpersist its own intermediates — they must
+    stay pinned until the caller has materialized the result. After
+    materializing, the caller owns cleanup:
+    ``spark.catalog.clearCache()`` (what bench.py does between queries)
+    or a targeted ``unpersist()`` via the storage tab. A long-lived
+    session that calls this repeatedly WITHOUT clearing will accumulate
+    executor storage. Same contract: ``substring_dedup_spans``.
     """
     g = df.select(
         F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("toks")
@@ -685,6 +694,12 @@ def substring_dedup_spans(
     the gram hash, so hot grams ("the the the") concentrate — AQE skew
     handling or pre-salting the count covers that; positions of a hot
     gram still route to their own docs for the merge.
+
+    CACHING CONTRACT (r11, advisor item): the gram table ``g`` below is
+    persisted and the returned frame is LAZY, so cleanup is the
+    caller's after materializing — ``spark.catalog.clearCache()`` (what
+    bench.py does between queries) or a targeted ``unpersist()``. See
+    ``prefix_filter_pairs`` for the full statement of the contract.
     """
     from gravity_spark.functions import text as tx
 

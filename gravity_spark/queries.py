@@ -7477,7 +7477,12 @@ def recursive_reachability(spark, sf_dir):
     each iteration and inlined the edges CTE, so the orders⋈lineitem
     distinct ran once per hop (3×). The recursive execution itself is
     unchanged (same native WITH RECURSIVE step join); the oracle keeps
-    the single-statement form. Measured 4.67 → 3.44 s warm."""
+    the single-statement form. Measured 4.67 → 3.44 s warm.
+
+    Caching contract (r11, advisor item): the persisted edge view and
+    the returned frame are lazy — cleanup after materialization is the
+    caller's (bench.py clearCache between queries); see
+    dedup.prefix_filter_pairs for the full contract statement."""
     T(spark, sf_dir, "orders").createOrReplaceTempView("rr_orders")
     T(spark, sf_dir, "lineitem").createOrReplaceTempView("rr_lineitem")
     pairs = spark.sql(

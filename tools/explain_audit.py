@@ -47,6 +47,14 @@ GLOBAL_WINDOW_METADATA_OK: dict[str, str] = {
     "docs_source_lang_drift": "marginals over the source×lang contingency table (≤ sources×langs, both design-bounded enums)",
     "orders_priority_drift_by_month": "marginals over the month×priority table (≤ 84×5 cells)",
     "events_signup_to_purchase_hazard": "at-risk suffix sum over per-day rows (date range, ~2.5k rows)",
+    # r11 (VERDICT r10 item 9): attributed from the gate log's runtime
+    # WindowExec warnings, NOT the static walk — this query collects at
+    # build time and returns a local relation, so its windows only
+    # exist in runtime-built intermediate plans the walker never sees.
+    # The same blind spot applies to any query whose spark() fn executes
+    # its heavy frames internally; re-run the gate-log attribution
+    # (OPTIMIZATION_r11.md item 9 has the awk) when warnings reappear.
+    "quantile_sketch_merge_rollup": "cumulative sum over the merged histogram (≤1024 fixed bins by construction; runtime-only plan)",
 }
 
 _WINDOW_EXECS = {"WindowExec", "WindowInPandasExec", "WindowGroupLimitExec"}
