@@ -268,7 +268,23 @@ class _fixpoint_partitions:
     — ~100-200 MB of (long, long/string) rows per partition — ONLY when
     that is below the current setting; big graphs keep the session
     value (and AQE coalescing) untouched, so this can never shrink a
-    100 TB run's parallelism. Restores the previous value on exit."""
+    100 TB run's parallelism. Restores the previous value on exit.
+
+    CONCURRENCY CONTRACT (r11, advisor medium): this mutates the
+    SESSION-scoped ``spark.sql.shuffle.partitions`` for the loop's
+    duration, so a concurrent query or stream planned on the same
+    SparkSession while a loop runs would plan its shuffles with the
+    downscaled count. The advisor's alternatives were both assessed and
+    rejected: an explicit ``.repartition(target, key)`` before each loop
+    groupBy moves the exchange AHEAD of the partial aggregation (full
+    rows shuffle instead of map-side-combined partials — strictly more
+    bytes, guide §2.3), and ``spark.newSession()`` cannot execute
+    DataFrames built on the caller's session (a DataFrame is bound to
+    its session; rebuilding the inputs in a clone needs an RDD
+    round-trip through Python serialization). The loops are therefore
+    single-owner: the bench, the driver, and every registered query run
+    them sequentially on an otherwise-idle session. Callers that share
+    a session across threads must serialize fixpoint calls."""
 
     ROWS_PER_PARTITION = 2_000_000
 
