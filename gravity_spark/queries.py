@@ -10437,9 +10437,15 @@ def dedup_method_agreement(spark, sf_dir):
             F.expr("simhash16 div 256").alias("bh"),
         ),
     )
+    # r11 (guide §2.3/§5): the banded simhash table feeds BOTH sides of
+    # the pair self-join — without the pin the oracle-pinned md5 simhash
+    # aggregation subtree computes twice (AQE exchange reuse did not
+    # dedup it; paired interleaved A/B cold 20.6→7.6 s, warm 9.6→6.2 /
+    # 6.4↔7.4, rows identical). O(docs×2) rows; bench clearCache
+    # reclaims it (caching contract as in dedup.prefix_filter_pairs).
     shb = sh.select("doc_id", "simhash16", F.explode(bandse).alias("e")).select(
         "doc_id", "simhash16", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
-    )
+    ).persist()
     sa, sb = shb.alias("sa"), shb.alias("sb")
     shp = (
         sa.join(sb, ["band", "bh"])
@@ -17798,10 +17804,17 @@ def graph_degree_assortativity(spark, sf_dir):
     orders = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
     )
+    # r11 (guide §2.3/§5): the distinct edge list feeds THREE consumers
+    # (both degree aggs + the moment join) — AQE exchange reuse did not
+    # dedup the re-derivation (paired interleaved A/B: 7.1→4.1 cold,
+    # 2.88→2.48 min-of-3, rows identical). O(edges) of two longs,
+    # disk-spillable; bench clearCache reclaims it (caching contract as
+    # in dedup.prefix_filter_pairs).
     cp = (
         li.join(orders, "l_orderkey")
         .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .persist()
     )
     cd = cp.groupBy("ck").agg(F.count(F.lit(1)).alias("du"))
     pd_ = cp.groupBy("pk").agg(F.count(F.lit(1)).alias("dv"))
