@@ -6221,6 +6221,13 @@ def text_bigram_lm(spark, sf_dir):
             )
         ).alias("e"),
     ).select("doc_id", "e.p", "e.nx")
+    # r11 (guide §2.3/§5): bg's tokenize+explode subtree feeds THREE
+    # consumers (bigram counts, head counts via cb, the scoring join) —
+    # unpinned it computes ~3× (interleaved A/B: 7.59→3.24 / 3.23→2.27
+    # / 2.46→1.82 s, all pairs favor the pin, rows identical). O(corpus
+    # bigrams) rows, disk-spillable; bench clearCache reclaims it
+    # (caller-clears-cache contract).
+    bg = bg.persist()
     cb = bg.groupBy("p", "nx").agg(F.count(F.lit(1)).alias("cb"))
     cp = cb.groupBy("p").agg(F.sum("cb").alias("cp"))
     v = (
@@ -8729,7 +8736,12 @@ def minhash_estimate_error(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.array_distinct(tx.tokenize(F.col("text"))).alias("toks")
     )
-    side = sig.join(toks, "doc_id").withColumn("nt", F.size("toks"))
+    # r11 (guide §2.3/§5): the per-doc side table feeds BOTH attach
+    # joins (sa, sb) — unpinned, the tokenize subtree computes twice
+    # (interleaved A/B: cold pairs 15.25→4.96 / 7.35→5.38 s, warm
+    # parity, 432,898 rows identical). O(docs) rows, disk-spillable;
+    # bench clearCache reclaims it (caller-clears-cache contract).
+    side = sig.join(toks, "doc_id").withColumn("nt", F.size("toks")).persist()
     sa = side.alias("sa")
     sb = side.alias("sb")
     agree = sum(
