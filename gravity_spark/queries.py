@@ -13683,12 +13683,17 @@ def market_basket_triples(spark, sf_dir):
 
     Scale shape: baskets are bounded (≤7 lines/order here; padded-cart
     limits in general), so the triple expansion is O(orders · k³) with
-    k = pruned basket size — the two self-joins are orderkey-keyed
-    (one shuffle key), and the frequent-item prune is a broadcast
-    semi-join. The m ≥ 2 floor keeps the output sparse as volume grows
-    (in this synthetic data the item pool scales WITH order volume, so
-    repeated triples thin out as SF rises — 90 rows at sf0.001, 11 at
-    sf0.01, 0 at sf0.1; the shape, not the row count, is the operator)."""
+    k = pruned basket size, generated IN-TASK from each order's sorted
+    item array (r11, guide §2.2 — the _copurchase_edges pattern lifted
+    to triples): one groupBy(ok) shuffle replaces the two
+    orderkey-keyed self-joins, and the frequent-item prune is a
+    broadcast semi-join before the arrays form. Items are distinct per
+    order, so positions i<j<k over the sorted array enumerate exactly
+    the p1<p2<p3 join triples, once per order. The m ≥ 2 floor keeps
+    the output sparse as volume grows (in this synthetic data the item
+    pool scales WITH order volume, so repeated triples thin out as SF
+    rises — 90 rows at sf0.001, 11 at sf0.01, 0 at sf0.1; the shape,
+    not the row count, is the operator)."""
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item")
     ).distinct()
@@ -13701,15 +13706,20 @@ def market_basket_triples(spark, sf_dir):
     )
     fb = li.join(F.broadcast(freq), "item").persist()
     try:
-        a = fb.select("ok", F.col("item").alias("p1"))
-        c = fb.select("ok", F.col("item").alias("p2"))
-        d = fb.select("ok", F.col("item").alias("p3"))
+        arr = fb.groupBy("ok").agg(F.sort_array(F.collect_list("item")).alias("ps"))
+        s1 = arr.select("ps", F.posexplode("ps").alias("i", "p1"))
+        s2 = s1.select(
+            "ps", "i", "p1",
+            F.posexplode(F.slice("ps", F.col("i") + 2, F.size("ps"))).alias("j", "p2"),
+        )
+        s3 = s2.select(
+            "p1", "p2",
+            F.explode(
+                F.slice("ps", F.col("i") + F.col("j") + 3, F.size("ps"))
+            ).alias("p3"),
+        )
         tri = (
-            a.join(c, "ok")
-            .filter(F.col("p2") > F.col("p1"))
-            .join(d, "ok")
-            .filter(F.col("p3") > F.col("p2"))
-            .groupBy("p1", "p2", "p3")
+            s3.groupBy("p1", "p2", "p3")
             .agg(F.count(F.lit(1)).alias("m"))
             .filter(F.col("m") >= 2)
         )
